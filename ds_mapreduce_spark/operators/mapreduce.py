@@ -1,0 +1,118 @@
+"""The generic MapReduce surface (SURVEY.md §2.2 rows G1-G3).
+
+Reference parity: the ``MapReducer`` trait (reference
+src/map_reduce.rs:4-7) is the reference's ENTIRE query language — one
+user flatMap, one group-by-key, one user reduce, strings end-to-end.
+We mirror the trait 1:1 so any reference job ports unchanged, but run
+it as a Spark plan:
+
+- map phase  → ``mapInPandas`` (Arrow batches, one Python call per
+  batch instead of per record — the vectorized analogue of
+  src/worker.rs:113-133 ``map_runner``)
+- group+reduce → ``groupBy("key").applyInPandas`` (Spark's shuffle
+  supplies the global hash partitioning the reference omits — see
+  SURVEY.md §1.4: the reference only ever groups per-chunk, producing
+  partial counts; we implement the intended global semantics)
+
+Scale notes (100 TB): both phases stream Arrow batches; nothing is
+collected on the driver. ``applyInPandas`` materializes ONE KEY GROUP
+per call, which is the same memory contract as the reference's
+per-key reduce (src/worker.rs:144-149) but distributed; for aggregations
+expressible as Spark expressions, prefer the relational operators in
+``relational.py`` — they get partial (map-side) aggregation and
+whole-stage codegen, and are the fast path. This module is the
+arbitrary-UDF escape hatch, exactly like the trait it mirrors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Protocol
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: the reference's fixed record schema: string key, string value
+#: (reference src/map_reduce.rs:5-6 — keys/values are String end-to-end)
+KV_SCHEMA = "key string, value string"
+
+
+class MapReducer(Protocol):
+    """1:1 mirror of the reference trait (src/map_reduce.rs:4-7).
+
+    ``map``    : one record → 0..n key/value pairs   (G1)
+    ``reduce`` : key + all its values → one value    (G3)
+    """
+
+    def map(self, key: str, value: str) -> Iterable[tuple[str, str]]: ...
+
+    def reduce(self, key: str, values: list[str]) -> str: ...
+
+
+class WordCount:
+    """The reference's single packaged job (src/implm/word_count.rs:1-25).
+
+    Tokenization matches ``split_ascii_whitespace`` semantics: split on
+    runs of whitespace, drop empties, case-sensitive, no punctuation
+    stripping (src/implm/word_count.rs:9-11).
+    """
+
+    def map(self, key: str, value: str) -> Iterable[tuple[str, str]]:
+        for word in value.split():
+            yield word, "1"
+
+    def reduce(self, key: str, values: list[str]) -> str:
+        # src/implm/word_count.rs:21 parses each value and sums
+        return str(sum(int(v) for v in values))
+
+
+def run_mapreduce(kv: DataFrame, mr: MapReducer) -> DataFrame:
+    """Run an arbitrary MapReducer over a (key, value) DataFrame.
+
+    Equivalent of ``MapReduce::run`` (src/map_reduce.rs:12-17) minus the
+    hand-rolled scheduler: Spark stages replace the Map→Reduce task flip
+    (src/task_manager.rs:63-70), the shuffle replaces the intermediate
+    ``inter/`` files (src/utils.rs:64-77).
+    """
+
+    def map_phase(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out_k: list[str] = []
+            out_v: list[str] = []
+            for key, value in zip(batch["key"], batch["value"]):
+                for k, v in mr.map(key, value):
+                    out_k.append(k)
+                    out_v.append(v)
+            yield pd.DataFrame({"key": out_k, "value": out_v})
+
+    def reduce_phase(group: pd.DataFrame) -> pd.DataFrame:
+        key = group["key"].iloc[0]
+        value = mr.reduce(key, group["value"].tolist())
+        return pd.DataFrame({"key": [key], "value": [value]})
+
+    mapped = kv.mapInPandas(map_phase, schema=KV_SCHEMA)
+    return mapped.groupBy("key").applyInPandas(reduce_phase, schema=KV_SCHEMA)
+
+
+def word_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flagship query (E4): global word count, pure Spark expressions.
+
+    The declarative fast path for the job the reference hard-codes
+    (src/worker.rs:121,145 bind ``WordCount`` at compile time). Catalyst
+    plans this as scan → whole-stage-codegen'd split/explode → partial
+    count → shuffle on word → final count: the reference's per-chunk
+    grouping (SURVEY.md §1.4) is subsumed as the partial-agg half, and
+    the shuffle provides the global merge it lacks.
+
+    Scale notes (100 TB): no Python in the plan; skew on ultra-common
+    words is absorbed by partial aggregation (each task pre-counts its
+    partition, so the shuffle carries one row per distinct word per
+    task, not one per occurrence).
+    """
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (E8 + BASELINE.json).
+
+Two tiers, matching how ANN is actually deployed on a 100 TB corpus:
+
+- ``brute_force_topk``: exact top-k by cosine. The query set is
+  broadcast (it is small by construction); the corpus is scanned once,
+  scored JVM-side, and reduced with a per-query top-k window. Cost is
+  O(|corpus| × |queries| × dim) FLOPs but only ONE corpus scan and the
+  shuffle carries k rows per (query, partition) — this is the correct
+  exact baseline at any corpus size, and the first thing to run when
+  validating an ANN index.
+
+- ``ivf_topk``: inverted-file ANN. Vectors are assigned to their
+  nearest centroid (argmax dot, deterministic tie-break) at "build"
+  time; a query probes only its ``nprobe`` nearest centroid buckets.
+  Corpus scan cost drops by ~n_centroids/nprobe. Centroid assignment
+  is an embarrassingly-parallel map; the probe is an equi-join on
+  centroid id — both shuffle-scalable. (Here centroids are taken
+  deterministically from the corpus itself rather than k-means-trained,
+  which keeps the operator oracle-checkable; the plumbing is identical.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ds_mapreduce_spark.functions.vector import cosine_similarity, dot
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k: rounded score desc, id asc."""
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Exact cosine top-k. ``queries``/``corpus``: (vec_id, embedding)."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6).alias("score"),
+        )
+    )
+    return _ranked_topk(scored, k)
+
+
+def assign_to_centroids(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding, centroid_id): nearest centroid by dot product
+    (rounded, ties to the lowest centroid id — fully deterministic)."""
+    c = centroids.select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        F.round(dot(F.col("embedding"), F.col("cent_emb")), 6).alias("affinity"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("affinity").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` best centroid buckets per query."""
+    assigned = assign_to_centroids(corpus, centroids)
+
+    c = centroids.select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")
+    )
+    q_scored = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ).crossJoin(F.broadcast(c)).select(
+        "query_id",
+        "q_emb",
+        "centroid_id",
+        F.round(dot(F.col("q_emb"), F.col("cent_emb")), 6).alias("affinity"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("affinity").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q_scored.withColumn("__r", F.row_number().over(wq))
+        .where(F.col("__r") <= nprobe)
+        .select("query_id", "q_emb", "centroid_id")
+    )
+
+    scored = (
+        probes.join(assigned, "centroid_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("q_emb"), F.col("embedding")), 6).alias("score"),
+        )
+    )
+    return _ranked_topk(scored, k)

@@ -1,0 +1,197 @@
+"""Dedup queries (E6/E7): exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine. Every one is oracle-checked — the md5-portable-hash
+design makes even MinHash/SimHash reproducible in ANSI SQL.
+
+Oracle CTE conventions mirror the Spark operators 1:1:
+  toks  = whitespace tokens, empties dropped (reference tokenizer)
+  sh    = DISTINCT 3-word shingles per doc
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ds_mapreduce_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+)
+from ds_mapreduce_spark.plans.registry import register
+from ds_mapreduce_spark.sources.catalog import load_table
+
+_TOKS_CTE = r"""
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+)"""
+
+_SHINGLES_CTE = (
+    _TOKS_CTE
+    + r""",
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks WHERE len(t) >= 3
+)"""
+)
+
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_md5,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+    doc="E6 exact dedup: canonicalize (lower, collapse whitespace) → md5 → "
+    "hash groupBy; representative = min doc_id. One shuffle of (hash, id).",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+blocks AS (SELECT doc_id, MIN(md5(shingle)) AS block FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a JOIN blocks b ON a.block = b.block AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(n_common * 1.0 / (na.n_shingles + nb.n_shingles - n_common), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE ROUND(n_common * 1.0 / (na.n_shingles + nb.n_shingles - n_common), 4) >= 0.8
+""",
+    doc="E7 near-dup by exact 3-gram Jaccard on min-md5-shingle-blocked "
+    "candidate pairs (deterministic 1-band MinHash blocking + exact verify).",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=0.8)
+
+
+def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    sig_cols = ",\n         ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(num_hashes // band_size)
+    )
+    return (
+        "WITH "
+        + _SHINGLES_CTE
+        + f""",
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {band_rows}
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bands x
+JOIN bands y ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+"""
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(8, 2),
+    doc="E7 MinHash-LSH candidate pairs: 8 md5-minhashes → 4 bands of 2 → "
+    "band-key equi-self-join. The signature+banding shape is the standard "
+    "scale path: O(n) shuffle rows, never O(n²).",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), k=3, num_hashes=8, band_size=2)
+
+
+def _simhash_oracle(bits: int = 32, chunks: int = 4, max_hamming: int = 8) -> str:
+    width = bits // chunks
+    mask = (1 << width) - 1
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
+    )
+    sim_expr = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    chunk_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, (simhash >> {c * width}) & {mask} AS chunk_val FROM sim"
+        for c in range(chunks)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+bitsum AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM th GROUP BY doc_id
+),
+sim AS (SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM bitsum),
+chunked AS (
+  {chunk_rows}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunked a
+  JOIN chunked b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(32, 4, 8),
+    doc="E7 SimHash near-dup: 32-bit per-bit-majority fingerprint from "
+    "md5-derived token hashes; candidates via the pigeonhole chunk trick "
+    "(4 chunks → any pair with hamming ≤ 3 is guaranteed found), filtered "
+    "to hamming ≤ 8.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), bits=32, chunks=4
+    ).where(F.col("hamming") <= 8)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+""",
+    doc="E7/E8 embedding near-dup: exact pairwise cosine ≥ 0.45 (threshold "
+    "chosen with ≥1e-4 margin to the nearest pair so engines agree). Exact "
+    "quadratic form — the LSH/IVF bucketed variant in similarity_queries "
+    "is the 100 TB path.",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45)

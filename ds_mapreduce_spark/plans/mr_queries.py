@@ -1,0 +1,111 @@
+"""MapReduce-core queries: the reference's capability surface (E2-E5).
+
+Flagship is ``wordcount`` — the one job the reference ships
+(src/implm/word_count.rs), run with intended GLOBAL group-by semantics
+(SURVEY.md §1.4: the reference only emits per-chunk partial counts; a
+global count is what its API contract means).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ds_mapreduce_spark.operators.mapreduce import WordCount, run_mapreduce, word_count
+from ds_mapreduce_spark.plans.registry import register
+from ds_mapreduce_spark.sources.catalog import load_table
+
+# Tokenizer parity note: Spark `split(text, '\\s+')` and DuckDB
+# `regexp_split_to_array(text, '\s+')` both yield empty strings at
+# leading separators; both sides filter them (matching the reference's
+# split_ascii_whitespace, which never yields empties).
+_WORDS_ORACLE = r"""
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+"""
+
+
+@register(
+    "wordcount",
+    oracle=_WORDS_ORACLE,
+    doc="E4 flagship: global word count over documents.text, pure expressions "
+    "(scan → split/explode → partial count → shuffle → final count).",
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_count(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mr_generic_wordcount",
+    oracle=r"""
+SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
+FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+""",
+    doc="G1-G3: the generic MapReducer trait surface (string k/v, arbitrary "
+    "Python map + reduce) driven through mapInPandas + applyInPandas. Same "
+    "job as `wordcount` but through the UDF escape hatch, proving any "
+    "reference MapReducer ports 1:1.",
+)
+def q_mr_generic_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("text").alias("value"),
+    )
+    return run_mapreduce(kv, WordCount())
+
+
+@register(
+    "mr_generic_charcount",
+    oracle="""
+SELECT source AS key, CAST(CAST(sum(n_chars) AS BIGINT) AS VARCHAR) AS value
+FROM documents GROUP BY source
+""",
+    doc="G1-G3 with a second MapReducer instantiation (chars per source) — "
+    "demonstrates the trait is runtime-pluggable, unlike the reference "
+    "which compile-time binds WordCount (src/worker.rs:121,145).",
+)
+def q_mr_generic_charcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    class CharCount:
+        def map(self, key: str, value: str):
+            source, n_chars = value.split("\x00", 1)
+            yield source, n_chars
+
+        def reduce(self, key: str, values: list[str]) -> str:
+            return str(sum(int(v) for v in values))
+
+    docs = load_table(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.concat_ws("\x00", F.col("source"), F.col("n_chars").cast("string")).alias("value"),
+    )
+    return run_mapreduce(kv, CharCount())
+
+
+@register(
+    "wordcount_topk",
+    oracle=r"""
+SELECT word, cnt, rnk FROM (
+  SELECT word, cnt,
+         row_number() OVER (ORDER BY cnt DESC, word ASC) AS rnk
+  FROM (
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+  )
+) WHERE rnk <= 25
+""",
+    doc="E12 top-k on the wordcount result: deterministic total order "
+    "(cnt DESC, word ASC). TakeOrderedAndProject — no full sort at scale.",
+)
+def q_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    wc = word_count(load_table(spark, sf_dir, "documents"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    return wc.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 25)

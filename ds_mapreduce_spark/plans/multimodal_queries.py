@@ -1,0 +1,57 @@
+"""Multimodal queries: binary-column plumbing with a deterministic
+decode stub, end-to-end through Arrow batches (see
+operators/multimodal.py). The fake features are pure functions of the
+bytes, so the whole pipeline is oracle-checkable in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ds_mapreduce_spark.operators.multimodal import attach_binary_payload, extract_features
+from ds_mapreduce_spark.plans.registry import register
+from ds_mapreduce_spark.sources.catalog import load_table
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_len,
+       md5(text) AS checksum,
+       GREATEST(1, octet_length(encode(text)) // 256) AS n_frames
+FROM documents
+""",
+    doc="Multimodal plumbing: text bytes stand in for media blobs → "
+    "binary column + metadata struct → mapInPandas feature extraction "
+    "(decode stubbed, deterministic). Map-only; payload column pruned "
+    "from any downstream read that doesn't need it.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs))
+
+
+@register(
+    "multimodal_metadata_stats",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_items,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes,
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents GROUP BY lang
+""",
+    doc="Metadata-only scan over the multimodal table: aggregates read the "
+    "meta struct, never the payload — demonstrates payload-column pruning.",
+)
+def q_multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return media.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("meta.byte_len")).cast("bigint").alias("total_bytes"),
+        F.round(F.avg(F.col("meta.byte_len")), 4).alias("avg_bytes"),
+        F.max(F.col("meta.byte_len")).cast("bigint").alias("max_bytes"),
+    )

@@ -1,0 +1,532 @@
+"""Relational core over the star schema (SURVEY.md §2.4 E5, E10-E12).
+
+The reference has NONE of this (SURVEY.md §2.3 — no joins, windows,
+sorts, set ops, scalar functions); these queries are the generalized
+capability surface a user of its (k,v) algebra would build next, and
+they are where Catalyst earns its keep: every query below compiles to
+pushed-down parquet scans, partial+final aggregation, and
+broadcast-hash joins for the small dimensions.
+
+Scale notes (100 TB): fact-table aggregations shuffle one row per
+group per task (partial agg); all dim joins (region/nation/customer/
+supplier/part at TPC-H proportions) are broadcastable; sorts appear
+only under LIMIT (TakeOrderedAndProject) — no global sort of a fact
+table anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ds_mapreduce_spark.plans.registry import register
+from ds_mapreduce_spark.sources.catalog import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# Exactness policy: the money-ish double columns hold 2dp decimals, so
+# aggregates are computed on DECIMAL (exact, order-independent — a float
+# SUM's value depends on partition order, which makes a 4dp-rounded
+# comparison flaky at scale) and cast to DOUBLE only at output. The
+# oracle mirrors every cast. Tight intermediate precisions keep DuckDB
+# below its 38-digit cap (it silently degrades to DOUBLE past it).
+
+
+def _dec(col: str | Column, prec: int = 12, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def _one_minus_disc() -> Column:
+    return (F.lit(1) - _dec("l_discount", 4, 2)).cast("decimal(3,2)")
+
+
+def _one_plus_tax() -> Column:
+    return (F.lit(1) + _dec("l_tax", 4, 2)).cast("decimal(3,2)")
+
+
+_SQL_DISC = "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))"
+_SQL_TAX = "CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(3,2))"
+_SQL_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_SQL_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+
+
+# --- E5: partial+final aggregation suite -------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(SUM({_SQL_QTY}) AS DOUBLE), 4)                             AS sum_qty,
+       ROUND(CAST(SUM({_SQL_PRICE}) AS DOUBLE), 4)                           AS sum_base_price,
+       ROUND(CAST(SUM({_SQL_PRICE} * {_SQL_DISC}) AS DOUBLE), 4)             AS sum_disc_price,
+       ROUND(CAST(SUM({_SQL_PRICE} * {_SQL_DISC} * {_SQL_TAX}) AS DOUBLE), 4) AS sum_charge,
+       ROUND(CAST(SUM({_SQL_QTY}) AS DOUBLE) / COUNT(*), 4)                  AS avg_qty,
+       ROUND(CAST(SUM({_SQL_PRICE}) AS DOUBLE) / COUNT(*), 4)                AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+       COUNT(*)                                                              AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 pricing summary: the canonical partial+final agg over the "
+    "fact table. Filter pushed to the parquet scan; shuffle carries ~6 rows. "
+    "Aggregates run on DECIMAL for order-independent exactness.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * _one_minus_disc()
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * _one_plus_tax()).cast("double"), 4).alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.sum(_dec("l_discount", 4, 2)).cast("double") / n, 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_suite",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*)                          AS n_rows,
+       COUNT(DISTINCT l_orderkey)        AS n_orders,
+       CAST(SUM(l_linenumber) AS BIGINT) AS sum_linenumber,
+       ROUND(CAST(SUM({_SQL_QTY}) AS DOUBLE), 4)          AS sum_qty,
+       ROUND(MIN(l_extendedprice), 4)    AS min_price,
+       ROUND(MAX(l_extendedprice), 4)    AS max_price,
+       ROUND(CAST(SUM({_SQL_PRICE}) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+       ROUND(SQRT((CAST(SUM({_SQL_PRICE} * {_SQL_PRICE}) AS DOUBLE)
+                   - CAST(SUM({_SQL_PRICE}) AS DOUBLE) * CAST(SUM({_SQL_PRICE}) AS DOUBLE) / COUNT(*))
+                  / (COUNT(*) - 1)), 4)  AS std_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="E5 aggregate function suite: count / count-distinct / sum / min / "
+    "max / avg / sample-stddev in one pass. Stddev is derived from exact "
+    "decimal sum and sum-of-squares so it is order-independent too.",
+)
+def q_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    s = F.sum(_dec("l_extendedprice")).cast("double")
+    sq = F.sum(_dec("l_extendedprice") * _dec("l_extendedprice")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum("l_linenumber").cast("bigint").alias("sum_linenumber"),
+        F.round(F.sum(_dec("l_quantity")).cast("double"), 4).alias("sum_qty"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(s / n, 4).alias("avg_price"),
+        F.round(F.sqrt((sq - s * s / n) / (n - F.lit(1))), 4).alias("std_price"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows, ROUND(CAST(SUM({qty} ) AS DOUBLE), 4) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""".format(qty=_SQL_QTY),
+    doc="Grouping-set hierarchy (ROLLUP): subtotals + grand total in one "
+    "shuffle via Expand. Absent from the reference (no grouping sets).",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(_dec("l_quantity")).cast("double"), 4).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="Full CUBE over two dims (all 4 grouping sets in one Expand+agg).",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_price"
+        ),
+    )
+
+
+# --- E10: filters / projections / scalar expressions --------------------------
+
+
+@register(
+    "filter_project",
+    oracle="""
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity > 45 AND l_returnflag = 'R'
+""",
+    doc="E10 filter+projection: all three predicates push to the parquet "
+    "scan (PushedFilters), ReadSchema prunes to 6 of 11 columns.",
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_quantity") > 45)
+            & (F.col("l_returnflag") == "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        )
+    )
+
+
+@register(
+    "scalar_functions",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_brand)                              AS brand_upper,
+       SUBSTR(p_type, 1, 5)                        AS type_prefix,
+       LENGTH(p_name)                              AS name_len,
+       CONCAT(p_brand, ':', p_type)                AS brand_type,
+       REPLACE(p_name, ' ', '_')                   AS name_snake,
+       ROUND(ABS(p_retailprice - 1000.0), 4)       AS price_dist,
+       ROUND(SQRT(p_size), 4)                      AS size_sqrt,
+       CAST(p_size % 5 AS INTEGER)                 AS size_mod,
+       CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class
+FROM part
+""",
+    doc="Scalar function library (string/math/conditional) — the per-record "
+    "expression surface a reference user writes inside map() by hand, here "
+    "whole-stage-codegen'd JVM expressions (no Python).",
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.round(F.abs(F.col("p_retailprice") - 1000.0), 4).alias("price_dist"),
+        F.round(F.sqrt("p_size"), 4).alias("size_sqrt"),
+        (F.col("p_size") % 5).cast("integer").alias("size_mod"),
+        F.when(F.col("p_size") >= 25, "large").otherwise("small").alias("size_class"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER)    AS order_year,
+       CAST(month(o_orderdate) AS INTEGER)   AS order_month,
+       CAST(dayofmonth(o_orderdate) AS INTEGER) AS order_day,
+       strftime(o_orderdate, '%Y-%m-%d')     AS order_date_str,
+       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date_str
+FROM orders WHERE o_orderstatus = 'O'
+""",
+    doc="Date/time scalar functions; outputs formatted as strings to keep "
+    "timestamp representation out of the comparison.",
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").alias(
+            "due_date_str"
+        ),
+    )
+
+
+# --- E11: joins ----------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       ROUND(CAST(SUM({price} * {disc}) AS DOUBLE), 4) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""".format(price=_SQL_PRICE, disc=_SQL_DISC),
+    doc="TPC-H Q3 (adapted): 3-way join + agg + deterministic top-10. "
+    "customer is broadcast; orders⋈lineitem shuffles on orderkey.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * _one_minus_disc()).cast("double"), 4).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n_name, ROUND(CAST(SUM({price} * {disc}) AS DOUBLE), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""".format(price=_SQL_PRICE, disc=_SQL_DISC),
+    doc="TPC-H Q5 (adapted): 6-way star join. All dims broadcast; the only "
+    "shuffles are lineitem⋈orders on orderkey and the final small agg.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * _one_minus_disc()).cast("double"), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       ROUND(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE), 4) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+    doc="E11 left outer join preserving customers with no orders "
+    "(COUNT(col) skips the NULLs the outer side introduces).",
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0)).cast("double"), 4
+            ).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+SELECT 'with_urgent_order' AS cohort, COUNT(*) AS n FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'without_urgent_order' AS cohort, COUNT(*) AS n FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""",
+    doc="E11 semi + anti join (EXISTS / NOT EXISTS): broadcast "
+    "left-semi/left-anti, no row multiplication.",
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    semi = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    anti = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return semi.select(F.lit("with_urgent_order").alias("cohort"), "n").unionAll(
+        anti.select(F.lit("without_urgent_order").alias("cohort"), "n")
+    )
+
+
+# --- E12: sort / limit / top-k / window functions ------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS total_price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+""",
+    doc="E12 global top-k: TakeOrderedAndProject (per-partition heap + "
+    "driver merge of k×partitions rows), never a full sort.",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(15)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("total_price"))
+    )
+
+
+@register(
+    "window_rank_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS total_price,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+    doc="Window function top-N per group: one shuffle on the partition key; "
+    "running-rank is computed within sorted partitions, no self-join.",
+)
+def q_window_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("total_price"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_spend
+FROM orders
+""",
+    doc="Window running aggregate (cumulative spend per customer in order-"
+    "date order) — ROWS frame, deterministic tiebreak on orderkey.",
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(_dec("o_totalprice")).over(w).cast("double"), 4).alias("running_spend"),
+    )
+
+
+# --- set operations / distinct ---------------------------------------------------
+
+
+@register(
+    "distinct_values",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    doc="E6-adjacent exact distinct: hash aggregate with partial dedup "
+    "map-side, shuffle carries unique pairs only.",
+)
+def q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "set_operations",
+    oracle="""
+SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+UNION ALL
+SELECT 'except' AS op, COUNT(*) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+UNION ALL
+SELECT 'union' AS op, COUNT(*) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  UNION
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+""",
+    doc="Set operations (INTERSECT / EXCEPT / UNION DISTINCT) over customer "
+    "cohorts, absent from the reference (SURVEY.md §2.3).",
+)
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f_cust = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+
+    def count1(df, label):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(label).alias("op"), "n")
+
+    return (
+        count1(f_cust.intersect(o_cust), "intersect")
+        .unionAll(count1(f_cust.subtract(o_cust), "except"))
+        .unionAll(count1(f_cust.union(o_cust).distinct(), "union"))
+    )

@@ -1,0 +1,101 @@
+"""Similarity-search queries (E8): exact brute-force top-k and IVF ANN
+over the ``embeddings`` table. Query set = vec_id < 20 (deterministic);
+centroid set for IVF = vec_id < 16.
+
+Oracle-parity: cosine/dot computed in DOUBLE on both sides, rounded to
+6dp BEFORE ranking/thresholding; rank order is (score DESC, id ASC) —
+a total order, so both engines produce the identical top-k set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ds_mapreduce_spark.operators.similarity import brute_force_topk, ivf_topk
+from ds_mapreduce_spark.plans.registry import register
+from ds_mapreduce_spark.sources.catalog import load_table
+
+N_QUERIES = 20
+N_CENTROIDS = 16
+
+
+@register(
+    "knn_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND(list_cosine_similarity(qe, ce), 6) AS score
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 10
+""",
+    doc="E8 exact top-10 cosine neighbors for 20 query vectors: broadcast "
+    "query set × one corpus scan, JVM-side fused dot product, per-query "
+    "top-k window. The exact baseline every ANN variant is judged against.",
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id", "score", F.col("rnk").cast("bigint").alias("rnk")
+    )
+
+
+@register(
+    "knn_ivf",
+    oracle=f"""
+WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cent_emb
+              FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+assign_scored AS (
+  SELECT v.vec_id, v.emb, c.centroid_id,
+         ROUND(list_dot_product(v.emb, c.cent_emb), 6) AS affinity
+  FROM corpus v CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, emb, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY affinity DESC, centroid_id) AS r
+    FROM assign_scored
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM corpus WHERE vec_id < {N_QUERIES}),
+q_scored AS (
+  SELECT q.query_id, q.q_emb, c.centroid_id,
+         ROUND(list_dot_product(q.q_emb, c.cent_emb), 6) AS affinity
+  FROM q CROSS JOIN cent c
+),
+probes AS (
+  SELECT query_id, q_emb, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY affinity DESC, centroid_id) AS r
+    FROM q_scored
+  ) WHERE r <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(p.q_emb, a.emb), 6) AS score
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+""",
+    doc="E8 IVF ANN: corpus bucketed by nearest centroid (argmax dot, "
+    "deterministic ties); queries probe nprobe=2 buckets → equi-join on "
+    "centroid_id. The scale path: scan cost / (n_centroids/nprobe), all "
+    "shuffle-partitioned, no O(n²) pair space.",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    centroids = emb.where(F.col("vec_id") < N_CENTROIDS)
+    return ivf_topk(emb, queries, centroids, k=5, nprobe=2).select(
+        "query_id", "neighbor_id", "score", F.col("rnk").cast("bigint").alias("rnk")
+    )

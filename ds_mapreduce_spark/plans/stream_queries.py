@@ -1,0 +1,144 @@
+"""Event-stream queries (E13/E14): event-time tumbling/sliding windows,
+sessionization-style per-user stats, and JSON prop extraction over the
+``events`` table — batch mode here (oracle-checkable); the same
+transformations run under Structured Streaming in
+``ds_mapreduce_spark.streaming`` (tested in tests/test_streaming.py).
+
+Oracle-parity: window boundaries are exchanged as epoch seconds
+(BIGINT) — Spark's ``F.window`` aligns to the epoch, so a 1-hour
+tumbling window start equals ``date_trunc('hour', ts)`` and a sliding
+window start is derivable with integer epoch arithmetic in ANSI SQL.
+No raw timestamps cross the comparison boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ds_mapreduce_spark.plans.registry import register
+from ds_mapreduce_spark.sources.catalog import load_table
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    doc="E13 tumbling 1-hour event-time window × event_type: partial+final "
+    "agg on (window, type); identical code runs under Structured Streaming "
+    "with a watermark (see streaming/jobs.py).",
+)
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+WITH exploded AS (
+  SELECT (epoch_us(ts) // 1800000000) * 1800 AS window_start,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+  UNION ALL
+  SELECT (epoch_us(ts) // 1800000000) * 1800 - 1800 AS window_start,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+)
+SELECT window_start, COUNT(*) AS n_events,
+       CAST((200 * SUM(cents) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) / 10000.0 AS avg_value
+FROM exploded GROUP BY window_start
+""",
+    doc="E13 sliding window (1h length, 30m slide): each event lands in "
+    "exactly 2 windows; Spark F.window does the expansion, the oracle "
+    "derives both window starts with epoch arithmetic. The mean is rounded "
+    "half-up in exact integer cents (window sizes are powers of two, which "
+    "lands float means exactly on 4dp rounding boundaries).",
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    return (
+        ev.select(F.window("ts", "1 hour", "30 minutes").alias("w"), cents.alias("cents"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("sum_cents"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n_events",
+            (
+                F.expr("(200 * sum_cents + n_events) DIV (2 * n_events)") / 10000.0
+            ).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events GROUP BY event_type
+""",
+    doc="E14 JSON prop extraction (get_json_object → typed agg). At scale "
+    "prefer from_json with an explicit schema once per column, not "
+    "repeated path extraction.",
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@register(
+    "events_user_activity",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       (epoch_us(MAX(ts)) // 1000000) - (epoch_us(MIN(ts)) // 1000000) AS active_span_sec,
+       ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE), 4) AS purchase_value
+FROM events GROUP BY user_id
+""",
+    doc="E13-adjacent per-user activity profile (the batch shape of "
+    "sessionization): span, type diversity, conditional aggregation.",
+)
+def q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("bigint")
+        .alias("active_span_sec"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value").cast("decimal(12,2)")
+                ).otherwise(F.lit(0))
+            ).cast("double"),
+            4,
+        ).alias("purchase_value"),
+    )

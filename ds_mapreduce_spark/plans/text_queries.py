@@ -1,0 +1,240 @@
+"""Text analysis queries (E9 + BASELINE.json 'text analysis'):
+per-document stats, quality scoring, heuristic language-ID, token
+counting (whitespace + BPE-ish regex), portable fingerprints, and
+corpus-level term statistics.
+
+All pure Catalyst array/string expressions (no Python in any plan) —
+the per-record logic a reference user would write inside ``map()``
+(src/implm/word_count.rs:6-16) expressed declaratively so it
+whole-stage-codegens and the scan prunes to (doc_id, text[, lang]).
+
+Scale notes (100 TB): every query here is embarrassingly parallel per
+document except the term-frequency aggregation, which shuffles one row
+per distinct term per task (partial agg) — the same shape as the
+flagship wordcount.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ds_mapreduce_spark.functions.text import norm_text, portable_fingerprint, tokens
+from ds_mapreduce_spark.plans.registry import register
+from ds_mapreduce_spark.sources.catalog import load_table
+
+#: tiny function-word list for the heuristic scorer (the synthetic
+#: corpus is English-ish; real pipelines plug in per-language lists)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+_BPE_PATTERN = r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])"
+
+
+def _stop_ratio(toks: Column) -> Column:
+    in_list = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return in_list / F.size(toks)
+
+
+@register(
+    "text_stats",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct,
+       ROUND(CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE) / len(t), 4) AS avg_token_len,
+       ROUND(len(list_filter(t, x -> x IN {_STOP_SQL})) * 1.0 / len(t), 4) AS stopword_ratio
+FROM toks WHERE len(t) > 0
+""",
+    doc="E9 per-document stats: token count, distinct tokens, mean token "
+    "length, stopword ratio — single narrow projection, no shuffle.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    sum_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return (
+        docs.select("doc_id", t.alias("t"))
+        .where(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.size(F.array_distinct("t")).alias("n_distinct"),
+            F.round(
+                F.aggregate(F.col("t"), F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+                / F.size("t"),
+                4,
+            ).alias("avg_token_len"),
+            F.round(_stop_ratio(F.col("t")), 4).alias("stopword_ratio"),
+        )
+    )
+
+
+# Integer-exact quality score, 0-100 points: length (≤40) + mean token
+# length (≤30) + function-word evidence (≤30). Pure integer arithmetic —
+# bit-identical in every engine, no float rounding boundary to disagree on.
+_SCORE_SQL = (
+    "LEAST(n_tokens, 100) * 2 // 5"
+    " + LEAST(sum_len // n_tokens, 8) * 30 // 8"
+    " + LEAST(n_stop * 600 // n_tokens, 30)"
+)
+
+
+@register(
+    "text_quality_score",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+         len(list_filter(t, x -> x IN {_STOP_SQL})) AS n_stop
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST({_SCORE_SQL} AS BIGINT) AS quality,
+       CASE WHEN {_SCORE_SQL} >= 60 THEN 'high' ELSE 'low' END AS quality_band
+FROM feats
+""",
+    doc="E9 heuristic quality score (length + lexical + function-word "
+    "components, the C4/Gopher-rule shape), integer-exact 0-100 points.",
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    feats = docs.select("doc_id", t.alias("t")).where(F.size("t") > 0).select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.aggregate(F.col("t"), F.lit(0), lambda acc, x: acc + F.length(x))
+        .cast("bigint")
+        .alias("sum_len"),
+        F.size(F.filter(F.col("t"), lambda x: x.isin(*STOPWORDS))).cast("bigint").alias("n_stop"),
+    )
+    score = F.expr(_SCORE_SQL.replace("//", " DIV "))
+    return feats.select(
+        "doc_id",
+        score.cast("bigint").alias("quality"),
+        F.when(score >= 60, "high").otherwise("low").alias("quality_band"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN len(list_filter(t, x -> x IN {_STOP_SQL})) * 1.0 / len(t) >= 0.03
+              THEN 'en' ELSE 'und' END AS predicted
+  FROM toks WHERE len(t) > 0
+)
+SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY lang, predicted
+""",
+    doc="E9 heuristic language-ID (function-word-ratio evidence — the "
+    "n-gram-profile method degenerates to this on a synthetic vocab) "
+    "cross-tabulated against the labeled lang column.",
+)
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    pred = docs.select("lang", t.alias("t")).where(F.size("t") > 0).select(
+        "lang",
+        F.when(_stop_ratio(F.col("t")) >= 0.03, "en").otherwise("und").alias("predicted"),
+    )
+    return pred.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "lang_breakdown",
+    oracle=r"""
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens
+FROM documents GROUP BY lang, source
+""",
+    doc="E9 corpus composition: docs/chars/tokens per (lang, source) — the "
+    "mixture report every training-data pipeline starts from.",
+)
+def q_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("total_tokens"),
+    )
+
+
+@register(
+    "token_count",
+    oracle=rf"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}', 1)) AS n_bpe_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_est_tokens
+FROM documents
+""",
+    doc="E9 token counting three ways: whitespace, BPE-ish pre-tokenizer "
+    "regex (letter runs / digit runs / symbols), and the chars/4 estimate.",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 1)).alias("n_bpe_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_est_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS canon_len
+FROM documents
+""",
+    doc="E9 document fingerprinting: md5 over the canonical form — the "
+    "portable, content-derived id replacing the reference's random u64 "
+    "output names (src/utils.rs:65).",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        portable_fingerprint(F.col("text")).alias("fingerprint"),
+        F.length(norm_text(F.col("text"))).alias("canon_len"),
+    )
+
+
+@register(
+    "term_frequencies",
+    oracle=r"""
+WITH words AS (
+  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents
+)
+SELECT lang, word, COUNT(*) AS tf
+FROM words WHERE word <> '' GROUP BY lang, word
+""",
+    doc="E9/R8 generalized term frequency: wordcount keyed by (lang, word).",
+)
+def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

@@ -1,0 +1,77 @@
+"""Sources: the engine's scan surface.
+
+Reference parity (SURVEY.md §2.1): the reference's entire source layer
+is "open one local text file, chop it into 1024-byte chunks, one task
+per chunk" (reference src/utils.rs:9-45, src/master.rs:34-46). Spark's
+input-split machinery subsumes it (``spark.sql.files.maxPartitionBytes``);
+the defects we deliberately do NOT replicate are its dropped final
+partial chunk (src/utils.rs:30 ``read_exact``) and mid-word byte splits
+— Spark text splits are line-aware.
+
+Scale notes (100 TB): ``spark.read.parquet`` on a 100 TB table gives
+columnar scans with predicate pushdown + column pruning; the catalog
+here never collects, caches, or repartitions at read time, so partition
+pruning and AQE stay fully in play downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: the driver-generated star schema + LLM-pipeline tables (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar Parquet scan of one catalog table.
+
+    Reference parity: R1 text-file scan (src/map_reduce.rs:12-17)
+    generalized to typed Parquet (extension X1).
+
+    Determinism guards (idempotent, safe under any driver session):
+    - session timezone pinned to UTC so timestamp literals/formatting
+      match a timezone-naive oracle;
+    - ``events.ts`` is stored as nanosecond INT64, which Spark 4 cannot
+      read as a timestamp — read as long then convert at microsecond
+      precision (the same truncation every µs-native engine applies).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_text_corpus(spark: SparkSession, path: str, wholetext: bool = False) -> DataFrame:
+    """Line- (or file-) oriented text scan → (key, value) string rows.
+
+    Reference parity: R1+R4 (src/worker.rs:119-120 reads a whole chunk
+    as one record keyed by its filename). ``wholetext=True`` reproduces
+    the whole-chunk-as-one-record shape; default is line-oriented,
+    which is what a scalable tokenizer wants.
+
+    Scale notes: Spark splits text inputs by line boundaries at
+    ``maxPartitionBytes``; no driver-side file listing loops.
+    """
+    df = spark.read.text(path, wholetext=wholetext)
+    return df.select(
+        F.input_file_name().alias("key"),
+        F.col("value").alias("value"),
+    )

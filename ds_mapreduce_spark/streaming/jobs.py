@@ -1,0 +1,70 @@
+"""Structured Streaming jobs (E13 stream form).
+
+The reference has no streaming at all (SURVEY.md §2.3 — tokio-stream
+is a dead dependency, src never imports it); this is the Spark-native
+stream surface for the same event-time window semantics as the batch
+queries in plans/stream_queries.py: identical transformation code,
+``readStream`` instead of ``read``, plus a watermark for late data.
+
+Scale notes: the windowed aggregation keeps state per (window, type)
+in the state store; the watermark bounds state size by evicting
+windows older than max(event_time) - delay. With
+``availableNow`` the same job is an incremental batch — how a 100 TB
+backfill and the live stream share one code path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """The shared batch/stream transformation (event-time tumbling agg)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_streaming_tumbling_window(
+    spark: SparkSession, events_dir: str, schema, sink_table: str = "stream_windows"
+) -> DataFrame:
+    """Run the windowed agg as a stream over a parquet directory with an
+    availableNow trigger (process-everything-then-stop), landing in an
+    in-memory sink; returns the sink contents as a DataFrame.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.readStream.schema(schema)
+    if events_dir.endswith(".parquet"):
+        # FileStreamSource only accepts directories; narrow with a glob
+        base, _, fname = events_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        events_dir = base
+    stream = reader.parquet(events_dir)
+    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    out = windowed_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
