@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <float>}
+
+Execution is forced with a noop-format write (full computation, no
+driver-side collect — the honest way to time a distributed plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ds_mapreduce_spark.plans.registry import load_all
+from ds_mapreduce_spark.session import get_spark
+
+#: queries timed per round: one per operator family, weighted toward
+#: the shapes that dominate a 100 TB pipeline (scan+agg, join, dedup,
+#: similarity, windows)
+HEADLINE = [
+    "wordcount",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_rank_per_group",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "knn_bruteforce",
+    "events_sliding_window",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("ds-mapreduce-spark-bench")
+    registry = load_all()
+
+    # warm the JVM + parquet footers once so per-query timings measure
+    # the plan, not first-touch classloading
+    registry["wordcount"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

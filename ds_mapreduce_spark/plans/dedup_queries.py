@@ -22,20 +22,37 @@ from ds_mapreduce_spark.operators.dedup import (
 from ds_mapreduce_spark.plans.registry import register
 from ds_mapreduce_spark.sources.catalog import load_table
 
+from ds_mapreduce_spark.operators.dedup import HASH_P, MINHASH_AB, SHINGLE_C  # noqa: E402
+
 _TOKS_CTE = r"""
 toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
   FROM documents
 )"""
 
-_SHINGLES_CTE = (
+# int-hash shingle profile mirroring operators/dedup.shingle_profiles:
+# md5 once per TOKEN (first 8 hex chars as int), k consecutive token
+# hashes combined arithmetically mod P — no shingle strings, no unnest
+_COMBINE = " + ".join(
+    f"(th[i+{j}] % {HASH_P}) * {c}" for j, c in enumerate(SHINGLE_C)
+)
+_PROFILE_CTE = (
     _TOKS_CTE
-    + r""",
-sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(range(1, len(t) - 1),
-                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-  FROM toks WHERE len(t) >= 3
+    + f""",
+th AS (
+  SELECT doc_id,
+         list_transform(t, tok -> CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)) AS th
+  FROM toks
+),
+prof AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(th) - 1),
+                                      i -> ({_COMBINE}) % {HASH_P})) AS sh
+  FROM th WHERE len(th) >= 3
+),
+profiles AS (
+  SELECT doc_id, sh, len(sh) AS n_shingles, list_aggregate(sh, 'min') AS block
+  FROM prof
 )"""
 )
 
@@ -57,30 +74,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle="WITH "
-    + _SHINGLES_CTE
+    + _PROFILE_CTE
     + """,
-sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
-blocks AS (SELECT doc_id, MIN(md5(shingle)) AS block FROM sh GROUP BY doc_id),
 cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM blocks a JOIN blocks b ON a.block = b.block AND a.doc_id < b.doc_id
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i,
+         CAST(a.n_shingles + b.n_shingles - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS u
+  FROM profiles a JOIN profiles b ON a.block = b.block AND a.doc_id < b.doc_id
 ),
-inter AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-  FROM cand c
-  JOIN sh x ON x.doc_id = c.doc_a
-  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-  GROUP BY c.doc_a, c.doc_b
+scored AS (
+  SELECT doc_a, doc_b, CAST((20000 * i + u) // (2 * u) AS BIGINT) AS jacc_scaled FROM cand
 )
-SELECT i.doc_a, i.doc_b,
-       ROUND(n_common * 1.0 / (na.n_shingles + nb.n_shingles - n_common), 4) AS jaccard
-FROM inter i
-JOIN sizes na ON na.doc_id = i.doc_a
-JOIN sizes nb ON nb.doc_id = i.doc_b
-WHERE ROUND(n_common * 1.0 / (na.n_shingles + nb.n_shingles - n_common), 4) >= 0.8
+SELECT doc_a, doc_b, jacc_scaled / 10000.0 AS jaccard
+FROM scored WHERE jacc_scaled >= 8000
 """,
     doc="E7 near-dup by exact 3-gram Jaccard on min-md5-shingle-blocked "
-    "candidate pairs (deterministic 1-band MinHash blocking + exact verify).",
+    "candidate pairs (deterministic 1-band MinHash blocking + exact "
+    "verify); Jaccard rounded half-up in integer arithmetic.",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), k=3, threshold=0.8)
@@ -88,7 +98,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
     sig_cols = ",\n         ".join(
-        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+        f"list_aggregate(list_transform(sh, x -> (x * {a} + {b}) % {HASH_P}), 'min') AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
     )
     band_rows = "\n  UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
@@ -99,12 +110,12 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
     )
     return (
         "WITH "
-        + _SHINGLES_CTE
+        + _PROFILE_CTE
         + f""",
 sig AS (
   SELECT doc_id,
          {sig_cols}
-  FROM sh GROUP BY doc_id
+  FROM profiles
 ),
 bands AS (
   {band_rows}
@@ -119,9 +130,10 @@ JOIN bands y ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc
 @register(
     "dedup_minhash_lsh",
     oracle=_minhash_oracle(8, 2),
-    doc="E7 MinHash-LSH candidate pairs: 8 md5-minhashes → 4 bands of 2 → "
-    "band-key equi-self-join. The signature+banding shape is the standard "
-    "scale path: O(n) shuffle rows, never O(n²).",
+    doc="E7 MinHash-LSH candidate pairs: 8 LCG minhashes over int shingle "
+    "hashes (one md5 per token total) → 4 bands of 2 → bucket-local pair "
+    "expansion. O(n) shuffle rows, never O(n²); signatures computed in "
+    "one no-shuffle projection.",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), k=3, num_hashes=8, band_size=2)
