@@ -1,0 +1,93 @@
+"""Unit tests for text primitives (tokens/shingles/fingerprint) and the
+dedup building blocks on hand-computed micro-fixtures (FIXTURES.md)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ds_mapreduce_spark.functions.text import norm_text, portable_fingerprint, shingles, tokens
+from ds_mapreduce_spark.operators.dedup import (
+    HASH_P,
+    SHINGLE_C,
+    exact_dedup_groups,
+    ngram_jaccard_pairs,
+    shingle_profiles,
+    simhash_candidate_pairs,
+)
+
+
+def _one(df, col):
+    return df.select(F.col(col)).collect()[0][0]
+
+
+def test_tokens_empty_and_whitespace(spark):
+    df = spark.createDataFrame([("",), ("   \t  ",), (" a  b ",)], "text string")
+    got = [r[0] for r in df.select(tokens(F.col("text")).alias("t")).collect()]
+    assert got == [[], [], ["a", "b"]]
+
+
+def test_shingles_short_docs_are_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c",), ("a b c d",)], "text string")
+    got = [r[0] for r in df.select(shingles(tokens(F.col("text"))).alias("s")).collect()]
+    assert got == [[], ["a b c"], ["a b c", "b c d"]]
+
+
+def test_shingles_are_distinct(spark):
+    df = spark.createDataFrame([("x y x y x y",)], "text string")
+    got = _one(df.select(shingles(tokens(F.col("text"))).alias("s")), "s")
+    assert sorted(got) == ["x y x", "y x y"]
+
+
+def test_fingerprint_is_md5_of_canonical_form(spark):
+    df = spark.createDataFrame([("  Hello   WORLD  ",)], "text string")
+    fp = _one(df.select(portable_fingerprint(F.col("text")).alias("f")), "f")
+    assert fp == hashlib.md5(b"hello world").hexdigest()
+    canon = _one(df.select(norm_text(F.col("text")).alias("c")), "c")
+    assert canon == "hello world"
+
+
+def test_shingle_profile_hash_matches_python_reference(spark):
+    # independent reimplementation of the portable shingle hash
+    def py_token_hash(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+    toks = ["join", "hash", "row", "batch"]
+    expected = set()
+    for i in range(len(toks) - 2):
+        hs = [py_token_hash(t) for t in toks[i : i + 3]]
+        expected.add(sum((h % HASH_P) * c for h, c in zip(hs, SHINGLE_C)) % HASH_P)
+
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    got = set(_one(shingle_profiles(df), "sh"))
+    assert got == expected
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "Same  Text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["keep_id"]: r["n_dups"] for r in exact_dedup_groups(df).collect()}
+    assert out == {1: 2, 3: 1}  # canonicalization merges 1 and 2
+
+
+def test_ngram_jaccard_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " extra"
+    other = "completely different words in this one here now ok yes"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_identical_docs_have_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_candidate_pairs(df).collect()}
+    assert out[(1, 2)] == 0
