@@ -114,6 +114,47 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sessionization",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       epoch_us(MIN(ts)) // 1000000 AS session_start,
+       COUNT(*) AS n_events,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS span_sec
+FROM numbered GROUP BY user_id, session_id
+""",
+    doc="Gap-based sessionization (30-min inactivity gap) via lag + running "
+    "sum windows: one shuffle on user_id, per-user sort only. The streaming "
+    "twin (applyInPandasWithState, O(1) state per user) lives in "
+    "streaming/sessionize.py and is equivalence-tested against this batch "
+    "form in tests/test_streaming.py.",
+)
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.streaming.sessionize import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_batch(ev).select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "session_start",
+        "n_events",
+        "span_sec",
+    )
+
+
+@register(
     "events_user_activity",
     oracle="""
 SELECT user_id, COUNT(*) AS n_events,

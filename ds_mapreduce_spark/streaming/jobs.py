@@ -41,7 +41,7 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
 
 
 def run_streaming_tumbling_window(
-    spark: SparkSession, events_dir: str, schema, sink_table: str = "stream_windows"
+    spark: SparkSession, events_dir: str, schema=None, sink_table: str = "stream_windows"
 ) -> DataFrame:
     """Run the windowed agg as a stream over a parquet directory with an
     availableNow trigger (process-everything-then-stop), landing in an
@@ -49,6 +49,10 @@ def run_streaming_tumbling_window(
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if schema is None:
+        # infer AFTER the nanos conf is set (events.ts is INT64 nanos,
+        # which Spark 4 only reads as long under this flag)
+        schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(schema)
     if events_dir.endswith(".parquet"):
         # FileStreamSource only accepts directories; narrow with a glob

@@ -1,0 +1,63 @@
+"""Structured Streaming equivalence tests: every streaming job must
+produce the same answer as its batch twin on the same data — the
+batch/stream-unification contract the engine is built on.
+
+The reference has no streaming at all (SURVEY.md §2.3); these tests
+cover the Spark-native stream surface (readStream + watermark window
+agg; applyInPandasWithState sessionization).
+"""
+
+from __future__ import annotations
+
+from ds_mapreduce_spark.sources.catalog import load_table
+from ds_mapreduce_spark.streaming.jobs import run_streaming_tumbling_window, windowed_counts
+from ds_mapreduce_spark.streaming.sessionize import (
+    run_streaming_sessionize,
+    sessionize_batch,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_window_matches_batch(spark, sf_dir):
+    events_path = f"{sf_dir}/events.parquet"
+
+    batch = windowed_counts(load_table(spark, sf_dir, "events"))
+    stream = run_streaming_tumbling_window(spark, events_path, sink_table="t_stream_windows")
+
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+    assert stream.count() > 0
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir):
+    """The stateful operator emits exactly the CLOSED sessions: every
+    batch session except each user's final one (still open in the state
+    store when the stream drains — a later batch may extend it)."""
+    events_path = f"{sf_dir}/events.parquet"
+
+    batch = sessionize_batch(load_table(spark, sf_dir, "events")).collect()
+    last_sid = {}
+    for r in batch:
+        last_sid[r.user_id] = max(last_sid.get(r.user_id, 0), r.session_id)
+    expected = sorted(
+        (r.user_id, r.session_start, r.n_events, r.span_sec)
+        for r in batch
+        if r.session_id != last_sid[r.user_id]
+    )
+
+    stream = run_streaming_sessionize(spark, events_path, sink_table="t_stream_sessions")
+    got = sorted(
+        (r.user_id, r.session_start, r.n_events, r.span_sec) for r in stream.collect()
+    )
+    assert got == expected
+    assert len(got) > 0  # the gap threshold actually splits sessions
+
+
+def test_batch_sessionization_covers_all_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize_batch(ev)
+    agg = sessions.groupBy().sum("n_events").collect()[0][0]
+    assert agg == ev.count()
