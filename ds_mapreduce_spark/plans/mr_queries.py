@@ -107,5 +107,9 @@ def q_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     wc = word_count(load_table(spark, sf_dir, "documents"))
+    # distributed top-k first (TakeOrderedAndProject: each task keeps its
+    # local top 25, driver merges) — the global row_number window then
+    # runs over 25 rows, not the full distinct-word set
+    top = wc.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(25)
     w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
-    return wc.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 25)
+    return top.withColumn("rnk", F.row_number().over(w))
