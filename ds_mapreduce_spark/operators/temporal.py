@@ -1,0 +1,119 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+range (interval) join, each expressed as a composition of shuffle-
+scalable DataFrame ops — no UDFs, no cross join.
+
+The reference has no joins at all (SURVEY.md §2.3); these are the
+time-series operators a training-data pipeline needs (align events to
+the latest prior state; bucket points into intervals).
+
+Scale design:
+
+- ``asof_join`` uses the union-and-window formulation: tag both sides,
+  union, one shuffle on the key, per-key sort, ``last_value(...,
+  ignorenulls)`` carries the most recent right-side timestamp forward
+  onto each left row. Cost is ONE shuffle of |L|+|R| rows — the naive
+  formulation (range self-join + groupBy max) shuffles |L|·avg-match
+  rows and skews on hot keys.
+
+- ``range_join_points_intervals`` turns point-in-interval into an
+  equi-join by bucketing: intervals explode to the fixed-width buckets
+  they overlap, points compute their bucket, the join key is the
+  bucket id, and the residual range predicate filters exactly. With
+  bucket width ~ median interval width, blow-up is O(1) per interval;
+  both sides shuffle once on bucket id (or the interval side
+  broadcasts when small — Catalyst/AQE decides from stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` (strictly < when ``inclusive=False``)
+    within the same ``on`` key; nulls when no prior right row exists.
+
+    Left columns are preserved; right payload columns arrive as
+    ``asof_<name>``.
+    """
+    lt = F.col(left_ts)
+    rt = F.col(right_ts)
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        lt.alias("__ts"),
+        # right rows at the same instant sort before (inclusive) or
+        # after (exclusive) left rows, making the boundary exact
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__l"),
+        F.lit(None).cast(right.select(F.struct(*right_payload).alias("s")).schema["s"].dataType).alias("__r"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        rt.alias("__ts"),
+        F.lit(0 if inclusive else 2).alias("__side"),
+        F.lit(None).cast(left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType).alias("__l"),
+        F.struct(*right_payload).alias("__r"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tagged.unionByName(r_tagged).withColumn(
+        "__asof", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = merged.where(F.col("__side") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__asof.{c}").alias(f"asof_{c}") for c in right_payload],
+    )
+    return out
+
+
+def range_join_points_intervals(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Inner-join points to half-open intervals [lo, hi) they fall in,
+    as a bucketed equi-join (see module docstring for the scale story).
+
+    Returns all point columns + all interval columns.
+    """
+    p_bucket = F.floor(F.col(point_col) / F.lit(bucket_width))
+    # buckets the interval overlaps: floor(lo/w) .. floor(hi/w)
+    # (hi exact on a bucket edge contributes an empty residual — harmless)
+    i_buckets = F.sequence(
+        F.floor(F.col(lo_col) / F.lit(bucket_width)),
+        F.floor(F.col(hi_col) / F.lit(bucket_width)),
+    )
+    p = points.withColumn("__b", p_bucket)
+    i = intervals.withColumn("__b", F.explode(i_buckets))
+    joined = p.join(i, on="__b", how="inner").where(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    )
+    return joined.drop("__b")
+
+
+def make_intervals(
+    spark, lo: float, hi: float, width: float, lo_name: str = "lo", hi_name: str = "hi"
+) -> DataFrame:
+    """Fixed-width interval dimension [lo, hi) — built with
+    ``spark.range`` (distributed, no driver-side list)."""
+    n = int(round((hi - lo) / width))
+    return spark.range(n).select(
+        (F.lit(lo) + F.col("id") * F.lit(width)).alias(lo_name),
+        (F.lit(lo) + (F.col("id") + 1) * F.lit(width)).alias(hi_name),
+    )

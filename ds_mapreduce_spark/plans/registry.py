@@ -58,6 +58,7 @@ def load_all() -> dict[str, Query]:
         relational_queries,
         similarity_queries,
         stream_queries,
+        temporal_queries,
         text_queries,
     )
 

@@ -483,6 +483,32 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_quantity, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+       ROUND(quantile_cont(l_quantity, 0.90), 4) AS p90
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Exact interpolated percentiles of l_quantity per return flag "
+    "(Spark percentile == ANSI percentile_cont). Exact percentiles "
+    "shuffle the group's values to one reducer — fine for bounded "
+    "groups; at 100 TB switch to approx_percentile (t-digest, "
+    "partial-aggregatable) and accept the documented error bound.",
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_quantity", F.lit(p)), 4).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.90)
+        ]
+    )
+
+
 # --- set operations / distinct ---------------------------------------------------
 
 

@@ -1,0 +1,55 @@
+"""Unit tests for the temporal join operators (as-of join, bucketed
+range join) on tiny literal DataFrames with hand-computed expectations."""
+
+from __future__ import annotations
+
+from ds_mapreduce_spark.operators.temporal import (
+    asof_join,
+    make_intervals,
+    range_join_points_intervals,
+)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u2", 5, "c"), ("u3", 7, "d")],
+        "k string, t bigint, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 8, 1.0), ("u1", 15, 2.0), ("u1", 25, 3.0), ("u2", 9, 4.0)],
+        "k string, t bigint, v double",
+    )
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="t", right_payload=["t", "v"])
+    got = {(r.k, r.t): (r.asof_t, r.asof_v) for r in out.collect()}
+    assert got == {
+        ("u1", 10): (8, 1.0),   # 8 <= 10 < 15
+        ("u1", 20): (15, 2.0),  # latest <= 20
+        ("u2", 5): (None, None),  # right row at 9 is later
+        ("u3", 7): (None, None),  # no right rows for key
+    }
+
+
+def test_asof_join_tie_inclusive_vs_exclusive(spark):
+    left = spark.createDataFrame([("k", 10)], "k string, t bigint")
+    right = spark.createDataFrame([("k", 10, 99.0)], "k string, t bigint, v double")
+    inc = asof_join(left, right, "k", "t", "t", ["v"], inclusive=True).collect()[0]
+    exc = asof_join(left, right, "k", "t", "t", ["v"], inclusive=False).collect()[0]
+    assert inc.asof_v == 99.0
+    assert exc.asof_v is None
+
+
+def test_range_join_buckets_and_residual(spark):
+    points = spark.createDataFrame([(0.5,), (2.5,), (4.9,), (5.0,), (9.99,)], "x double")
+    intervals = make_intervals(spark, 0.0, 10.0, 5.0)  # [0,5), [5,10)
+    out = range_join_points_intervals(points, intervals, "x", "lo", "hi", bucket_width=2.0)
+    got = sorted((r.x, r.lo) for r in out.collect())
+    assert got == [(0.5, 0.0), (2.5, 0.0), (4.9, 0.0), (5.0, 5.0), (9.99, 5.0)]
+    # every point matched exactly one interval
+    assert out.count() == points.count()
+
+
+def test_range_join_point_on_upper_edge_excluded(spark):
+    points = spark.createDataFrame([(10.0,)], "x double")
+    intervals = make_intervals(spark, 0.0, 10.0, 5.0)
+    out = range_join_points_intervals(points, intervals, "x", "lo", "hi", bucket_width=3.0)
+    assert out.count() == 0  # [5,10) is half-open
