@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "knn_bruteforce",
     "events_sliding_window",
+    "events_sessionization",
+    "asof_join_click_purchase",
     "text_stats",
 ]
 
