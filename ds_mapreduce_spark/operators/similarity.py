@@ -29,9 +29,23 @@ from ds_mapreduce_spark.functions.vector import cosine_similarity, dot
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Deterministic per-query top-k: rounded score desc, id asc."""
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+    """Deterministic per-query top-k: rounded score desc, id asc.
+
+    Two-stage so no single task ever sorts a query's full score list:
+    stage 1 takes the local top-k within every (query, input-partition)
+    — parallelism |queries|×|partitions|; stage 2 merges the surviving
+    k×|partitions| rows per query. With a single-stage window, all
+    |corpus| scores for one query land in ONE task — the classic
+    top-k skew trap at scale.
+    """
+    local = scored.withColumn("__p", F.spark_partition_id())
+    order = [F.col("score").desc(), F.col("neighbor_id").asc()]
+    w1 = Window.partitionBy("query_id", "__p").orderBy(*order)
+    survivors = (
+        local.withColumn("__r", F.row_number().over(w1)).where(F.col("__r") <= k).drop("__p", "__r")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return survivors.withColumn("rnk", F.row_number().over(w2)).where(F.col("rnk") <= k)
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
@@ -67,11 +81,17 @@ def assign_to_centroids(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
         "centroid_id",
         F.round(dot(F.col("embedding"), F.col("cent_emb")), 6).alias("affinity"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("affinity").desc(), F.col("centroid_id").asc())
+    # argmax as max_by over (affinity, -centroid_id): partial-aggregatable,
+    # so the shuffle carries one row per vector per task — a sort-window
+    # formulation would shuffle the full |corpus|×|centroids| score matrix
+    best = F.max_by(
+        F.struct("centroid_id", "embedding"),
+        F.struct(F.col("affinity").alias("a"), (-F.col("centroid_id")).alias("tie")),
+    )
     return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        scored.groupBy("vec_id")
+        .agg(best.alias("__b"))
+        .select("vec_id", F.col("__b.embedding").alias("embedding"), F.col("__b.centroid_id").alias("centroid_id"))
     )
 
 

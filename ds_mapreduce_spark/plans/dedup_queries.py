@@ -14,10 +14,12 @@ from pyspark.sql import functions as F
 
 from ds_mapreduce_spark.operators.dedup import (
     embedding_cosine_pairs,
+    embedding_srp_lsh_pairs,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_candidate_pairs,
+    srp_signs,
 )
 from ds_mapreduce_spark.plans.registry import register
 from ds_mapreduce_spark.sources.catalog import load_table
@@ -188,6 +190,61 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidate_pairs(
         load_table(spark, sf_dir, "documents"), bits=32, chunks=4
     ).where(F.col("hamming") <= 8)
+
+
+def _srp_oracle(
+    threshold: float, dim: int = 64, n_planes: int = 16, band_bits: int = 4
+) -> str:
+    rows = ",\n    ".join(
+        f"({p}, [{', '.join(str(s) for s in row)}]::DOUBLE[])"
+        for p, row in enumerate(srp_signs(n_planes, dim))
+    )
+    return f"""
+WITH planes(p, s) AS (VALUES
+    {rows}
+),
+sigs AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * pl.s[i])) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes pl
+),
+keys AS (
+  SELECT vec_id, p // {band_bits} AS band,
+         CAST(SUM(bit << (p % {band_bits})) AS BIGINT) AS bkey
+  FROM sigs GROUP BY vec_id, p // {band_bits}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+FROM cand
+JOIN embeddings ea ON ea.vec_id = id_a
+JOIN embeddings eb ON eb.vec_id = id_b
+WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])), 6) >= {threshold}
+"""
+
+
+@register(
+    "dedup_embedding_srp",
+    oracle=_srp_oracle(0.45),
+    doc="E7 embedding near-dup at scale: sign-random-projection LSH "
+    "(16 deterministic ±1 hyperplanes → 4 bands of 4 bits → bucket-local "
+    "pairs) with exact cosine ≥ 0.45 verification. Corpus-linear plan: "
+    "signatures are one codegen'd projection, pair space is bucket-"
+    "bounded — the scale path next to the exact-quadratic "
+    "dedup_embedding_cosine baseline.",
+)
+def q_dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_srp_lsh_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45, dim=64
+    )
 
 
 @register(
