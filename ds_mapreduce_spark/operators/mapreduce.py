@@ -95,6 +95,53 @@ def run_mapreduce(kv: DataFrame, mr: MapReducer) -> DataFrame:
     return mapped.groupBy("key").applyInPandas(reduce_phase, schema=KV_SCHEMA)
 
 
+def run_mapreduce_salted(
+    kv: DataFrame, mr: MapReducer, salt_buckets: int = 32
+) -> DataFrame:
+    """``run_mapreduce`` with a salted combiner stage, for ASSOCIATIVE +
+    COMMUTATIVE reducers (word count's sum qualifies; a median would not).
+
+    Hot keys are the scale hazard of the generic surface: ``applyInPandas``
+    materializes one key group per call, so a key holding 1% of a 100 TB
+    map output lands 1 TB in one task. Salting splits every key into
+    ``salt_buckets`` sub-groups reduced independently (bounding any
+    task's group to 1/salt_buckets of the key), then a second reduce over
+    the ≤ salt_buckets partial values per key produces the final value.
+    The salt is a deterministic hash of the VALUE so the same record
+    always lands in the same bucket (retry-stable); it never leaves the
+    plan. This is the combiner (map-side pre-aggregation) the reference
+    accidentally approximated with its per-chunk grouping (SURVEY.md
+    §1.4), done on purpose and made globally correct.
+    """
+
+    def map_phase(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out_k: list[str] = []
+            out_v: list[str] = []
+            for key, value in zip(batch["key"], batch["value"]):
+                for k, v in mr.map(key, value):
+                    out_k.append(k)
+                    out_v.append(v)
+            yield pd.DataFrame({"key": out_k, "value": out_v})
+
+    def reduce_partial(group: pd.DataFrame) -> pd.DataFrame:
+        key = group["key"].iloc[0]
+        value = mr.reduce(key, group["value"].tolist())
+        return pd.DataFrame({"key": [key], "value": [value]})
+
+    mapped = kv.mapInPandas(map_phase, schema=KV_SCHEMA)
+    salted = mapped.withColumn(
+        "__salt", F.pmod(F.xxhash64("value"), F.lit(salt_buckets))
+    )
+    partials = (
+        salted.groupBy("key", "__salt")
+        .applyInPandas(
+            lambda g: reduce_partial(g[["key", "value"]]), schema=KV_SCHEMA
+        )
+    )
+    return partials.groupBy("key").applyInPandas(reduce_partial, schema=KV_SCHEMA)
+
+
 def word_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Flagship query (E4): global word count, pure Spark expressions.
 

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ds_mapreduce_spark.operators.mapreduce import WordCount, run_mapreduce, word_count
+from ds_mapreduce_spark.operators.mapreduce import (
+    WordCount,
+    run_mapreduce,
+    run_mapreduce_salted,
+    word_count,
+)
 from ds_mapreduce_spark.plans.registry import register
 from ds_mapreduce_spark.sources.catalog import load_table
 
@@ -57,6 +62,29 @@ def q_mr_generic_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("value"),
     )
     return run_mapreduce(kv, WordCount())
+
+
+@register(
+    "mr_salted_wordcount",
+    oracle=r"""
+SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
+FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+""",
+    doc="G1-G3 with the salted combiner: every key pre-reduces in "
+    "salt_buckets independent sub-groups before the final reduce, "
+    "bounding any task's group to 1/buckets of a hot key — the skew "
+    "strategy for the UDF reduce path at 100 TB. Identical result to "
+    "mr_generic_wordcount (sum is associative+commutative).",
+)
+def q_mr_salted_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("text").alias("value"),
+    )
+    return run_mapreduce_salted(kv, WordCount(), salt_buckets=32)
 
 
 @register(

@@ -114,6 +114,42 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hierarchical_rollup",
+    oracle="""
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+       event_type, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    doc="Hypertable-style hierarchical rollup: the daily aggregate is "
+    "RE-AGGREGATED from the hourly tumbling-window partials (sum of "
+    "sums, sum of counts) rather than from raw events — the continuous-"
+    "aggregate pattern where a 100 TB event store maintains hourly "
+    "partials once and every coarser granularity derives from them. "
+    "Oracle computes daily directly from raw events, proving the "
+    "re-aggregation is lossless (DECIMAL partials make it exact).",
+)
+def q_events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value_dec"),
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("w.start")).alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value_dec").cast("double"), 4).alias("sum_value"),
+        )
+    )
+    return daily.select(
+        F.unix_timestamp("day").alias("day_start"), "event_type", "n_events", "sum_value"
+    )
+
+
+@register(
     "events_sessionization",
     oracle="""
 WITH flagged AS (

@@ -40,6 +40,39 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def run_streaming_wordcount(
+    spark: SparkSession, text_path: str, sink_table: str = "stream_wordcount"
+) -> DataFrame:
+    """The reference's flagship job as a LIVE stream: word counts over a
+    text directory, updated incrementally per micro-batch (running
+    aggregation state per word — Spark's state store is the global,
+    fault-tolerant version of the reference's in-memory per-chunk
+    HashMap). availableNow drains what exists and stops; the identical
+    query tails a growing directory in production.
+    """
+    reader = spark.readStream
+    if not text_path.endswith("/") and "." in text_path.rsplit("/", 1)[-1]:
+        base, _, fname = text_path.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        text_path = base
+    lines = reader.text(text_path)
+    counts = (
+        lines.select(F.explode(F.split(F.col("value"), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 def run_streaming_tumbling_window(
     spark: SparkSession, events_dir: str, schema=None, sink_table: str = "stream_windows"
 ) -> DataFrame:

@@ -56,6 +56,16 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir):
     assert len(got) > 0  # the gap threshold actually splits sessions
 
 
+def test_streaming_wordcount_matches_batch(spark, tmp_path):
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_wordcount
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("a b a\nc b a")
+    out = run_streaming_wordcount(spark, str(p), sink_table="t_stream_wc")
+    got = {r.word: r.cnt for r in out.collect()}
+    assert got == {"a": 3, "b": 2, "c": 1}
+
+
 def test_batch_sessionization_covers_all_events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     sessions = sessionize_batch(ev)
