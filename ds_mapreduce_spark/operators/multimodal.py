@@ -64,6 +64,40 @@ def decode_stub(payload: bytes, real_decode: bool = False) -> dict:
     }
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_sig string"
+
+
+def sample_frames(media: DataFrame, stride: int = 4) -> DataFrame:
+    """Frame sampling: every ``stride``-th frame of each payload becomes
+    its own row — the explode-shaped media op (video → frames,
+    audio → windows). Row count multiplies by n_frames/stride, so at
+    scale the output is written immediately (columnar, partitioned by
+    doc range) rather than held through further wide transforms.
+
+    The per-frame decode is the stub seam: ``frame_sig`` is a
+    deterministic function of (payload checksum, frame index) standing
+    in for decoded frame bytes; a real deployment plugs ffmpeg into the
+    same ``mapInPandas`` batch loop with this exact schema.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sigs: list[str] = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                info = decode_stub(payload)
+                for idx in range(0, info["n_frames"], stride):
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    sigs.append(
+                        hashlib.md5(f"{info['checksum']}:{idx}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sig": sigs})
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over (doc_id, payload, meta)."""
 

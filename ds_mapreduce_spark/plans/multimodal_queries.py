@@ -9,7 +9,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ds_mapreduce_spark.operators.multimodal import attach_binary_payload, extract_features
+from ds_mapreduce_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    sample_frames,
+)
 from ds_mapreduce_spark.plans.registry import register
 from ds_mapreduce_spark.sources.catalog import load_table
 
@@ -31,6 +35,28 @@ FROM documents
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, md5(text) AS checksum,
+         GREATEST(1, octet_length(encode(text)) // 256) AS n_frames
+  FROM documents
+)
+SELECT doc_id, i AS frame_idx,
+       md5(checksum || ':' || CAST(i AS VARCHAR)) AS frame_sig
+FROM base, UNNEST(range(0, n_frames, 4)) AS t(i)
+""",
+    doc="Frame sampling (video→frames / audio→windows shape): every 4th "
+    "frame of each payload becomes a row via mapInPandas — map-only "
+    "explode, no shuffle; frame_sig is the deterministic decode-stub "
+    "stand-in for frame bytes.",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary_payload(docs), stride=4)
 
 
 @register(
