@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ds_mapreduce_spark.functions.text import norm_text, shingles, tokens
-from ds_mapreduce_spark.functions.vector import cosine_similarity, dot
+from ds_mapreduce_spark.functions.vector import cosine_similarity, dot, l2_norm
 
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
@@ -352,14 +352,17 @@ def embedding_srp_lsh_pairs(
     )
     profiles = emb.select(
         F.col("vec_id").alias("doc_id"), F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
         F.explode(blocks).alias("block"),
     )
-    pairs = _block_pairs(profiles, ["e"])
+    pairs = _block_pairs(profiles, ["e", "nrm"])
     return (
         pairs.select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.round(cosine_similarity(F.col("a.e"), F.col("b.e")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .distinct()
@@ -372,14 +375,27 @@ def embedding_cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     Exact O(n²) form — correct at any n but quadratic; the scale path
     buckets first (similarity.py) and only cross-joins within buckets.
     """
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    # norms are computed ONCE per row before the pair join (identical
+    # doubles to a per-pair cosine — same inputs, same operation order —
+    # at 1/3 the per-pair FLOPs, which dominates an O(n²) plan)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("e_a"), F.col("e_b")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("e_a"), F.col("e_b")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
