@@ -484,6 +484,49 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM({_SQL_QTY}) AS DECIMAL(18,2)) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       COUNT(*) AS n_small,
+       ROUND(CAST(SUM({_SQL_PRICE}) AS DOUBLE), 4) AS small_qty_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN per_part a ON a.l_partkey = l.l_partkey
+WHERE {_SQL_QTY} * a.cnt * 5 < a.sum_qty
+GROUP BY p.p_brand
+""",
+    doc="TPC-H Q17 shape (correlated scalar subquery: items below 20% of "
+    "their part's average quantity), decorrelated into a per-part "
+    "aggregate re-joined to the fact — the rewrite every optimizer does. "
+    "The avg comparison is exact integer-decimal arithmetic "
+    "(qty·cnt·5 < sum), immune to division rounding. Two shuffles: "
+    "per-part agg + the final brand agg; the part dim broadcasts.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    joined = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        .join(per_part, "l_partkey")
+        .where(_dec("l_quantity") * F.col("cnt") * 5 < F.col("sum_qty"))
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.round(F.sum(_dec("l_extendedprice")).cast("double"), 4).alias("small_qty_revenue"),
+    )
+
+
+@register(
     "agg_percentiles",
     oracle="""
 SELECT l_returnflag,

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis): the engine's operators against
+pure-Python reference implementations on randomized small inputs.
+Spark jobs are slow, so examples are few but each is adversarially
+shrunk by hypothesis on failure."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ds_mapreduce_spark.operators.mapreduce import (
+    WordCount,
+    run_mapreduce,
+    run_mapreduce_salted,
+    word_count,
+)
+from ds_mapreduce_spark.streaming.sessionize import sessionize_batch
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# printable-ish text lines: words of letters/digits separated by spaces
+word_st = st.text(alphabet="abcXYZ019", min_size=1, max_size=6)
+line_st = st.lists(word_st, min_size=0, max_size=8).map(" ".join)
+
+
+@SLOW
+@given(lines=st.lists(line_st, min_size=1, max_size=12))
+def test_wordcount_three_ways_agree(spark, lines):
+    """Declarative, generic-MR, and salted-MR word counts all equal the
+    Python Counter ground truth."""
+    expected = Counter(w for line in lines for w in line.split())
+    docs = spark.createDataFrame([(i, l) for i, l in enumerate(lines)], "doc_id bigint, text string")
+    kv = docs.selectExpr("CAST(doc_id AS STRING) AS key", "text AS value")
+
+    declarative = {r.word: r.cnt for r in word_count(docs).collect()}
+    generic = {r.key: int(r.value) for r in run_mapreduce(kv, WordCount()).collect()}
+    salted = {r.key: int(r.value) for r in run_mapreduce_salted(kv, WordCount(), 4).collect()}
+
+    assert declarative == dict(expected)
+    assert generic == dict(expected)
+    assert salted == dict(expected)
+
+
+def _sessions_ref(ts_list: list[int], gap_sec: int) -> list[tuple[int, int, int]]:
+    """Pure-Python gap sessionizer: (start_sec, n_events, span_sec)."""
+    out = []
+    ts = sorted(ts_list)
+    start = last = ts[0]
+    n = 1
+    for t in ts[1:]:
+        if t - last > gap_sec:
+            out.append((start, n, last - start))
+            start, n = t, 1
+        else:
+            n += 1
+        last = t
+    out.append((start, n, last - start))
+    return out
+
+
+@SLOW
+@given(
+    data=st.dictionaries(
+        keys=st.integers(min_value=1, max_value=4),
+        values=st.lists(
+            st.integers(min_value=0, max_value=100_000), min_size=1, max_size=20, unique=True
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_sessionize_matches_python_reference(spark, data):
+    rows = [(uid, t * 1_000_000) for uid, ts in data.items() for t in ts]
+    df = spark.createDataFrame(rows, "user_id bigint, ts_us bigint").selectExpr(
+        "user_id", "timestamp_micros(ts_us) AS ts"
+    )
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.span_sec)
+        for r in sessionize_batch(df, gap_sec=1800).collect()
+    }
+    expected = {
+        (uid, s, n, sp)
+        for uid, ts in data.items()
+        for (s, n, sp) in _sessions_ref(ts, 1800)
+    }
+    assert got == expected
