@@ -83,6 +83,49 @@ def _token_hashes(text: Column = None) -> Column:
     return F.transform(t, lambda tok: F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long"))
 
 
+def shingle_hash_sequence(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shseq array<long>): the POSITIONAL k-gram hash sequence
+    (rolling-hash stream, duplicates and order preserved) — the input
+    to winnowing fingerprints, where window positions matter. Same
+    arithmetic as ``shingle_profiles`` minus the distinct."""
+    assert k == len(SHINGLE_C), "combiner coefficients are fixed at k=3"
+    th = _token_hashes()
+
+    def combine(i: Column) -> Column:
+        parts = None
+        for j, c in enumerate(SHINGLE_C):
+            term = (F.element_at(F.col("__th"), (i + j).cast("int")) % HASH_P) * c
+            parts = term if parts is None else parts + term
+        return parts % HASH_P
+
+    sh = F.transform(F.sequence(F.lit(1), F.size("__th") - (k - 1)), combine)
+    return (
+        docs.select("doc_id", th.alias("__th"))
+        .where(F.size("__th") >= k)
+        .select("doc_id", sh.alias("shseq"))
+    )
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken MOSS scheme): the distinct
+    minima of every ``w``-wide window over the rolling k-gram hash
+    stream. Guarantees any match of length ≥ w+k-1 tokens shares a
+    fingerprint — the content-defined selection that plain min-hashing
+    lacks. One row per (doc_id, fingerprint); map-only until the
+    explode, no shuffle."""
+    seq = shingle_hash_sequence(docs, k)
+    minima = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("shseq") - (w - 1)),
+            lambda i: F.array_min(F.slice(F.col("shseq"), i, w)),
+        )
+    )
+    return (
+        seq.where(F.size("shseq") >= w)
+        .select("doc_id", F.explode(minima).alias("fp"))
+    )
+
+
 def shingle_profiles(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, sh array<long>, n_shingles, block) in one projection.
 

@@ -238,3 +238,46 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def _winnowing_oracle(w: int = 4) -> str:
+    from ds_mapreduce_spark.operators.dedup import HASH_P, SHINGLE_C
+
+    combine = " + ".join(
+        f"(th[i+{j}] % {HASH_P}) * {c}" for j, c in enumerate(SHINGLE_C)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         list_transform(t, tok -> CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)) AS th
+  FROM toks
+),
+seq AS (
+  SELECT doc_id,
+         list_transform(range(1, len(th) - 1), i -> ({combine}) % {HASH_P}) AS s
+  FROM th WHERE len(th) >= 3
+)
+SELECT doc_id,
+       unnest(list_distinct(list_transform(range(1, len(s) - {w} + 2),
+                                           i -> list_min(s[i:i+{w - 1}])))) AS fp
+FROM seq WHERE len(s) >= {w}
+"""
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    oracle=_winnowing_oracle(4),
+    doc="E9 rolling-hash document fingerprinting (winnowing / MOSS): "
+    "distinct minima of 4-wide windows over the positional 3-gram hash "
+    "stream; any shared passage of >= 6 tokens shares a fingerprint. "
+    "Map-only per doc (no shuffle); at scale the (fp, doc_id) output "
+    "feeds a groupBy(fp) to find cross-doc matches.",
+)
+def q_doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(load_table(spark, sf_dir, "documents"), k=3, w=4)
