@@ -552,6 +552,37 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_functions_suite",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       LAG(o_orderkey) OVER w AS prev_order,
+       LEAD(o_orderkey) OVER w AS next_order,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       NTILE(4) OVER w AS spend_quartile_pos,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="Window-function suite (lag/lead/first_value/ntile/row_number) in "
+    "ONE window spec — one shuffle on the partition key, one per-key "
+    "sort shared by all five functions. Deterministic tiebreak on "
+    "orderkey keeps every engine's frame identical.",
+)
+def q_window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.ntile(4).over(w).alias("spend_quartile_pos"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
+
+
 # --- set operations / distinct ---------------------------------------------------
 
 

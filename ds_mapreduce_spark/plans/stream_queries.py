@@ -191,6 +191,34 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_props_typed",
+    oracle="""
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS k_decile,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1
+""",
+    doc="E14 typed JSON: from_json with an explicit schema parses props "
+    "ONCE into a struct (one parse per row however many fields are "
+    "read — the scale rule vs repeated get_json_object path probes), "
+    "then typed bucketing + agg.",
+)
+def q_events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k bigint").alias("p")
+    ).where(F.col("p.k").isNotNull())
+    return parsed.groupBy(
+        F.expr("p.k DIV 10").alias("k_decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    )
+
+
+@register(
     "events_user_activity",
     oracle="""
 SELECT user_id, COUNT(*) AS n_events,
