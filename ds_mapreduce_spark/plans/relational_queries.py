@@ -527,6 +527,87 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q10_returned_item_customers",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       ROUND(CAST(SUM({_SQL_PRICE} * {_SQL_DISC}) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    doc="TPC-H Q10 shape: returned-item revenue per customer, top 20. "
+    "Fact filter pushes to the scan; orders joins lineitem on orderkey "
+    "(the one potentially-large join — SMJ+AQE at scale), customer and "
+    "nation broadcast; top-k via TakeOrderedAndProject with a "
+    "deterministic tiebreak.",
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    rev = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(F.sum(_dec("l_extendedprice") * _one_minus_disc()).cast("double"), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+@register(
+    "q22_dormant_rich_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) // COUNT(*) AS BIGINT) AS avg_cents
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 4) AS total_bal
+FROM customer c, avg_bal
+WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 > avg_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+""",
+    doc="TPC-H Q22 shape: above-average-balance customers with no orders "
+    "— global scalar subquery (broadcast one-row aggregate) + anti join "
+    "+ agg. The avg threshold compares in integer cents (floored), "
+    "immune to engine-specific division rounding.",
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_cents = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum((_dec("c_acctbal") * 100).cast("bigint")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(F.expr("__s DIV __n").alias("avg_cents"))
+    )
+    rich = c.crossJoin(F.broadcast(avg_cents)).where(
+        _dec("c_acctbal") * 100 > F.col("avg_cents")
+    )
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(_dec("c_acctbal")).cast("double"), 4).alias("total_bal"),
+    )
+
+
+@register(
     "agg_percentiles",
     oracle="""
 SELECT l_returnflag,
