@@ -291,6 +291,41 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_verified_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The production dedup pipeline: MinHash-LSH candidate generation
+    (recall) followed by exact Jaccard verification (100% precision).
+
+    Candidates join back to the shingle profiles; at 100 TB the
+    profiles are persisted once (columnar) and both stages read them —
+    the candidate set is O(n·bands), so the verify join is tiny
+    relative to the corpus."""
+    cand = minhash_lsh_pairs(docs, k, num_hashes, band_size)
+    prof = shingle_profiles(docs, k).select("doc_id", "sh", "n_shingles")
+    a = prof.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_shingles").alias("n_a")
+    )
+    b = prof.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_shingles").alias("n_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    union = (F.col("n_a") + F.col("n_b")).cast("long") - inter
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", inter.alias("__i"), union.alias("__u"))
+        .withColumn("__jacc", F.expr("(20000 * __i + __u) DIV (2 * __u)"))
+    )
+    return scored.where(F.col("__jacc") >= int(threshold * 10000)).select(
+        "doc_a", "doc_b", (F.col("__jacc") / 10000.0).alias("jaccard")
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash BIGINT): per-bit majority vote over md5-derived
     32-bit token hashes (token multiplicity counts, like classic

@@ -17,6 +17,7 @@ from ds_mapreduce_spark.operators.dedup import (
     embedding_srp_lsh_pairs,
     exact_dedup_groups,
     minhash_lsh_pairs,
+    minhash_verified_pairs,
     ngram_jaccard_pairs,
     simhash_candidate_pairs,
     srp_signs,
@@ -139,6 +140,67 @@ JOIN bands y ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), k=3, num_hashes=8, band_size=2)
+
+
+def _minhash_verified_oracle(
+    threshold: float = 0.8, num_hashes: int = 8, band_size: int = 2
+) -> str:
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, x -> (x * {a} + {b}) % {HASH_P}), 'min') AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(num_hashes // band_size)
+    )
+    thr = int(threshold * 10000)
+    return (
+        "WITH "
+        + _PROFILE_CTE
+        + f""",
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM profiles
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(pa.sh, pb.sh)) AS BIGINT) AS i,
+         CAST(pa.n_shingles + pb.n_shingles - len(list_intersect(pa.sh, pb.sh)) AS BIGINT) AS u
+  FROM cand c
+  JOIN profiles pa ON pa.doc_id = c.doc_a
+  JOIN profiles pb ON pb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, CAST((20000 * i + u) // (2 * u) AS BIGINT) / 10000.0 AS jaccard
+FROM scored WHERE (20000 * i + u) // (2 * u) >= {thr}
+"""
+    )
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=_minhash_verified_oracle(0.8, 8, 2),
+    doc="E7 end-to-end near-dedup pipeline: MinHash-LSH candidates "
+    "(recall stage) joined back to shingle profiles for exact Jaccard "
+    "verification (precision stage) — the production two-phase shape; "
+    "candidate set is O(n·bands) so the verify join is corpus-"
+    "independent in relative cost.",
+)
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_verified_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, num_hashes=8, band_size=2, threshold=0.8
+    )
 
 
 def _simhash_oracle(bits: int = 32, chunks: int = 4, max_hamming: int = 8) -> str:
