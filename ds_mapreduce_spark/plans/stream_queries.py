@@ -191,6 +191,37 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_attribution_join",
+    oracle="""
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(c.ts) AS click_us
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 2 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""",
+    doc="Attribution (interval) join: each purchase x every click by the "
+    "same user in the preceding 2h. One shuffle of each side on user_id; "
+    "the identical transformation runs as a stream-stream join with "
+    "watermark-bounded state (streaming/jobs.py attribution_join, "
+    "equivalence-tested in tests/test_streaming.py).",
+)
+def q_events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.streaming.jobs import attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
+@register(
     "events_props_typed",
     oracle="""
 SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS k_decile,

@@ -73,6 +73,76 @@ def run_streaming_wordcount(
     return spark.table(sink_table)
 
 
+def attribution_join(clicks: DataFrame, purchases: DataFrame, horizon: str = "2 hours") -> DataFrame:
+    """The shared batch/stream transformation: each purchase joined to
+    every click by the same user in the preceding ``horizon`` —
+    the classic attribution (stream-stream interval) join.
+
+    Streaming: both sides carry watermarks, so the state store can
+    discard clicks older than the horizon and the join is bounded;
+    batch: the identical range predicate. One shuffle of each side on
+    user_id either way.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", horizon)
+        p = p.withWatermark("purchase_ts", "0 seconds")
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+
+
+def run_streaming_attribution_join(
+    spark: SparkSession, events_dir: str, horizon: str = "2 hours",
+    sink_table: str = "stream_attrib",
+) -> DataFrame:
+    """Stream-stream interval join over the events parquet with an
+    availableNow trigger; returns the joined rows from the memory sink."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if events_dir.endswith(".parquet"):
+        base, _, fname = events_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        events_dir = base
+    stream = reader.parquet(events_dir)
+    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    clicks = stream.where(F.col("event_type") == "click")
+    purchases = stream.where(F.col("event_type") == "purchase")
+    out = attribution_join(clicks, purchases, horizon)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 def run_streaming_tumbling_window(
     spark: SparkSession, events_dir: str, schema=None, sink_table: str = "stream_windows"
 ) -> DataFrame:

@@ -66,6 +66,23 @@ def test_streaming_wordcount_matches_batch(spark, tmp_path):
     assert got == {"a": 3, "b": 2, "c": 1}
 
 
+def test_streaming_attribution_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (purchases x preceding clicks within
+    2h, per user) must equal the identical batch range join."""
+    from ds_mapreduce_spark.streaming.jobs import attribution_join, run_streaming_attribution_join
+
+    events_path = f"{sf_dir}/events.parquet"
+    ev = load_table(spark, sf_dir, "events")
+    batch = attribution_join(
+        ev.where(ev.event_type == "click"), ev.where(ev.event_type == "purchase")
+    )
+    stream = run_streaming_attribution_join(spark, events_path, sink_table="t_stream_attrib")
+
+    cols = ["user_id", "purchase_id", "click_id", "purchase_us", "click_us"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+    assert stream.count() > 0
+
+
 def test_batch_sessionization_covers_all_events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     sessions = sessionize_batch(ev)
