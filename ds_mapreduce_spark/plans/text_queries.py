@@ -281,3 +281,39 @@ def q_doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_mapreduce_spark.operators.dedup import winnowing_fingerprints
 
     return winnowing_fingerprints(load_table(spark, sf_dir, "documents"), k=3, w=4)
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle=r"""
+WITH names AS (
+  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+    doc="E9 fuzzy string matching: distinct part names blocked by their "
+    "last token (the equi-join key that keeps the pair space per-block "
+    "instead of O(n²)), exact Levenshtein <= 3 within blocks. The "
+    "blocking-then-verify shape is the same as every dedup operator "
+    "here — edit distance is just a different verifier.",
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct().select(
+        "p_name", F.substring_index("p_name", " ", -1).alias("blk")
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "blk")
+    b = names.select(F.col("p_name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .where(F.col("dist") <= 3)
+    )
