@@ -664,6 +664,28 @@ def q_window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_approx_suite",
+    oracle=None,  # approximate by design: sketch internals are engine-
+    # specific, so no SQL oracle; error bounds are asserted against the
+    # exact answers in tests/test_approx.py
+    doc="The 100 TB aggregation toolkit: approx_count_distinct (HLL++, "
+    "mergeable fixed-size sketch vs the unbounded exact-distinct hash) "
+    "and approx_percentile (t-digest, partial-aggregatable vs the exact "
+    "percentile's per-group value shuffle). Rows-only driver check; "
+    "error vs exact is unit-tested (<2% HLL, <1 qty unit percentile).",
+)
+def q_agg_approx_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_percentile("l_quantity", F.array(F.lit(0.5), F.lit(0.9)), 10000).alias(
+            "approx_qty_p50_p90"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --- set operations / distinct ---------------------------------------------------
 
 
