@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ds_mapreduce_spark.functions.vector import cosine_similarity, dot
+from ds_mapreduce_spark.functions.vector import cosine_similarity, dot, l2_norm
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -49,12 +49,19 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
-    """Exact cosine top-k. ``queries``/``corpus``: (vec_id, embedding)."""
+    """Exact cosine top-k. ``queries``/``corpus``: (vec_id, embedding).
+
+    Norms are computed once per row before the broadcast product
+    (identical doubles to a per-pair cosine at 1/3 the FLOPs)."""
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_nrm"),
     )
     c = corpus.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_nrm"),
     )
     scored = (
         F.broadcast(q)
@@ -63,7 +70,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> Data
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 6).alias("score"),
+            F.round(
+                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+            ).alias("score"),
         )
     )
     return _ranked_topk(scored, k)
@@ -122,16 +131,18 @@ def ivf_topk(
     probes = (
         q_scored.withColumn("__r", F.row_number().over(wq))
         .where(F.col("__r") <= nprobe)
-        .select("query_id", "q_emb", "centroid_id")
+        .select("query_id", "q_emb", "centroid_id", l2_norm(F.col("q_emb")).alias("q_nrm"))
     )
 
     scored = (
-        probes.join(assigned, "centroid_id")
+        probes.join(assigned.withColumn("c_nrm", l2_norm(F.col("embedding"))), "centroid_id")
         .where(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_similarity(F.col("q_emb"), F.col("embedding")), 6).alias("score"),
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("c_nrm")), 6
+            ).alias("score"),
         )
     )
     return _ranked_topk(scored, k)
