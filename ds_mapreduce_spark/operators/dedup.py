@@ -43,8 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ds_mapreduce_spark.functions.text import norm_text, shingles, tokens
-from ds_mapreduce_spark.functions.vector import cosine_similarity, dot, l2_norm
+from ds_mapreduce_spark.functions.text import norm_text, tokens
+from ds_mapreduce_spark.functions.vector import dot, l2_norm
 
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:

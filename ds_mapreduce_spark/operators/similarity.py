@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ds_mapreduce_spark.functions.vector import cosine_similarity, dot, l2_norm
+from ds_mapreduce_spark.functions.vector import dot, l2_norm
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
