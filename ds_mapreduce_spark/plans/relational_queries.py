@@ -733,3 +733,67 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(count1(f_cust.subtract(o_cust), "except"))
         .unionAll(count1(f_cust.union(o_cust).distinct(), "union"))
     )
+
+
+# --- SQL interface (spark.sql over registered catalog views) -----------------
+
+
+def _register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@register(
+    "sql_q6_forecast_revenue",
+    oracle="""
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 through the engine's SQL surface: spark.sql over "
+    "registered catalog views — the identical ANSI text DuckDB runs as "
+    "the oracle, proving the SQL dialect overlap. All four predicates "
+    "push to the parquet scan; single-row global aggregate.",
+)
+def q_sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "lineitem")
+    return spark.sql("""
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+
+
+@register(
+    "sql_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+    doc="Explicit GROUPING SETS (finer than rollup/cube: an arbitrary "
+    "set list) + GROUPING() disambiguation of NULL-as-total vs "
+    "NULL-as-value — one Expand, one shuffle, identical SQL text on "
+    "both engines.",
+)
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir, "orders")
+    return spark.sql("""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""")
