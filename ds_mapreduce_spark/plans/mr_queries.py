@@ -88,6 +88,43 @@ def q_mr_salted_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mr_inverted_index",
+    oracle=r"""
+SELECT word AS key,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS value
+FROM (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+  FROM documents
+)
+GROUP BY word
+""",
+    doc="G1-G3 classic MapReduce job #3: inverted index (word -> sorted "
+    "distinct doc list). Non-numeric reduce — the value is a structured "
+    "join of the group, exercising the arbitrary-reducer contract the "
+    "relational agg path can't express. Posting lists for ultra-common "
+    "words are the skew hazard at 100 TB; production caps or shards "
+    "them (the salted combiner handles the count half, not the "
+    "concatenation, which is order-dependent).",
+)
+def q_mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    class InvertedIndex:
+        def map(self, key: str, value: str):
+            for word in set(value.split()):
+                yield word, key
+
+        def reduce(self, key: str, values: list[str]) -> str:
+            return ",".join(str(d) for d in sorted({int(v) for v in values}))
+
+    docs = load_table(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("text").alias("value"),
+    )
+    return run_mapreduce(kv, InvertedIndex())
+
+
+@register(
     "mr_generic_charcount",
     oracle="""
 SELECT source AS key, CAST(CAST(sum(n_chars) AS BIGINT) AS VARCHAR) AS value
