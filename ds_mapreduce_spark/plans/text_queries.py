@@ -317,3 +317,79 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dist") <= 3)
     )
+
+
+@register(
+    "pipeline_corpus_prep",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, source, len(t) AS n_tokens,
+         CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+         len(list_filter(t, x -> x IN {_STOP_SQL})) AS n_stop
+  FROM toks WHERE len(t) > 0
+),
+kept AS (
+  SELECT doc_id, lang, source, n_tokens,
+         CAST({_SCORE_SQL} AS BIGINT) AS quality
+  FROM feats WHERE {_SCORE_SQL} >= 60
+),
+reps AS (
+  SELECT MIN(doc_id) AS keep_id
+  FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(quality) AS BIGINT) AS sum_quality
+FROM kept JOIN reps ON kept.doc_id = reps.keep_id
+GROUP BY lang, source
+""",
+    doc="The end-to-end training-data prep pipeline as ONE plan: quality "
+    "filter (integer-exact C4/Gopher-style score >= 60) -> exact dedup "
+    "(keep each canonical text's min doc_id) -> per-(lang, source) "
+    "corpus stats. Composition stays a single Catalyst plan: the doc "
+    "scan fuses with scoring, the dedup groupBy is the only wide stage "
+    "before the final agg — what a 100 TB prep job looks like when every "
+    "stage is declarative instead of materialized between steps.",
+)
+def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import exact_dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    feats = (
+        docs.select("doc_id", "lang", "source", t.alias("t"))
+        .where(F.size("t") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            F.aggregate(F.col("t"), F.lit(0), lambda acc, x: acc + F.length(x))
+            .cast("bigint")
+            .alias("sum_len"),
+            F.size(F.filter(F.col("t"), lambda x: x.isin(*STOPWORDS)))
+            .cast("bigint")
+            .alias("n_stop"),
+        )
+    )
+    score = F.expr(_SCORE_SQL.replace("//", " DIV "))
+    kept = feats.where(score >= 60).select(
+        "doc_id", "lang", "source", "n_tokens", score.cast("bigint").alias("quality")
+    )
+    reps = exact_dedup_groups(docs).select("keep_id")
+    return (
+        kept.join(reps, kept.doc_id == reps.keep_id)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("quality").cast("bigint").alias("sum_quality"),
+        )
+    )

@@ -83,6 +83,56 @@ def test_streaming_attribution_join_matches_batch(spark, sf_dir):
     assert stream.count() > 0
 
 
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """The production sink pattern: foreachBatch lands each micro-batch
+    in parquet partitioned by batch id — idempotent on retry (same
+    batchId overwrites its own partition, exactly-once on top of
+    at-least-once delivery). Result must equal the batch aggregation."""
+    from ds_mapreduce_spark.streaming.jobs import windowed_counts
+
+    events_path = f"{sf_dir}/events.parquet"
+    out_dir = str(tmp_path / "sink")
+
+    from pyspark.sql import functions as F
+
+    # raw file schema (ts as INT64 nanos -> long under the legacy conf),
+    # converted to timestamp after the streaming read — same as jobs.py
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    base, _, fname = events_path.rpartition("/")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base)
+    )
+    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    out = windowed_counts(stream)
+
+    def sink(batch_df, batch_id: int):
+        (
+            batch_df.withColumn("__batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .parquet(out_dir)
+        )
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = spark.read.parquet(out_dir).drop("__batch")
+    batch = windowed_counts(load_table(spark, sf_dir, "events"))
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(landed, cols) == _rows(batch, cols)
+
+
 def test_batch_sessionization_covers_all_events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     sessions = sessionize_batch(ev)
