@@ -64,6 +64,48 @@ def decode_stub(payload: bytes, real_decode: bool = False) -> dict:
     }
 
 
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, resized_sig string, out_bytes bigint"
+
+
+def resize_stub(payload: bytes, width: int, height: int, real_decode: bool = False) -> dict:
+    """Deterministic fake 'resize': the real seam would decode, resample
+    to (width, height), and re-encode; the stub derives a deterministic
+    signature and plausible output size from the input bytes so the
+    Spark-side plumbing (batch shape, schema, partitioning) is testable
+    without codecs."""
+    if real_decode:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; plug PIL in here"
+        )
+    sig = hashlib.md5(payload).hexdigest()
+    return {
+        "resized_sig": hashlib.md5(f"{sig}:{width}x{height}".encode()).hexdigest(),
+        # fake re-encoded size: scales with target area, floor 16 bytes
+        "out_bytes": max(16, (width * height) // 8),
+    }
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Arrow-batched resize over (doc_id, payload): map-only, one Python
+    round-trip per batch; at scale the output is written immediately so
+    the original payload column prunes away downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = [resize_stub(p, width, height) for p in batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].values,
+                    "width": width,
+                    "height": height,
+                    "resized_sig": [o["resized_sig"] for o in out],
+                    "out_bytes": [o["out_bytes"] for o in out],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_sig string"
 
 

@@ -81,3 +81,23 @@ def q_multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("meta.byte_len")), 4).alias("avg_bytes"),
         F.max(F.col("meta.byte_len")).cast("bigint").alias("max_bytes"),
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id, 64 AS width, 64 AS height,
+       md5(md5(text) || ':64x64') AS resized_sig,
+       GREATEST(16, (64 * 64) // 8) AS out_bytes
+FROM documents
+""",
+    doc="Multimodal resize stub through Arrow batches: map-only "
+    "mapInPandas, deterministic per-payload signature standing in for "
+    "the re-encoded image (PIL plugs into resize_stub's real_decode "
+    "seam). Payload column never survives past the resize projection.",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(attach_binary_payload(docs), width=64, height=64)
