@@ -278,3 +278,61 @@ def q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("purchase_value"),
     )
+
+
+@register(
+    "events_pivot",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+FROM events GROUP BY user_id
+""",
+    doc="Pivot (wide reshaping): per-user event-type count matrix via "
+    "groupBy().pivot() with an EXPLICIT value list — at scale the list "
+    "matters (implicit pivot runs a distinct scan first and caps at "
+    "spark.sql.pivotMaxValues); compiles to one pass of conditional "
+    "aggregates, single shuffle.",
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "events_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, metric, n FROM (
+  SELECT user_id, 'click' AS metric, click AS n FROM wide
+  UNION ALL
+  SELECT user_id, 'purchase' AS metric, purchase AS n FROM wide
+)
+""",
+    doc="Unpivot (tall reshaping) back from a pivoted matrix: "
+    "DataFrame.unpivot (ANSI UNPIVOT) — map-only Expand, no shuffle "
+    "beyond the source agg; the wide->tall->wide round trip is how "
+    "metric tables feed generic per-metric operators.",
+)
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return wide.unpivot("user_id", ["click", "purchase"], "metric", "n")
