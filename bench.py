@@ -37,6 +37,8 @@ HEADLINE = [
     "events_sliding_window",
     "events_sessionization",
     "asof_join_click_purchase",
+    "q10_returned_item_customers",
+    "pipeline_corpus_prep",
     "text_stats",
 ]
 

@@ -47,6 +47,24 @@ def _normalize(rows, colnames):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def test_timezone_hostile_session_still_matches(spark, sf_dir):
+    """The driver's session may run in any timezone; load_table pins the
+    session to UTC, so a timestamp-heavy query must match its oracle
+    even when the caller set something else just before."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        q = REGISTRY["events_tumbling_window"]
+        sdf = q.fn(spark, sf_dir)
+        spark_rows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+        con = _duck(sf_dir)
+        rel = con.sql(q.oracle)
+        duck_rows = _normalize(rel.fetchall(), rel.columns)
+        assert spark_rows == duck_rows
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, sf_dir, name):
     q = REGISTRY[name]
