@@ -66,6 +66,50 @@ def _sessions_ref(ts_list: list[int], gap_sec: int) -> list[tuple[int, int, int]
 
 @SLOW
 @given(
+    left=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=10, unique=True),
+    right=st.lists(st.integers(min_value=0, max_value=1000), min_size=0, max_size=10, unique=True),
+)
+def test_asof_join_matches_python_reference(spark, left, right):
+    from ds_mapreduce_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame([("k", t) for t in left], "k string, t bigint")
+    rdf = spark.createDataFrame([("k", t, float(t)) for t in right], "k string, t bigint, v double")
+    out = asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t", right_payload=["v"])
+    got = {r.t: r.asof_v for r in out.collect()}
+    expected = {
+        lt: (float(max((rt for rt in right if rt <= lt), default=None))
+             if any(rt <= lt for rt in right) else None)
+        for lt in left
+    }
+    assert got == expected
+
+
+def test_winnowing_guarantee_shared_passage(spark):
+    """Winnowing guarantee: two docs sharing a passage of >= w+k-1
+    tokens (here 6) share at least one fingerprint; disjoint docs with
+    entirely different vocab share none."""
+    from ds_mapreduce_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} trailing one"),
+            (2, f"other prefix tokens {shared}"),
+            (3, "completely different vocabulary entirely here now ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=3, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-token passage must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+@SLOW
+@given(
     data=st.dictionaries(
         keys=st.integers(min_value=1, max_value=4),
         values=st.lists(
