@@ -393,3 +393,33 @@ def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("quality").cast("bigint").alias("sum_quality"),
         )
     )
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+GROUP BY lang
+""",
+    doc="Reproducible ~10% corpus sample by md5 bucket of the key — "
+    "unlike seeded sample(), the subset is identical on every engine, "
+    "cluster size, and rerun (hash-mod sampling, the production way to "
+    "carve stable held-out sets). Predicate is a pure projection: "
+    "map-side filter, no extra pass.",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 10
+    return (
+        docs.where(bucket == 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
