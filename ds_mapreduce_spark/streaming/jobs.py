@@ -73,6 +73,40 @@ def run_streaming_wordcount(
     return spark.table(sink_table)
 
 
+def run_streaming_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    key_cols: list[str],
+    watermark: tuple[str, str] | None = None,
+    sink_table: str = "stream_dedup",
+) -> DataFrame:
+    """Incremental exact dedup: ``dropDuplicates(key_cols)`` on a stream
+    keeps first-seen rows per key across micro-batches (state = one
+    entry per distinct key). Unbounded by default — pass
+    ``watermark=(ts_col, delay)`` to use dropDuplicatesWithinWatermark
+    semantics where late re-occurrences outside the delay are allowed
+    through and state is evicted: the 100 TB configuration, since an
+    unbounded distinct-key state store eventually IS the corpus.
+    """
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    if watermark is not None:
+        ts_col, delay = watermark
+        stream = stream.withWatermark(ts_col, delay)
+        deduped = stream.dropDuplicatesWithinWatermark(key_cols)
+    else:
+        deduped = stream.dropDuplicates(key_cols)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 def attribution_join(clicks: DataFrame, purchases: DataFrame, horizon: str = "2 hours") -> DataFrame:
     """The shared batch/stream transformation: each purchase joined to
     every click by the same user in the preceding ``horizon`` —

@@ -133,6 +133,23 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     assert _rows(landed, cols) == _rows(batch, cols)
 
 
+def test_streaming_dedup_keeps_one_per_key(spark, tmp_path):
+    """dropDuplicates on a stream: exactly one surviving row per key,
+    and the survivor set equals the batch distinct."""
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_dedup
+
+    src = str(tmp_path / "src")
+    rows = [(k, i, f"text-{k}") for i, k in enumerate([1, 2, 1, 3, 2, 1, 4])]
+    df = spark.createDataFrame(rows, "doc_key bigint, seq bigint, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    out = run_streaming_dedup(
+        spark, src, df.schema, ["doc_key"], sink_table="t_stream_dedup"
+    )
+    keys = sorted(r.doc_key for r in out.collect())
+    assert keys == [1, 2, 3, 4]
+
+
 def test_batch_sessionization_covers_all_events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     sessions = sessionize_batch(ev)
