@@ -336,3 +336,29 @@ def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0)
     )
     return wide.unpivot("user_id", ["click", "purchase"], "metric", "n")
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+SELECT CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 2000 + 1 AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1
+""",
+    doc="Value histogram via width_bucket (25 equal bins of width 20 over "
+    "[0, 500)): the fixed-bin histogram is a plain groupBy — partial+"
+    "final agg, one shuffle of <= 27 rows per task. Oracle mirrors the "
+    "bin function in exact integer cents (DuckDB 1.0 has no "
+    "width_bucket); bin edges land identically because both sides "
+    "bucket the same DECIMAL.",
+)
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(12,2)")
+    return ev.groupBy(
+        F.width_bucket(v, F.lit(0), F.lit(500), F.lit(25)).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(v).cast("double"), 4).alias("sum_value"),
+    )
