@@ -88,3 +88,52 @@ def q_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("p_retailprice").cast("decimal(12,2)")).cast("double"), 4
         ).alias("sum_price"),
     )
+
+
+@register(
+    "sessions_per_hour",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id,
+         epoch_us(MIN(ts)) // 1000000 AS s_start,
+         epoch_us(MAX(ts)) // 1000000 AS s_end
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT h * 3600 AS hour_start, COUNT(*) AS n_sessions
+FROM sessions, UNNEST(range(s_start // 3600, s_end // 3600 + 1)) t(h)
+GROUP BY 1
+""",
+    doc="Concurrent sessions per hour: interval-overlap counting by "
+    "exploding each session to the hour buckets it spans (the interval "
+    "side of the bucketed range-join pattern), then a plain groupBy — "
+    "sessions are short so the explosion factor is ~1; one extra "
+    "shuffle over the sessionization base.",
+)
+def q_sessions_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.streaming.sessionize import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize_batch(ev).select(
+        F.col("session_start").alias("s_start"),
+        (F.col("session_start") + F.col("span_sec")).alias("s_end"),
+    )
+    hours = F.explode(
+        F.sequence(F.expr("s_start DIV 3600"), F.expr("s_end DIV 3600"))
+    ).alias("h")
+    return (
+        s.select(hours)
+        .groupBy((F.col("h") * 3600).alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
