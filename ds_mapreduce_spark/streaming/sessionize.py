@@ -121,6 +121,7 @@ def run_streaming_sessionize(
     schema=None,
     gap_sec: int = DEFAULT_GAP_SEC,
     sink_table: str = "stream_sessions",
+    reader_options: dict | None = None,
 ) -> DataFrame:
     """Stateful streaming sessionization over a parquet directory with an
     availableNow trigger; returns the emitted (closed) sessions.
@@ -138,6 +139,8 @@ def run_streaming_sessionize(
         # which Spark 4 only reads as long under this flag)
         schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(schema)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
     if events_dir.endswith(".parquet"):
         base, _, fname = events_dir.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)

@@ -133,6 +133,41 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     assert _rows(landed, cols) == _rows(batch, cols)
 
 
+def test_streaming_sessionize_across_microbatches(spark, sf_dir, tmp_path):
+    """The state-merge path: events split into two time-ordered files
+    processed as SEPARATE micro-batches (maxFilesPerTrigger=1). Open
+    sessions must carry across the batch boundary and close correctly —
+    emitted sessions equal the single-batch result."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    # split by event-time halves; file order = arrival order
+    bounds = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"), F.unix_micros(F.max("ts")).alias("hi")
+    ).collect()[0]
+    mid = (bounds.lo + bounds.hi) // 2
+    src = tmp_path / "src"
+    first = ev.where(F.unix_micros("ts") <= mid)
+    second = ev.where(F.unix_micros("ts") > mid)
+    # two files, named so modification/listing order matches event time
+    first.coalesce(1).write.parquet(str(src / "batch=0"))
+    second.coalesce(1).write.parquet(str(src / "batch=1"))
+
+    multi = run_streaming_sessionize(
+        spark,
+        str(src),
+        schema=first.schema,
+        sink_table="t_sessions_multi",
+        reader_options={"maxFilesPerTrigger": "1", "recursiveFileLookup": "true"},
+    )
+    single = run_streaming_sessionize(
+        spark, f"{sf_dir}/events.parquet", sink_table="t_sessions_single"
+    )
+    cols = ["user_id", "session_start", "n_events", "span_sec"]
+    assert _rows(multi, cols) == _rows(single, cols)
+    assert multi.count() > 0
+
+
 def test_streaming_dedup_keeps_one_per_key(spark, tmp_path):
     """dropDuplicates on a stream: exactly one surviving row per key,
     and the survivor set equals the batch distinct."""
