@@ -797,3 +797,29 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """)
+
+
+@register(
+    "regex_functions",
+    oracle=r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)', 1)            AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g')      AS devoweled,
+       CASE WHEN regexp_matches(p_type, 'ECONOMY|STANDARD')
+            THEN 1 ELSE 0 END                           AS is_basic,
+       len(regexp_split_to_array(p_name, '\s+'))        AS n_words
+FROM part
+""",
+    doc="Regex scalar functions (extract / global replace / match test / "
+    "split-count) — patterns kept in the Java-regex ∩ RE2 dialect both "
+    "engines share; all JVM-side, fused into the scan projection.",
+)
+def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.when(F.col("p_type").rlike("ECONOMY|STANDARD"), 1).otherwise(0).alias("is_basic"),
+        F.size(F.split("p_name", r"\s+")).alias("n_words"),
+    )
