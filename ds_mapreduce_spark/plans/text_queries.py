@@ -423,3 +423,57 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@register(
+    "array_functions",
+    oracle=r"""
+SELECT doc_id,
+       array_to_string(list_sort(t)[1:3], ' ')       AS first3_sorted,
+       CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END AS has_the,
+       len(list_distinct(t))                          AS n_distinct,
+       list_aggregate(list_transform(t, x -> length(x)), 'max') AS max_token_len
+FROM (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+) WHERE len(t) > 0
+""",
+    doc="Array function suite (sort / slice / contains / distinct / "
+    "transform+max) over the token array — ASCII tokens sort identically "
+    "under both engines' binary collations; all fused into the scan "
+    "projection, no shuffle.",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    d = docs.select("doc_id", t.alias("t")).where(F.size("t") > 0)
+    return d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.array_sort("t"), 1, 3)).alias("first3_sorted"),
+        F.array_contains("t", "the").cast("int").alias("has_the"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        F.array_max(F.transform("t", F.length)).alias("max_token_len"),
+    )
+
+
+@register(
+    "map_functions",
+    oracle="""
+SELECT event_id,
+       len(json_keys(props)) AS n_props,
+       CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS has_k
+FROM events
+""",
+    doc="Map function suite: props parsed once to map<string,string> "
+    "(from_json), then map_keys / map_contains_key — the typed-map "
+    "counterpart of the JSON-path queries; map construction is one "
+    "parse per row in the scan projection.",
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_props"),
+        F.map_contains_key(m, "k").cast("int").alias("has_k"),
+    )
