@@ -319,8 +319,16 @@ def minhash_verified_pairs(
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", inter.alias("__i"), union.alias("__u"))
-        .withColumn("__jacc", F.expr("(20000 * __i + __u) DIV (2 * __u)"))
     )
+    # aggregation barrier: (doc_a, doc_b) is unique so first() is a
+    # semantic no-op, but it stops Catalyst pushing the Jaccard filter
+    # down INTO the broadcast join as a non-equi condition — that
+    # pushdown inlined array_intersect into the join stage and made it
+    # ~30x slower at sf0.1 (40s -> 1.3s with the barrier)
+    scored = scored.groupBy("doc_a", "doc_b").agg(
+        F.first("__i").alias("__i"), F.first("__u").alias("__u")
+    )
+    scored = scored.withColumn("__jacc", F.expr("(20000 * __i + __u) DIV (2 * __u)"))
     return scored.where(F.col("__jacc") >= int(threshold * 10000)).select(
         "doc_a", "doc_b", (F.col("__jacc") / 10000.0).alias("jaccard")
     )
