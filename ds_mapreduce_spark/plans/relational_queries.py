@@ -823,3 +823,146 @@ def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_type").rlike("ECONOMY|STANDARD"), 1).otherwise(0).alias("is_basic"),
         F.size(F.split("p_name", r"\s+")).alias("n_words"),
     )
+
+
+# --- adapted TPC-H shapes continued (schema lacks commitdate/shipmode/
+# partsupp, so each query keeps the PLAN SHAPE under available columns) ---
+
+
+@register(
+    "q4_late_shipment_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape (order-priority checking): EXISTS rewritten as a "
+    "left-semi join whose condition mixes the orderkey equi-key with a "
+    "cross-table inequality (shipped >60 days after order). Spark keeps "
+    "the equi part as the shuffle key and evaluates the date residual "
+    "inside the join — no row multiplication, no second pass; the quarter "
+    "filter pushes to the orders scan.",
+)
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""",
+    doc="TPC-H Q12 shape (shipmode stands in as returnflag): fact⋈fact join "
+    "on orderkey feeding CASE-conditional counts — one shuffled join, one "
+    "~3-row final agg; the year filter pushes to the lineitem scan and "
+    "prunes the join's probe side before it shuffles.",
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) per_cust
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 (customer order-count distribution): left outer join with "
+    "a compound condition (the priority filter lives IN the join, so "
+    "order-less customers still survive with count 0), per-customer count, "
+    "then the count-of-counts re-aggregation. Shuffle 1 on custkey does "
+    "both join and first agg (same key — Spark reuses the partitioning); "
+    "shuffle 2 carries one row per distinct order count.",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cond = (c["c_custkey"] == o["o_custkey"]) & (o["o_orderpriority"] != "1-URGENT")
+    per_cust = (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+)
+SELECT c.c_custkey, o.o_orderkey,
+       epoch_us(o.o_orderdate) // 1000000 AS order_epoch,
+       ROUND(CAST(b.total_qty AS DOUBLE), 4) AS total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    doc="TPC-H Q18 (large-volume customers): HAVING on a fact-table "
+    "aggregate, re-joined to orders and customer. The per-orderkey agg is "
+    "the only big shuffle; its ~1%-selective survivor set then joins "
+    "orders on the SAME key (no re-shuffle under AQE) and the customer "
+    "dim broadcasts. Quantity sums on DECIMAL, rounded only at output.",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__tq"))
+        .where(F.col("__tq") > 300)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(1000000))
+            .cast("bigint")
+            .alias("order_epoch"),
+            F.round(F.col("__tq").cast("double"), 4).alias("total_qty"),
+        )
+    )
