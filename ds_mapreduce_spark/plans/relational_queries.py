@@ -966,3 +966,119 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("__tq").cast("double"), 4).alias("total_qty"),
         )
     )
+
+
+@register(
+    "q14_promo_revenue_ratio",
+    oracle=f"""
+WITH j AS (
+  SELECT {_SQL_PRICE} * {_SQL_DISC} AS rev, p_type
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+),
+s AS (
+  SELECT SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS num,
+         SUM(rev) AS den
+  FROM j
+)
+SELECT ROUND(CAST(num AS DOUBLE), 4) AS promo_revenue,
+       ROUND(CAST(den AS DOUBLE), 4) AS total_revenue,
+       (20000 * CAST(num * 10000 AS BIGINT) + CAST(den * 10000 AS BIGINT))
+         // (2 * CAST(den * 10000 AS BIGINT)) AS promo_bp
+FROM s
+""",
+    doc="TPC-H Q14 (promo revenue ratio): conditional-vs-total aggregate "
+    "ratio in one pass over a month of the fact table joined to the "
+    "broadcast part dim. The ratio is computed half-up in EXACT integer "
+    "basis points ((2·S·n + d) DIV 2d on the 1e-4-unit decimal sums) — "
+    "float division at a rounding boundary is engine-dependent, integer "
+    "arithmetic is not. Single-row output; month filter pushes to the scan.",
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (_dec("l_extendedprice") * _one_minus_disc()).alias("rev")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(rev, "p_type")
+    zero = F.lit(0).cast("decimal(16,4)")
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(zero)).alias("num"),
+        F.sum("rev").alias("den"),
+    )
+    return agg.select(
+        F.round(F.col("num").cast("double"), 4).alias("promo_revenue"),
+        F.round(F.col("den").cast("double"), 4).alias("total_revenue"),
+        F.expr(
+            "(20000 * CAST(num * 10000 AS BIGINT) + CAST(den * 10000 AS BIGINT))"
+            " DIV (2 * CAST(den * 10000 AS BIGINT))"
+        ).alias("promo_bp"),
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+    doc="TPC-H Q16 shape (supplier variety per part group; lineitem stands "
+    "in for the absent partsupp): exclusion-filtered broadcast dim join + "
+    "NOT IN anti-subquery (broadcast left-anti on the tiny bad-supplier "
+    "set) + COUNT(DISTINCT). The distinct dedups map-side on "
+    "(group, suppkey) before the final count — two-phase, skew-safe.",
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+SELECT ROUND(CAST(SUM({_SQL_PRICE} * {_SQL_DISC}) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+    doc="TPC-H Q19 (OR-of-ANDs over both join sides): Catalyst derives the "
+    "single-side residuals from the disjunction — l_quantity BETWEEN 1 AND "
+    "30 pushes to the lineitem scan, the brand/size union filters the "
+    "broadcast part build side — so the join probes a pre-pruned fraction "
+    "of the fact table even though no single conjunct is common.",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    q = F.col("l_quantity")
+    clause = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    return j.where(clause).agg(
+        F.round(F.sum(_dec("l_extendedprice") * _one_minus_disc()).cast("double"), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
