@@ -145,6 +145,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_verified_oracle(
     threshold: float = 0.8, num_hashes: int = 8, band_size: int = 2
 ) -> str:
+    sig_cols, band_rows = _band_parts(num_hashes, band_size)
+    thr = int(threshold * 10000)
+    return (
+        "WITH "
+        + _verified_pair_ctes(sig_cols, band_rows)
+        + f"""
+SELECT doc_a, doc_b, CAST((20000 * i + u) // (2 * u) AS BIGINT) / 10000.0 AS jaccard
+FROM scored WHERE (20000 * i + u) // (2 * u) >= {thr}
+"""
+    )
+
+
+def _band_parts(num_hashes: int, band_size: int) -> tuple[str, str]:
     sig_cols = ",\n         ".join(
         f"list_aggregate(list_transform(sh, x -> (x * {a} + {b}) % {HASH_P}), 'min') AS h{i}"
         for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
@@ -156,10 +169,15 @@ def _minhash_verified_oracle(
         )
         for b in range(num_hashes // band_size)
     )
-    thr = int(threshold * 10000)
+    return sig_cols, band_rows
+
+
+def _verified_pair_ctes(sig_cols: str, band_rows: str) -> str:
+    """CTE chain ending at ``scored`` (doc_a, doc_b, i, u) — the exact
+    Jaccard-verified MinHash-LSH candidate pairs, shared by the pair
+    query's oracle and the connected-components oracle."""
     return (
-        "WITH "
-        + _PROFILE_CTE
+        _PROFILE_CTE
         + f""",
 sig AS (
   SELECT doc_id,
@@ -181,10 +199,7 @@ scored AS (
   FROM cand c
   JOIN profiles pa ON pa.doc_id = c.doc_a
   JOIN profiles pb ON pb.doc_id = c.doc_b
-)
-SELECT doc_a, doc_b, CAST((20000 * i + u) // (2 * u) AS BIGINT) / 10000.0 AS jaccard
-FROM scored WHERE (20000 * i + u) // (2 * u) >= {thr}
-"""
+)"""
     )
 
 
@@ -326,3 +341,50 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def _cc_oracle(threshold: float = 0.8, num_hashes: int = 8, band_size: int = 2) -> str:
+    sig_cols, band_rows = _band_parts(num_hashes, band_size)
+    thr = int(threshold * 10000)
+    return (
+        "WITH RECURSIVE "
+        + _verified_pair_ctes(sig_cols, band_rows)
+        + f""",
+pairs AS (
+  SELECT doc_a, doc_b FROM scored WHERE (20000 * i + u) // (2 * u) >= {thr}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+)
+SELECT id AS doc_id, MIN(lab) AS comp_id FROM reach GROUP BY id
+"""
+    )
+
+
+@register(
+    "dedup_connected_components",
+    oracle=_cc_oracle(0.8, 8, 2),
+    doc="E7 dedup clustering: connected components over the Jaccard-"
+    "verified MinHash-LSH pair graph (near-dup PAIRS don't partition a "
+    "corpus — A~B~C without A~C — components do). Iterative min-label "
+    "propagation with per-round localCheckpoint and a count()-based "
+    "early exit; each round is one join + one groupBy on the edge set, "
+    "which is O(n·dup_rate) — orders smaller than the corpus. comp_id = "
+    "min doc_id of the cluster, the canonical keep representative. "
+    "Oracle: DuckDB recursive CTE transitive closure over the same pairs.",
+)
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import connected_components
+
+    pairs = minhash_verified_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, num_hashes=8, band_size=2, threshold=0.8
+    )
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("comp_id"))

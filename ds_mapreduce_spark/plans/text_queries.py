@@ -477,3 +477,125 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).alias("n_props"),
         F.map_contains_key(m, "k").cast("int").alias("has_k"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+tf AS (SELECT lang, word, COUNT(*) AS tf_lang FROM toks GROUP BY lang, word),
+dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY word),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+scored AS (
+  SELECT lang, word, tf_lang, df,
+         tf_lang * ((1000000 * n_docs) // df) AS tfidf_score
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+)
+SELECT lang, word, tf_lang, df, tfidf_score, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf_score DESC, word) AS rnk
+  FROM scored) ranked
+WHERE rnk <= 10
+""",
+    doc="E9 TF-IDF distinctive terms per language: term frequency within "
+    "each lang × inverse document frequency over the whole corpus, top 10 "
+    "per lang. The idf weight is the EXACT integer (1e6·N) DIV df — a "
+    "monotone transform of N/df, so the ranking is the classic tf·idf "
+    "ranking without a float log crossing the engine boundary (ln differs "
+    "in the last ulp between libm and the JVM). Three aggregations: tf "
+    "(lang,word), df (word, count-distinct doc), N (one row, broadcast); "
+    "the tf⋈df join shuffles on word, the top-k window is per-lang tiny.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    tf = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf_lang"))
+    dfreq = tok.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    n = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "word",
+            "tf_lang",
+            "df",
+            F.expr("tf_lang * ((1000000 * n_docs) DIV df)").alias("tfidf_score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf_score").desc(), F.col("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("lang", "word", "tf_lang", "df", "tfidf_score", "rnk")
+    )
+
+
+@register(
+    "decontamination",
+    oracle="WITH fps AS ("
+    + _winnowing_oracle(4)
+    + r"""),
+bench AS (
+  SELECT doc_id FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+),
+bfp AS (
+  SELECT DISTINCT fp FROM fps WHERE doc_id IN (SELECT doc_id FROM bench)
+),
+train AS (
+  SELECT doc_id, lang FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+),
+cont AS (
+  SELECT DISTINCT doc_id FROM fps WHERE fp IN (SELECT fp FROM bfp)
+)
+SELECT t.lang,
+       COUNT(*) AS n_train,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM train t LEFT JOIN cont c ON t.doc_id = c.doc_id
+GROUP BY t.lang
+""",
+    doc="Benchmark decontamination (the held-out-overlap gate every "
+    "training-data pipeline runs before a corpus ships): a deterministic "
+    "~1/16 md5-bucket of docs stands in for the benchmark set; a training "
+    "doc is contaminated if it shares ANY winnowing fingerprint (shared "
+    "passage >= 6 tokens) with a benchmark doc. Fingerprints are map-only "
+    "per doc; the benchmark fingerprint set is tiny and broadcasts (at "
+    "100 TB it's still benchmark-sized — a bloom filter on fp if not), so "
+    "the contamination check never shuffles the corpus.",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    bench_ids = docs.where(is_bench).select("doc_id")
+    fps = winnowing_fingerprints(docs, k=3, w=4)
+    bench_fps = (
+        fps.join(F.broadcast(bench_ids), "doc_id", "left_semi").select("fp").distinct()
+    )
+    train = docs.where(~is_bench).select("doc_id", "lang")
+    cont = (
+        fps.join(F.broadcast(bench_fps), "fp", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        train.join(cont, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0)).alias("n_contaminated"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("n_clean"),
+        )
+    )

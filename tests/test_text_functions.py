@@ -91,3 +91,32 @@ def test_simhash_identical_docs_have_zero_hamming(spark):
     )
     out = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_candidate_pairs(df).collect()}
     assert out[(1, 2)] == 0
+
+
+class TestConnectedComponents:
+    """Edge semantics of operators/dedup.connected_components: pair
+    transitivity (the reason components exist at all), component
+    isolation, and convergence past the first propagation round."""
+
+    def _run(self, spark, pairs):
+        from ds_mapreduce_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        out = connected_components(edges, src="doc_a", dst="doc_b")
+        return {r["id"]: r["comp"] for r in out.collect()}
+
+    def test_chain_collapses_to_min_label(self, spark):
+        # 1-2, 2-3, 3-4: A~B~C~D with no direct A~D pair — the case
+        # pairwise dedup gets wrong and components get right. Diameter 3
+        # forces multiple propagation rounds.
+        got = self._run(spark, [(1, 2), (2, 3), (3, 4)])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    def test_disjoint_components_stay_disjoint(self, spark):
+        got = self._run(spark, [(10, 11), (20, 21), (21, 22)])
+        assert got == {10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_reversed_and_duplicate_edges(self, spark):
+        # direction and multiplicity must not matter
+        got = self._run(spark, [(5, 3), (3, 5), (5, 3), (7, 5)])
+        assert got == {3: 3, 5: 3, 7: 3}
