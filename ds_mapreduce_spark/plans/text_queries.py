@@ -505,22 +505,33 @@ WHERE rnk <= 10
     "per lang. The idf weight is the EXACT integer (1e6·N) DIV df — a "
     "monotone transform of N/df, so the ranking is the classic tf·idf "
     "ranking without a float log crossing the engine boundary (ln differs "
-    "in the last ulp between libm and the JVM). Three aggregations: tf "
-    "(lang,word), df (word, count-distinct doc), N (one row, broadcast); "
-    "the tf⋈df join shuffles on word, the top-k window is per-lang tiny.",
+    "in the last ulp between libm and the JVM). Plan shape: ONE "
+    "explode-scale aggregation to (word, lang, tf, per-lang df); since "
+    "every doc has exactly one lang, corpus df(word) = Σ_lang df(word, "
+    "lang) — a tiny re-agg of the first result, never a second pass over "
+    "the exploded tokens. N comes from the docs scan without exploding. "
+    "Everything after shuffle 1 is vocabulary-sized.",
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
+
+    from ds_mapreduce_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", r"\s+")).alias("word")
     ).where(F.col("word") != "")
-    tf = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf_lang"))
-    dfreq = tok.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
-    n = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    # the ONLY explode-scale shuffle: everything downstream is vocab-sized
+    base = tok.groupBy("word", "lang").agg(
+        F.count(F.lit(1)).alias("tf_lang"),
+        F.count_distinct("doc_id").alias("df_wl"),
+    )
+    dfreq = base.groupBy("word").agg(F.sum("df_wl").alias("df"))
+    n = docs.agg(
+        F.sum(F.when(F.size(tokens(F.col("text"))) > 0, 1).otherwise(0)).alias("n_docs")
+    )
     scored = (
-        tf.join(dfreq, "word")
+        base.join(dfreq, "word")
         .crossJoin(F.broadcast(n))
         .select(
             "lang",

@@ -75,9 +75,40 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         ("asof_join_click_purchase", 1),
         ("dedup_simhash", 2),       # chunk self-join + distinct
         ("dedup_minhash_lsh", 2),   # band groupBy + pair distinct
+        ("q14_promo_revenue_ratio", 1),   # month scan + broadcast part, single-row agg
+        ("q13_order_count_distribution", 2),  # custkey join+agg share one shuffle
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
     plan = _plan(spark, sf_dir, name)
     n = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n <= max_exchanges, f"{name}: {n} shuffles (budget {max_exchanges})"
+
+
+def test_q19_derives_single_side_filters_from_disjunction(spark, sf_dir):
+    """The OR-of-ANDs references both join sides; Catalyst must still
+    derive the per-side unions and push them into BOTH parquet scans —
+    losing this turns a pre-pruned probe into a full fact scan."""
+    plan = _plan(spark, sf_dir, "q19_disjunctive_predicates")
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
+    assert any("p_brand" in p and "Or(" in p for p in pushed), pushed
+    assert plan.count("BroadcastHashJoin") == 1
+
+
+def test_q4_semi_join_with_residual_stays_single_shuffle(spark, sf_dir):
+    """EXISTS with a cross-table date inequality must compile to ONE
+    semi join carrying the residual — not a join + dedup, and never a
+    row-multiplying inner join."""
+    plan = _plan(spark, sf_dir, "q4_late_shipment_priority")
+    assert "LeftSemi" in plan
+    n = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n <= 1, plan
+
+
+def test_q18_reuses_orderkey_partitioning(spark, sf_dir):
+    """The HAVING aggregate shuffles on l_orderkey; the join back to
+    orders is on the SAME key, so no second fact shuffle may appear."""
+    plan = _plan(spark, sf_dir, "q18_large_volume_customers")
+    n = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n <= 2, plan
