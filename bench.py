@@ -40,6 +40,8 @@ HEADLINE = [
     "q10_returned_item_customers",
     "pipeline_corpus_prep",
     "text_stats",
+    "tfidf_top_terms",
+    "decontamination",
 ]
 
 

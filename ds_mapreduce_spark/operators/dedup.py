@@ -99,9 +99,16 @@ def shingle_hash_sequence(docs: DataFrame, k: int = 3) -> DataFrame:
         return parts % HASH_P
 
     sh = F.transform(F.sequence(F.lit(1), F.size("__th") - (k - 1)), combine)
+    # Filter on the CHEAP token count BEFORE any hashing: a post-hoc
+    # size(__th) >= k filter gets substituted below the projection by
+    # predicate pushdown, inlining the md5 transform into the Filter —
+    # and worse, a downstream size(shseq) filter inlines __th into
+    # every element_at, turning O(n) per doc into O(n²·k) md5 calls
+    # (41 s -> 1.5 s at sf0.1 for winnowing). The token-count filter
+    # is equivalent (tokens drive both sizes) and hash-free.
     return (
-        docs.select("doc_id", th.alias("__th"))
-        .where(F.size("__th") >= k)
+        docs.where(F.size(tokens(F.col("text"))) >= k)
+        .select("doc_id", th.alias("__th"))
         .select("doc_id", sh.alias("shseq"))
     )
 
@@ -113,17 +120,23 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame
     fingerprint — the content-defined selection that plain min-hashing
     lacks. One row per (doc_id, fingerprint); map-only until the
     explode, no shuffle."""
-    seq = shingle_hash_sequence(docs, k)
+    # docs long enough for >= 1 window: n - k + 1 >= w tokens. Filtering
+    # the raw token count here (instead of size(shseq) afterwards) keeps
+    # predicate pushdown from inlining the whole hash pipeline into the
+    # Filter node — see the note in shingle_hash_sequence.
+    seq = shingle_hash_sequence(docs.where(F.size(tokens(F.col("text"))) >= w + k - 1), k)
+    # window min as least(element_at x w): no per-window array alloc
+    # (slice + array_min built w-element arrays per position; in the
+    # interpreted higher-order-function path that allocation dominates)
     minima = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("shseq") - (w - 1)),
-            lambda i: F.array_min(F.slice(F.col("shseq"), i, w)),
+            lambda i: F.least(
+                *[F.element_at(F.col("shseq"), (i + j).cast("int")) for j in range(w)]
+            ),
         )
     )
-    return (
-        seq.where(F.size("shseq") >= w)
-        .select("doc_id", F.explode(minima).alias("fp"))
-    )
+    return seq.select("doc_id", F.explode(minima).alias("fp"))
 
 
 def shingle_profiles(docs: DataFrame, k: int = 3) -> DataFrame:
@@ -150,8 +163,8 @@ def shingle_profiles(docs: DataFrame, k: int = 3) -> DataFrame:
 
     sh = F.array_distinct(F.transform(F.sequence(F.lit(1), F.size("__th") - (k - 1)), combine))
     return (
-        docs.select("doc_id", th.alias("__th"))
-        .where(F.size("__th") >= k)
+        docs.where(F.size(tokens(F.col("text"))) >= k)
+        .select("doc_id", th.alias("__th"))
         .select("doc_id", sh.alias("sh"))
         .select(
             "doc_id",

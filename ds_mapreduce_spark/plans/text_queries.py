@@ -589,14 +589,17 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
-    bench_ids = docs.where(is_bench).select("doc_id")
-    fps = winnowing_fingerprints(docs, k=3, w=4)
+    # benchmark and train docs are DISJOINT, so fingerprinting each
+    # side separately costs exactly one pass over the corpus in total —
+    # fingerprinting once and semi-joining twice would evaluate the
+    # (expensive) fingerprint subtree twice, once per DAG consumer
     bench_fps = (
-        fps.join(F.broadcast(bench_ids), "doc_id", "left_semi").select("fp").distinct()
+        winnowing_fingerprints(docs.where(is_bench), k=3, w=4).select("fp").distinct()
     )
     train = docs.where(~is_bench).select("doc_id", "lang")
     cont = (
-        fps.join(F.broadcast(bench_fps), "fp", "left_semi")
+        winnowing_fingerprints(docs.where(~is_bench), k=3, w=4)
+        .join(F.broadcast(bench_fps), "fp", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("__hit", F.lit(1))
@@ -609,4 +612,43 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0)).alias("n_contaminated"),
             F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("n_clean"),
         )
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle=r"""
+WITH tagged AS (
+  SELECT lang, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents
+),
+kept AS (
+  SELECT lang, doc_id FROM tagged
+  WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
+)
+SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM kept GROUP BY lang
+""",
+    doc="Stratified hash-mod sampling: per-stratum rates (10% for the "
+    "majority lang, 40% for the tail) from the SAME md5 bucket function as "
+    "deterministic_sample — the rebalancing carve every multilingual "
+    "training mix needs, reproducible across engines, cluster sizes and "
+    "reruns. The rate lookup is a CASE projection (broadcast-map at scale "
+    "for many strata): pure map-side filter, no shuffle before the "
+    "per-lang audit agg; output is the audit (count + id checksum), which "
+    "pins the exact membership without hashing all rows.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    rate = F.when(F.col("lang") == "en", 10).otherwise(40)
+    kept = docs.where(bucket < rate)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
