@@ -1125,3 +1125,65 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("total_rev").cast("double"), 4).alias("total_rev"),
         )
     )
+
+
+@register(
+    "cdc_latest_wins_merge",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price, 1 AS version
+  FROM orders
+),
+upd AS (
+  SELECT o_orderkey, 'U' AS status,
+         CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS price, 2 AS version
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+ranked AS (
+  SELECT o_orderkey, status, price, version,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+  FROM all_rows
+)
+SELECT o_orderkey, status AS final_status,
+       ROUND(CAST(price AS DOUBLE), 4) AS final_price, version
+FROM ranked WHERE rn = 1
+""",
+    doc="CDC upsert (MERGE latest-wins): base table UNION ALL a change "
+    "batch, keep the highest version per key via one row_number window — "
+    "how an engine without transactional MERGE applies incremental "
+    "updates. One shuffle on the merge key for |base|+|changes| rows; "
+    "with the base bucketed by key (sources/bucketed demo) only the "
+    "change batch shuffles, which is the production incremental-compaction "
+    "plan. The synthetic change batch (every 7th key re-priced at v2) is "
+    "derived deterministically so both engines merge identical inputs.",
+)
+def cdc_latest_wins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        _dec("o_totalprice").alias("price"),
+        F.lit(1).alias("version"),
+    )
+    upd = o.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("status"),
+        (_dec("o_totalprice") + 10).alias("price"),
+        F.lit(2).alias("version"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        base.unionByName(upd)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            F.col("status").alias("final_status"),
+            F.round(F.col("price").cast("double"), 4).alias("final_price"),
+            "version",
+        )
+    )

@@ -362,3 +362,58 @@ def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(v).cast("double"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "events_rolling_1h_stats",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+framed AS (
+  SELECT event_id, user_id, ts_sec,
+         COUNT(*) OVER w AS n_1h,
+         SUM(cents) OVER w AS sum_cents
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts_sec, n_1h,
+       CAST((200 * sum_cents + n_1h) // (2 * n_1h) AS BIGINT) / 10000.0 AS avg_1h
+FROM framed
+""",
+    doc="Time-based rolling aggregate (RANGE frame): per user, each event's "
+    "trailing-1h event count and mean value — the per-entity rolling "
+    "feature every fraud/abuse/rate-limit pipeline computes. RANGE frame "
+    "on epoch seconds (not ROWS — equal-timestamp peers must all join the "
+    "frame, which also makes the result tiebreak-free). ONE shuffle on "
+    "user_id + per-user sort; the running frame is O(1) memory per "
+    "partition. Mean is exact-integer half-up — the sliding_window trick.",
+)
+def q_events_rolling_1h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint").alias("ts_sec"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3599, 0)
+    framed = e.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("sum_cents"),
+    )
+    return framed.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        "n_1h",
+        (F.expr("(200 * sum_cents + n_1h) DIV (2 * n_1h)") / 10000.0).alias("avg_1h"),
+    )
