@@ -178,3 +178,43 @@ def q_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = wc.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(25)
     w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
     return top.withColumn("rnk", F.row_number().over(w))
+
+
+@register(
+    "mr_secondary_sort",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec, event_id, event_type
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       list(event_type ORDER BY ts_sec, event_id)[1:5] AS first5_types,
+       MIN(ts_sec) AS first_ts
+FROM e GROUP BY user_id
+""",
+    doc="Classic MapReduce 'secondary sort' (values ordered within each "
+    "key group — in the reference's model this needs a composite-key "
+    "partitioner + grouping comparator the framework doesn't have; "
+    "src/worker.rs:163-177 hands reducers UNORDERED value lists). "
+    "Spark-first form: collect_list(struct(sort_key, value)) + "
+    "sort_array — the per-key sort happens inside the aggregate "
+    "buffer, one shuffle, no global sort. Tie-broken on event_id so "
+    "the order (and hash) is total. At 100 TB the bounded per-user "
+    "event count keeps buffers small; unbounded keys would switch to "
+    "window row_number + filter (same single shuffle).",
+)
+def q_mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint").alias("ts_sec"),
+        "event_id",
+        "event_type",
+    )
+    ordered = F.sort_array(F.collect_list(F.struct("ts_sec", "event_id", "event_type")))
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.slice(F.transform(ordered, lambda s: s["event_type"]), 1, 5).alias("first5_types"),
+        F.min("ts_sec").alias("first_ts"),
+    )
