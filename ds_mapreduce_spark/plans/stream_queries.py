@@ -417,3 +417,103 @@ def q_events_rolling_1h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_1h",
         (F.expr("(200 * sum_cents + n_1h) DIV (2 * n_1h)") / 10000.0).alias("avg_1h"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+v AS (SELECT user_id, MIN(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.us) AS c_us
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.us > v.v_us GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.us) AS p_us
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.us > c.c_us GROUP BY e.user_id)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+       (SELECT COUNT(*) FROM v) AS n_viewed,
+       (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+""",
+    doc="Funnel analysis (view → click → purchase, strictly ordered in "
+    "time): the first-touch cascade — first view per user, first click "
+    "AFTER that view, first purchase AFTER that click — as three "
+    "aggregates chained by joins that all share the user_id "
+    "partitioning (one physical shuffle family, each stage's row count "
+    "shrinks monotonically). Timestamps compare as integer epoch-µs, so "
+    "strict 'after' is engine-exact. The single-row output is the "
+    "conversion report every product-analytics pipeline ships.",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    n_users = e.agg(F.count_distinct("user_id").alias("n_users"))
+    return (
+        n_users.crossJoin(F.broadcast(v.agg(F.count(F.lit(1)).alias("n_viewed"))))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click"))))
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH days AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+first_seen AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT d.user_id, f.cohort_day, d.day - f.cohort_day AS day_offset
+  FROM days d JOIN first_seen f ON d.user_id = f.user_id
+)
+SELECT cohort_day, day_offset, COUNT(*) AS n_active_users
+FROM activity WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+""",
+    doc="Cohort retention: users grouped by first-seen day, counted on "
+    "each of their first 7 active day-offsets — the retention triangle. "
+    "Day arithmetic is integer epoch-µs DIV 86400e6 (no date/timezone "
+    "functions cross the engine boundary). first_seen joins back on "
+    "user_id — the same partitioning as the groupBy that produced it, so "
+    "the fact passes through one shuffle; the (cohort, offset) matrix "
+    "agg is bounded by days², not data.",
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint").alias("day")
+    )
+    first_seen = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        days.join(first_seen, "user_id")
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .distinct()
+    )
+    return (
+        activity.where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
