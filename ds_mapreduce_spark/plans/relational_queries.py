@@ -1187,3 +1187,57 @@ def cdc_latest_wins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "version",
         )
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH y95 AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spent_1995
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY o_custkey
+),
+y96 AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spent_1996
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY o_custkey
+)
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+       ROUND(CAST(a.spent_1995 AS DOUBLE), 4) AS spent_1995,
+       ROUND(CAST(b.spent_1996 AS DOUBLE), 4) AS spent_1996,
+       CASE WHEN a.o_custkey IS NULL THEN 'only_1996'
+            WHEN b.o_custkey IS NULL THEN 'only_1995'
+            ELSE 'both' END AS presence
+FROM y95 a FULL OUTER JOIN y96 b ON a.o_custkey = b.o_custkey
+""",
+    doc="E11 full outer join: year-over-year spend per customer — "
+    "customers active in only one year survive on their side with NULLs "
+    "on the other (the one join type left/semi/anti can't emulate). Both "
+    "year aggregates and the join share the custkey partitioning: one "
+    "shuffle family, no broadcast (full outer can't broadcast — both "
+    "sides' unmatched rows must surface).",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def year_spend(y: int, alias: str) -> DataFrame:
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy(F.col("o_custkey").alias(f"ck_{y}"))
+            .agg(F.sum(_dec("o_totalprice")).alias(alias))
+        )
+
+    a = year_spend(1995, "s95")
+    b = year_spend(1996, "s96")
+    return a.join(b, a["ck_1995"] == b["ck_1996"], "full_outer").select(
+        F.coalesce(F.col("ck_1995"), F.col("ck_1996")).alias("custkey"),
+        F.round(F.col("s95").cast("double"), 4).alias("spent_1995"),
+        F.round(F.col("s96").cast("double"), 4).alias("spent_1996"),
+        F.when(F.col("ck_1995").isNull(), "only_1996")
+        .when(F.col("ck_1996").isNull(), "only_1995")
+        .otherwise("both")
+        .alias("presence"),
+    )
