@@ -1241,3 +1241,46 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("presence"),
     )
+
+
+@register(
+    "null_semantics",
+    oracle="""
+SELECT s_suppkey,
+       COALESCE(NULLIF(s_name, ''), '<unnamed>') AS name_or_default,
+       CASE WHEN s_acctbal < 0 THEN NULL
+            ELSE CAST(FLOOR(s_acctbal / 1000) AS BIGINT) END AS bal_band,
+       CASE WHEN (CASE WHEN s_acctbal < 0 THEN NULL
+                       ELSE CAST(FLOOR(s_acctbal / 1000) AS BIGINT) END)
+                 IS NOT DISTINCT FROM NULL
+            THEN 1 ELSE 0 END AS band_is_null,
+       CASE WHEN s_acctbal IS NULL THEN 'missing'
+            WHEN s_acctbal < 0 THEN 'debt' ELSE 'credit' END AS bal_class
+FROM supplier
+""",
+    doc="NULL-semantics scalar suite: NULLIF/COALESCE defaulting, a "
+    "NULL-producing CASE, null-safe equality (Spark `<=>` ≙ ANSI IS NOT "
+    "DISTINCT FROM), and three-valued CASE classification — the "
+    "SQL-dialect corner every engine must agree on before any outer-join "
+    "result can be trusted. Pure projection; nulls never reach the "
+    "comparison raw (band_is_null materializes the null test as 0/1).",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    band = F.when(
+        F.col("s_acctbal") < 0, F.lit(None).cast("bigint")
+    ).otherwise(F.floor(F.col("s_acctbal") / 1000).cast("bigint"))
+    return s.select(
+        "s_suppkey",
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("<unnamed>")).alias(
+            "name_or_default"
+        ),
+        band.alias("bal_band"),
+        F.when(band.eqNullSafe(F.lit(None).cast("bigint")), 1).otherwise(0).alias(
+            "band_is_null"
+        ),
+        F.when(F.col("s_acctbal").isNull(), "missing")
+        .when(F.col("s_acctbal") < 0, "debt")
+        .otherwise("credit")
+        .alias("bal_class"),
+    )

@@ -112,3 +112,14 @@ def test_q18_reuses_orderkey_partitioning(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q18_large_volume_customers")
     n = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n <= 2, plan
+
+
+def test_full_outer_never_broadcasts(spark, sf_dir):
+    """Full outer must surface unmatched rows from BOTH sides, so a
+    broadcast build is semantically unavailable — the plan has to be a
+    shuffle join sharing the aggs' custkey partitioning."""
+    plan = _plan(spark, sf_dir, "join_full_outer")
+    assert "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+    n = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n <= 2, plan
