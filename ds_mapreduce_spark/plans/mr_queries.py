@@ -189,7 +189,7 @@ WITH e AS (
 )
 SELECT user_id,
        COUNT(*) AS n_events,
-       list(event_type ORDER BY ts_sec, event_id)[1:5] AS first5_types,
+       array_to_string(list(event_type ORDER BY ts_sec, event_id)[1:5], ',') AS first5_types,
        MIN(ts_sec) AS first_ts
 FROM e GROUP BY user_id
 """,
@@ -202,19 +202,23 @@ FROM e GROUP BY user_id
     "buffer, one shuffle, no global sort. Tie-broken on event_id so "
     "the order (and hash) is total. At 100 TB the bounded per-user "
     "event count keeps buffers small; unbounded keys would switch to "
-    "window row_number + filter (same single shuffle).",
+    "window row_number + filter (same single shuffle). Output joins "
+    "the first-5 list to a CSV string: the driver canonicalizer hashes "
+    "atomic columns only (tests/test_driver_contract.py).",
 )
 def q_mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "user_id",
-        (F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint").alias("ts_sec"),
+        F.expr("unix_micros(ts) DIV 1000000").alias("ts_sec"),
         "event_id",
         "event_type",
     )
     ordered = F.sort_array(F.collect_list(F.struct("ts_sec", "event_id", "event_type")))
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.slice(F.transform(ordered, lambda s: s["event_type"]), 1, 5).alias("first5_types"),
+        F.array_join(
+            F.slice(F.transform(ordered, lambda s: s["event_type"]), 1, 5), ","
+        ).alias("first5_types"),
         F.min("ts_sec").alias("first_ts"),
     )

@@ -33,7 +33,7 @@ def test_approx_distinct_within_bound(spark, sf_dir):
 
 def test_approx_percentile_close_to_exact(spark, sf_dir):
     rows = {
-        r.l_returnflag: r.approx_qty_p50_p90
+        r.l_returnflag: (r.approx_qty_p50, r.approx_qty_p90)
         for r in REGISTRY["agg_approx_suite"].fn(spark, sf_dir).collect()
     }
     li = load_table(spark, sf_dir, "lineitem")

@@ -1,0 +1,82 @@
+"""Locks the driver-output contract that round-1 grading tripped on.
+
+The driver canonicalizes results in pandas (sort columns by name, sort
+rows, hash values): container-typed columns (array/map/struct) raise
+``unhashable type: 'list'`` and void the CORRECTNESS row, and raw
+temporal columns hash differently across engines (CLAUDE.md invariant:
+epoch seconds or formatted strings only). The driver also checks only
+the FIRST 50 registry entries, so that window must span every
+capability family of SURVEY.md §2 — round 1 spent all 50 slots on
+three modules and left E8/E9/E13/E14 ungraded.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    DateType,
+    MapType,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+from ds_mapreduce_spark.plans.registry import PRIORITY, load_all
+
+REGISTRY = load_all()
+
+CONTAINER = (ArrayType, MapType, StructType)
+TEMPORAL = (TimestampType, TimestampNTZType, DateType)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_output_columns_are_atomic_and_portable(spark, sf_dir, name):
+    schema = REGISTRY[name].fn(spark, sf_dir).schema
+    for f in schema.fields:
+        assert not isinstance(f.dataType, CONTAINER), (
+            f"{name}.{f.name} is {f.dataType.simpleString()}: the driver "
+            "canonicalizer cannot hash container values — stringify "
+            "(array_join) or split into scalar columns"
+        )
+        assert not isinstance(f.dataType, TEMPORAL), (
+            f"{name}.{f.name} is {f.dataType.simpleString()}: raw temporal "
+            "columns hash differently across engines — emit epoch seconds "
+            "(unix_micros DIV 1000000) or a formatted string"
+        )
+
+
+def test_check_window_is_exactly_the_priority_list():
+    """The driver grades registry entries in dict order; the first 50
+    must be the curated PRIORITY window, not import-order accidents."""
+    assert len(PRIORITY) == 50
+    assert tuple(REGISTRY)[: len(PRIORITY)] == PRIORITY
+
+
+def test_check_window_spans_every_family():
+    """Every plan module (= capability family) lands at least one query
+    inside the driver's 50-entry check window."""
+    windowed_modules = {
+        REGISTRY[name].fn.__module__.rsplit(".", 1)[-1] for name in PRIORITY
+    }
+    all_modules = {q.fn.__module__.rsplit(".", 1)[-1] for q in REGISTRY.values()}
+    assert windowed_modules == all_modules, (
+        f"families with no graded query: {sorted(all_modules - windowed_modules)}"
+    )
+
+
+def test_check_window_covers_the_round1_dark_families():
+    """The specific queries VERDICT r1 called out as never graded."""
+    must_grade = {
+        "knn_bruteforce", "knn_ivf",                      # E8
+        "text_stats", "tfidf_top_terms", "decontamination",
+        "stratified_sample",                              # E9
+        "events_tumbling_window", "events_sliding_window",
+        "events_sessionization", "events_json_extract",
+        "events_funnel",                                  # E13/E14
+        "asof_join_click_purchase", "range_join_price_bands",  # temporal
+        "join_full_outer", "q15_top_supplier",
+        "q19_disjunctive_predicates", "null_semantics",   # relational tail
+        "kv_text_roundtrip",                              # R1/R4-R6
+    }
+    assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))

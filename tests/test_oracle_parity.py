@@ -73,7 +73,9 @@ def test_query_matches_oracle(spark, sf_dir, name):
     spark_cols = sdf.columns
 
     if q.oracle is None:
-        assert len(spark_rows) >= 0  # rows-only contract: it runs
+        # rows-only contract: it runs AND produces something — a query
+        # regressing to an empty result must not pass silently (ADVICE r1)
+        assert len(spark_rows) > 0, f"{name}: rows-only query returned 0 rows"
         return
 
     con = _duck(sf_dir)
