@@ -282,7 +282,9 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10
 """.format(price=_SQL_PRICE, disc=_SQL_DISC),
     doc="TPC-H Q3 (adapted): 3-way join + agg + deterministic top-10. "
-    "customer is broadcast; orders⋈lineitem shuffles on orderkey.",
+    "orders⋈lineitem shuffles on orderkey. customer scales with SF, so it "
+    "carries NO broadcast hint — AQE picks broadcast at small scale and "
+    "shuffle join at 100 TB (a forced hint would OOM the driver).",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
@@ -294,7 +296,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(_dec("l_extendedprice") * _one_minus_disc()).cast("double"), 4).alias(
@@ -327,8 +329,10 @@ WHERE r_name = 'ASIA'
   AND o_orderdate <  TIMESTAMP '1998-01-01'
 GROUP BY n_name
 """.format(price=_SQL_PRICE, disc=_SQL_DISC),
-    doc="TPC-H Q5 (adapted): 6-way star join. All dims broadcast; the only "
-    "shuffles are lineitem⋈orders on orderkey and the final small agg.",
+    doc="TPC-H Q5 (adapted): 6-way star join. Only the CONSTANT-size dims "
+    "(nation 25 rows, region 5) carry broadcast hints; customer/supplier "
+    "scale with SF, so their join strategy is left to size stats + AQE — "
+    "broadcast at small scale, shuffle join at 100 TB.",
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -342,9 +346,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -506,7 +510,8 @@ GROUP BY p.p_brand
     "aggregate re-joined to the fact — the rewrite every optimizer does. "
     "The avg comparison is exact integer-decimal arithmetic "
     "(qty·cnt·5 < sum), immune to division rounding. Two shuffles: "
-    "per-part agg + the final brand agg; the part dim broadcasts.",
+    "per-part agg + the final brand agg; part scales with SF so its join "
+    "is unhinted (AQE decides broadcast vs shuffle).",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -516,7 +521,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
     )
     joined = (
-        li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey", "p_brand"), li.l_partkey == F.col("p_partkey"))
         .join(per_part, "l_partkey")
         .where(_dec("l_quantity") * F.col("cnt") * 5 < F.col("sum_qty"))
     )
@@ -543,9 +548,10 @@ LIMIT 20
 """,
     doc="TPC-H Q10 shape: returned-item revenue per customer, top 20. "
     "Fact filter pushes to the scan; orders joins lineitem on orderkey "
-    "(the one potentially-large join — SMJ+AQE at scale), customer and "
-    "nation broadcast; top-k via TakeOrderedAndProject with a "
-    "deterministic tiebreak.",
+    "(the one potentially-large join — SMJ+AQE at scale). nation (25 rows, "
+    "constant) is hinted broadcast; customer scales with SF so its join "
+    "is unhinted — AQE broadcasts it at small scale only. Top-k via "
+    "TakeOrderedAndProject with a deterministic tiebreak.",
 )
 def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
@@ -554,7 +560,7 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     rev = joined.groupBy("c_custkey", "c_name", "n_name").agg(
@@ -943,8 +949,9 @@ JOIN customer c ON c.c_custkey = o.o_custkey
     doc="TPC-H Q18 (large-volume customers): HAVING on a fact-table "
     "aggregate, re-joined to orders and customer. The per-orderkey agg is "
     "the only big shuffle; its ~1%-selective survivor set then joins "
-    "orders on the SAME key (no re-shuffle under AQE) and the customer "
-    "dim broadcasts. Quantity sums on DECIMAL, rounded only at output.",
+    "orders on the SAME key (no re-shuffle under AQE); the customer join "
+    "is unhinted (customer scales with SF — AQE broadcasts only when it "
+    "fits). Quantity sums on DECIMAL, rounded only at output.",
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -957,7 +964,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_custkey",
             "o_orderkey",
@@ -989,8 +996,9 @@ SELECT ROUND(CAST(num AS DOUBLE), 4) AS promo_revenue,
 FROM s
 """,
     doc="TPC-H Q14 (promo revenue ratio): conditional-vs-total aggregate "
-    "ratio in one pass over a month of the fact table joined to the "
-    "broadcast part dim. The ratio is computed half-up in EXACT integer "
+    "ratio in one pass over a month of the fact table joined to the part "
+    "dim (unhinted — part scales with SF; AQE broadcasts it only while it "
+    "fits). The ratio is computed half-up in EXACT integer "
     "basis points ((2·S·n + d) DIV 2d on the 1e-4-unit decimal sums) — "
     "float division at a rounding boundary is engine-dependent, integer "
     "arithmetic is not. Single-row output; month filter pushes to the scan.",
@@ -1002,7 +1010,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = _t(spark, sf_dir, "part")
     rev = (_dec("l_extendedprice") * _one_minus_disc()).alias("rev")
-    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(rev, "p_type")
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey")).select(rev, "p_type")
     zero = F.lit(0).cast("decimal(16,4)")
     agg = j.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(zero)).alias("num"),
@@ -1030,9 +1038,10 @@ WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
 GROUP BY p_brand, p_type, p_size
 """,
     doc="TPC-H Q16 shape (supplier variety per part group; lineitem stands "
-    "in for the absent partsupp): exclusion-filtered broadcast dim join + "
-    "NOT IN anti-subquery (broadcast left-anti on the tiny bad-supplier "
-    "set) + COUNT(DISTINCT). The distinct dedups map-side on "
+    "in for the absent partsupp): exclusion-filtered dim join + NOT IN "
+    "anti-subquery (left-anti on the bad-supplier set) + COUNT(DISTINCT). "
+    "Both part and the supplier subset scale with SF, so neither join is "
+    "hinted — AQE decides. The distinct dedups map-side on "
     "(group, suppkey) before the final count — two-phase, skew-safe.",
 )
 def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,8 +1053,8 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -1064,13 +1073,14 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
     doc="TPC-H Q19 (OR-of-ANDs over both join sides): Catalyst derives the "
     "single-side residuals from the disjunction — l_quantity BETWEEN 1 AND "
     "30 pushes to the lineitem scan, the brand/size union filters the "
-    "broadcast part build side — so the join probes a pre-pruned fraction "
-    "of the fact table even though no single conjunct is common.",
+    "part build side (unhinted — AQE picks broadcast while part fits) — "
+    "so the join probes a pre-pruned fraction of the fact table even "
+    "though no single conjunct is common.",
 )
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
     q = F.col("l_quantity")
     clause = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
@@ -1103,9 +1113,10 @@ WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
     doc="TPC-H Q15 (top supplier): a quarter's revenue per supplier, keep "
     "the row(s) equal to the global MAX — the max-of-aggregate + join-back "
     "shape (ties all survive, no arbitrary LIMIT 1). The per-supplier agg "
-    "shuffles once; the 1-row MAX broadcasts back as a semi-filter; the "
-    "supplier dim broadcasts. Revenue compared on DECIMAL — equality "
-    "against a float max would be engine-dependent.",
+    "shuffles once; the 1-row MAX broadcasts back as a semi-filter (hinted "
+    "— always 1 row); the supplier join is unhinted (supplier scales with "
+    "SF). Revenue compared on DECIMAL — equality against a float max "
+    "would be engine-dependent.",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
@@ -1119,7 +1130,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(mx), rev["total_rev"] == mx["mx"])
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
