@@ -968,9 +968,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "o_orderkey",
-            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(1000000))
-            .cast("bigint")
-            .alias("order_epoch"),
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000000").alias(
+                "order_epoch"
+            ),
             F.round(F.col("__tq").cast("double"), 4).alias("total_qty"),
         )
     )

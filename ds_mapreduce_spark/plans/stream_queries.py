@@ -399,7 +399,7 @@ def q_events_rolling_1h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.select(
         "event_id",
         "user_id",
-        (F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint").alias("ts_sec"),
+        F.expr("unix_micros(ts) DIV 1000000").alias("ts_sec"),
         (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3599, 0)
@@ -504,7 +504,7 @@ GROUP BY cohort_day, day_offset
 def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     days = ev.select(
-        "user_id", (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint").alias("day")
+        "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
     )
     first_seen = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     activity = (

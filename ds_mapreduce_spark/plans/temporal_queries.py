@@ -49,8 +49,8 @@ def q_asof_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        (F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint").alias("click_sec"),
-        (F.unix_micros("asof_ts") / F.lit(1_000_000)).cast("bigint").alias("last_purchase_sec"),
+        F.expr("unix_micros(ts) DIV 1000000").alias("click_sec"),
+        F.expr("unix_micros(asof_ts) DIV 1000000").alias("last_purchase_sec"),
     )
 
 

@@ -59,16 +59,11 @@ def sessionize_batch(events: DataFrame, gap_sec: int = DEFAULT_GAP_SEC) -> DataF
         .select("user_id", "ts", F.sum("new_s").over(run).alias("session_id"))
         .groupBy("user_id", "session_id")
         .agg(
-            (F.min(F.unix_micros(F.col("ts"))) / F.lit(1_000_000))
-            .cast("bigint")
-            .alias("session_start"),
+            F.expr("min(unix_micros(ts)) DIV 1000000").alias("session_start"),
             F.count(F.lit(1)).alias("n_events"),
-            (
-                (F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts"))))
-                / F.lit(1_000_000)
-            )
-            .cast("bigint")
-            .alias("span_sec"),
+            F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) DIV 1000000").alias(
+                "span_sec"
+            ),
         )
     )
 
