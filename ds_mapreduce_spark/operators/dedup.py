@@ -210,15 +210,23 @@ def _block_pairs(profiles: DataFrame, payload: list[str]) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> DataFrame:
     """Near-dup pairs by exact k-gram Jaccard on blocked candidates.
 
-    A length prefilter (|A|/|B| must be ≥ τ for J ≥ τ) discards most
-    false candidates before the set intersection — integer-exact, so
-    the oracle reproduces it bit-for-bit.
+    A length prefilter discards most false candidates before the set
+    intersection. Its bound is IMPLIED by the half-up-rounded acceptance
+    predicate, not by the raw threshold: the best possible Jaccard for
+    sizes (n_a, n_b) is min/max (subset case, i=min, u=max), and the
+    acceptance ``(20000·i + u) DIV (2·u) >= T`` (T = threshold·10⁴)
+    rewrites to ``20000·i >= (2T−1)·u`` — so a pair survives the filter
+    iff ``20000·min >= (2T−1)·max``. A strict ratio ≥ τ filter would be
+    TIGHTER than acceptance and could drop a pair whose rounded Jaccard
+    equals exactly τ while the (prefilter-free) oracle keeps it; this
+    form is provably equivalent, so the oracle reproduces it
+    bit-for-bit at any document sizes.
     """
     pairs = _block_pairs(shingle_profiles(docs, k), ["sh", "n_shingles"])
-    thr_num, thr_den = int(threshold * 100), 100
+    t4 = int(threshold * 10000)
     sized = pairs.where(
-        (F.col("a.n_shingles") * thr_num <= F.col("b.n_shingles") * thr_den)
-        & (F.col("b.n_shingles") * thr_num <= F.col("a.n_shingles") * thr_den)
+        (F.col("a.n_shingles") * (2 * t4 - 1) <= F.col("b.n_shingles") * 20000)
+        & (F.col("b.n_shingles") * (2 * t4 - 1) <= F.col("a.n_shingles") * 20000)
     )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("long")
     union = (F.col("a.n_shingles") + F.col("b.n_shingles")).cast("long") - inter

@@ -287,7 +287,7 @@ def q_doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_name_pairs",
     oracle=r"""
 WITH names AS (
-  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS blk FROM part
+  SELECT DISTINCT p_name, list_extract(string_split(p_name, ' '), -1) AS blk FROM part
 )
 SELECT a.p_name AS name_a, b.p_name AS name_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist

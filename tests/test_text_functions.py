@@ -84,6 +84,77 @@ def test_ngram_jaccard_finds_planted_near_dup(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_ngram_jaccard_prefilter_keeps_boundary_pair(spark):
+    """The size prefilter must be EXACTLY the bound implied by the
+    half-up-rounded acceptance predicate, not the raw ratio >= τ: a
+    subset pair with sizes (15999, 20000) has Jaccard 0.79995, which
+    rounds half-up to 0.8000 — the oracle (no prefilter) keeps it, so
+    the operator must too. A strict `min/max >= 0.8` filter (the r2
+    bug) drops it: 15999/20000 = 0.79995 < 0.8."""
+    import hashlib
+
+    def py_token_hash(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+    n_big, n_small = 20000, 15999  # smallest integer boundary case
+    toks = [f"t{i}x" for i in range(n_big + 2)]  # unique → distinct shingles
+    hs = [py_token_hash(t) % HASH_P for t in toks]
+    sh = [
+        sum(c * h for c, h in zip(SHINGLE_C, hs[i : i + 3])) % HASH_P
+        for i in range(n_big)
+    ]
+    assert len(set(sh)) == n_big, "hash collision broke the fixture"
+    # doc_b must share doc_a's block (the min shingle) AND be a strict
+    # shingle subset: take the prefix or suffix that contains the argmin
+    m = sh.index(min(sh))
+    if m < n_small:
+        small_toks = toks[: n_small + 2]
+    else:
+        small_toks = toks[-(n_small + 2):]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(small_toks))], "doc_id long, text string"
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, threshold=0.8).collect()}
+    assert got == {(1, 2): 0.8}
+
+
+def test_fuzzy_name_pairs_blocks_on_last_token_both_engines(spark, tmp_path):
+    """Spark blocks on the LAST name token; the oracle must too. With
+    the generated 2-token part names the 2nd token IS the last one, so
+    an oracle blocking on token 2 (the r2 bug) passes silently — this
+    fixture uses 3-token names where token 2 differs but the last
+    matches, which only agrees if both engines block on the last."""
+    import duckdb
+    import pandas as pd
+
+    from ds_mapreduce_spark.plans.registry import load_all
+
+    reg = load_all()["fuzzy_name_pairs"]
+    names = [
+        "alpha beta gamma",   # pairs with the next one: last token equal,
+        "alpha zeta gamma",   # 2nd token differs, levenshtein 1
+        "alpha beta delta",   # different last token: must NOT pair
+        "omega psi",          # 2-token name still blocks on its last
+        "omega phi",
+    ]
+    pd.DataFrame({"p_partkey": range(len(names)), "p_name": names}).to_parquet(
+        tmp_path / "part.parquet"
+    )
+    sdf = reg.fn(spark, str(tmp_path))
+    spark_rows = sorted(tuple(r) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM '{tmp_path}/part.parquet'")
+    cols = sdf.columns
+    oracle_rows = sorted(
+        tuple(r) for r in con.sql(reg.oracle).df()[cols].itertuples(index=False)
+    )
+    assert spark_rows == oracle_rows
+    assert ("alpha beta gamma", "alpha zeta gamma", 1) in spark_rows
+    assert all("delta" not in (a + b) for a, b, _ in spark_rows)
+
+
 def test_simhash_identical_docs_have_zero_hamming(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")],
