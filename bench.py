@@ -34,7 +34,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "knn_bruteforce",
+    "knn_ivf",
     "events_sliding_window",
+    "events_rolling_1h_stats",
     "events_sessionization",
     "asof_join_click_purchase",
     "q10_returned_item_customers",
