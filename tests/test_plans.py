@@ -172,6 +172,38 @@ def test_q19_derives_single_side_filters_from_disjunction(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 1
 
 
+def _pure_inequality_joins(spark, sf_dir, name: str) -> list[str]:
+    """Join nodes in the optimized logical plan whose condition contains
+    ONLY inequality comparisons — the signature of an O(n²) pair join
+    (`id_a < id_b` self-join). A broadcast crossJoin against a bounded
+    side has NO condition, and equi-joins (incl. `NOT (a = b)` residuals
+    and bucketed range joins) keep an `=`; neither matches."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    hits = []
+    for line in plan.splitlines():
+        m = re.search(r"\bJoin (\w+), (.+)$", line)
+        if m and "=" not in re.sub(r"[<>!]=|=!=", "", m.group(2)):
+            hits.append(line.strip())
+    return hits
+
+
+def test_quadratic_baseline_unreachable_from_headline(spark, sf_dir):
+    """`embedding_cosine_pairs` is the LABELED exact-quadratic baseline
+    (non-equi id_a < id_b self-join). It may exist for validation, but
+    nothing on the headline/bench path — which includes the driver's
+    flagship entry() query — may contain a pure-inequality pair join.
+    First assert the detector fires on the baseline itself, so a plan
+    format change can't silently blind this test."""
+    assert _pure_inequality_joins(spark, sf_dir, "dedup_embedding_cosine")
+
+    import bench
+
+    for name in bench.HEADLINE:
+        hits = _pure_inequality_joins(spark, sf_dir, name)
+        assert hits == [], f"{name} reaches a quadratic pair join: {hits}"
+
+
 def test_q4_semi_join_with_residual_stays_single_shuffle(spark, sf_dir):
     """EXISTS with a cross-table date inequality must compile to ONE
     semi join carrying the residual — not a join + dedup, and never a
