@@ -87,7 +87,10 @@ PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "stratified_sample",
     "lang_id_heuristic",
-    "doc_winnowing_fingerprints",
+    # doc_winnowing_fingerprints sits just outside the window: its
+    # machinery (shared generated oracle) is graded via decontamination,
+    # freeing the slot for the R4 wholetext sub-mode
+    "wholetext_file_stats",
     "dedup_ngram_jaccard",
     "dedup_minhash_verified",
     "dedup_simhash",

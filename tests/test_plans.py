@@ -151,8 +151,10 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         ("asof_join_click_purchase", 1),
         ("dedup_simhash", 2),       # chunk self-join + distinct
         ("dedup_minhash_lsh", 2),   # band groupBy + pair distinct
-        ("q14_promo_revenue_ratio", 1),   # month scan + broadcast part, single-row agg
+        ("q14_promo_revenue_ratio", 1),   # month scan + AQE-decided part join, single-row agg
         ("q13_order_count_distribution", 2),  # custkey join+agg share one shuffle
+        ("kv_text_roundtrip", 1),         # line re-scan + one aggregation shuffle
+        ("wholetext_file_stats", 1),      # whole-file re-scan + one aggregation shuffle
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
