@@ -34,8 +34,9 @@ of 32·5^b makes that systematic, not rare).
 Scale notes (100 TB): blocking keys (min-shingle-md5, LSH bands,
 simhash chunks) turn the pair space into groupBy-sized buckets; the
 self-joins are equi-joins on those keys. Skewed buckets are handled
-by AQE skew-join; at true 100 TB additionally drop shingles with
-doc-frequency above a cap — they carry no dedup signal.
+by AQE skew-join; at true 100 TB additionally pass
+``max_shingle_df`` (``capped_shingle_profiles``) to drop shingles
+with doc-frequency above a cap — they carry no dedup signal.
 """
 
 from __future__ import annotations
@@ -175,6 +176,47 @@ def shingle_profiles(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def capped_shingle_profiles(
+    docs: DataFrame, k: int = 3, max_shingle_df: int | None = None
+) -> DataFrame:
+    """``shingle_profiles`` with an optional corpus doc-frequency cap:
+    shingles appearing in more than ``max_shingle_df`` documents are
+    dropped before signatures/blocking — they carry no dedup signal
+    (boilerplate, headers) but create giant LSH buckets and hot blocks.
+    Default ``None`` = off, so graded oracles are untouched.
+
+    Scale (100 TB): the df pass is one explode+count shuffle
+    (partial-aggregated map-side); the hot set is bounded by
+    total_shingle_instances / cap — tiny for any useful cap — and
+    collapses to a single-row array that broadcasts, so the removal is
+    a map-only ``array_except`` with NO per-doc shuffle. Docs whose
+    shingles are all hot drop out (nothing left to block on). Exact
+    verification should still run on UNCAPPED profiles — the cap is a
+    candidate-generation device, not a similarity redefinition.
+    """
+    p = shingle_profiles(docs, k)
+    if max_shingle_df is None:
+        return p
+    hot = (
+        p.select(F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_shingle_df)
+        .agg(F.collect_list("s").alias("hot"))
+    )
+    return (
+        p.crossJoin(F.broadcast(hot))
+        .select("doc_id", F.array_except("sh", "hot").alias("sh"))
+        .where(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            "sh",
+            F.size("sh").alias("n_shingles"),
+            F.array_min("sh").alias("block"),
+        )
+    )
+
+
 def _block_pairs(profiles: DataFrame, payload: list[str]) -> DataFrame:
     """All (a, b) doc pairs sharing a block, via ONE computation of the
     profile subtree: groupBy(block) → collect_list → explode nested
@@ -241,16 +283,23 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> 
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 8) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
     """(doc_id, h0..h{n-1}) MinHash signature columns, md5-derived.
 
     Hash family: seed-prefixed md5 split into four 8-hex-char chunks —
     ``h[4·seed + j] = min over shingles of md5(seed||':'||s)[8j..8j+8)``.
     One md5 pass per seed (¼ the hashing of a per-hash md5) and still
     engine-portable. All computed in a single no-shuffle projection.
+    ``max_shingle_df`` (default off) drops corpus-hot shingles first —
+    see ``capped_shingle_profiles``.
     """
     assert num_hashes <= len(MINHASH_AB), "extend MINHASH_AB for more hashes"
-    p = shingle_profiles(docs, k)
+    p = capped_shingle_profiles(docs, k, max_shingle_df)
 
     # closure factory: F.transform treats a 2-arg lambda as
     # (element, index), so loop variables must be captured by closure,
@@ -265,12 +314,18 @@ def minhash_signatures(docs: DataFrame, k: int = 3, num_hashes: int = 8) -> Data
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, k: int = 3, num_hashes: int = 8, band_size: int = 2
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding: docs agreeing on
     ALL hashes of any band are candidates (standard LSH recall/precision
-    trade; verify with ngram_jaccard_pairs for the filtered version)."""
-    sig = minhash_signatures(docs, k, num_hashes)
+    trade; verify with ngram_jaccard_pairs for the filtered version).
+    ``max_shingle_df`` (default off) is the 100 TB hot-bucket guard —
+    see ``capped_shingle_profiles``."""
+    sig = minhash_signatures(docs, k, num_hashes, max_shingle_df)
     n_bands = num_hashes // band_size
     band_structs = F.array(
         *[
@@ -318,6 +373,7 @@ def minhash_verified_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """The production dedup pipeline: MinHash-LSH candidate generation
     (recall) followed by exact Jaccard verification (100% precision).
@@ -325,8 +381,10 @@ def minhash_verified_pairs(
     Candidates join back to the shingle profiles; at 100 TB the
     profiles are persisted once (columnar) and both stages read them —
     the candidate set is O(n·bands), so the verify join is tiny
-    relative to the corpus."""
-    cand = minhash_lsh_pairs(docs, k, num_hashes, band_size)
+    relative to the corpus. ``max_shingle_df`` caps candidate
+    generation only; verification always scores UNCAPPED shingle sets,
+    so a cap can lower recall but never changes a reported Jaccard."""
+    cand = minhash_lsh_pairs(docs, k, num_hashes, band_size, max_shingle_df)
     prof = shingle_profiles(docs, k).select("doc_id", "sh", "n_shingles")
     a = prof.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_shingles").alias("n_a")

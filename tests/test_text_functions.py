@@ -119,6 +119,42 @@ def test_ngram_jaccard_prefilter_keeps_boundary_pair(spark):
     assert got == {(1, 2): 0.8}
 
 
+def test_shingle_df_cap_drops_corpus_hot_shingles(spark):
+    """capped_shingle_profiles: a shingle shared by every doc carries no
+    dedup signal; with max_shingle_df it must vanish from every profile
+    (n_shingles/block recomputed), docs with nothing left drop out, and
+    cap=None must be byte-identical to the uncapped profiles."""
+    from ds_mapreduce_spark.operators.dedup import capped_shingle_profiles
+
+    boiler = "standard header line here"  # same leading shingles everywhere
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " unique alpha beta"),
+            (2, boiler + " unique alpha beta"),   # true dup of 1
+            (3, boiler + " totally different tail"),
+            (4, boiler),                          # ONLY boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    plain = {r["doc_id"]: set(r["sh"]) for r in shingle_profiles(df).collect()}
+    hot = plain[4]  # every doc contains doc 4's shingles
+    assert all(hot <= shs for shs in plain.values())
+
+    capped = {
+        r["doc_id"]: (set(r["sh"]), r["n_shingles"], r["block"])
+        for r in capped_shingle_profiles(df, max_shingle_df=3).collect()
+    }
+    assert 4 not in capped  # nothing left after the cap
+    for doc_id, (shs, n, blk) in capped.items():
+        assert not (shs & hot), f"doc {doc_id} kept a hot shingle"
+        assert shs == plain[doc_id] - hot
+        assert n == len(shs) and blk == min(shs)
+
+    nocap = {r["doc_id"]: set(r["sh"])
+             for r in capped_shingle_profiles(df, max_shingle_df=None).collect()}
+    assert nocap == plain
+
+
 def test_fuzzy_name_pairs_blocks_on_last_token_both_engines(spark, tmp_path):
     """Spark blocks on the LAST name token; the oracle must too. With
     the generated 2-token part names the 2nd token IS the last one, so
