@@ -1296,3 +1296,193 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("credit")
         .alias("bal_class"),
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(CAST(SUM(rev) AS DOUBLE), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+         {_SQL_PRICE} * {_SQL_DISC} AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7 (volume shipping, adapted): the same fact row reaches two "
+    "DIFFERENT nation dims — supplier-side via supplier, customer-side via "
+    "orders->customer — with a disjunctive cross-nation pair predicate. "
+    "Both nation copies are constant-size (25 rows) and broadcast; the "
+    "pair filter is applied to each broadcast copy BEFORE the join so the "
+    "supplier/customer joins only keep pair-nation rows (semi-join "
+    "reduction), and the residual disjunction then removes the two "
+    "same-nation combinations. customer/supplier joins are unhinted "
+    "(AQE-decided; shuffle joins at 100 TB). Ship-date range pushes to "
+    "the parquet scan. Revenue aggregates on DECIMAL.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ("NATION_18", "NATION_19")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * _one_minus_disc()).cast("double"), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+WITH all_orders AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         {_SQL_PRICE} * {_SQL_DISC} AS rev,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0 END) AS DOUBLE), 4)
+         AS nation_revenue,
+       ROUND(CAST(SUM(rev) AS DOUBLE), 4) AS total_revenue,
+       (20000 * CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0 END) * 10000 AS BIGINT)
+        + CAST(SUM(rev) * 10000 AS BIGINT))
+         // (2 * CAST(SUM(rev) * 10000 AS BIGINT)) AS mkt_share_bp
+FROM all_orders
+GROUP BY o_year
+""",
+    doc="TPC-H Q8 (market share, adapted): NATION_1's share of the AMERICA "
+    "region's ECONOMY-part market by order year — a conditional-sum / "
+    "total-sum ratio per group, computed half-up in EXACT integer basis "
+    "points on the 1e-4-unit decimal sums (float division at a rounding "
+    "boundary is engine-dependent). 7-way star join: nation/region "
+    "broadcast (constant dims, customer-side region filter applied to the "
+    "broadcast copy), part/supplier/customer/orders unhinted (AQE). The "
+    "p_type filter reduces the fact before the wide joins.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
+    rev = (_dec("l_extendedprice") * _one_minus_disc()).alias("rev")
+    zero = F.lit(0).cast("decimal(16,4)")
+    joined = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .select(F.year("o_orderdate").alias("o_year"), rev, "supp_nation")
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("rev")).otherwise(zero)).alias(
+            "num"
+        ),
+        F.sum("rev").alias("den"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("num").cast("double"), 4).alias("nation_revenue"),
+        F.round(F.col("den").cast("double"), 4).alias("total_revenue"),
+        F.expr(
+            "(20000 * CAST(num * 10000 AS BIGINT) + CAST(den * 10000 AS BIGINT))"
+            " DIV (2 * CAST(den * 10000 AS BIGINT))"
+        ).alias("mkt_share_bp"),
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+SELECT n_name AS supp_nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       ROUND(CAST(SUM({_SQL_PRICE} * {_SQL_DISC}
+                      - CAST(p_retailprice AS DECIMAL(12,2)) * {_SQL_QTY}
+                        * CAST(0.6 AS DECIMAL(2,1))) AS DOUBLE), 4) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+""",
+    doc="TPC-H Q9 (product-type profit, adapted): profit by supplier nation "
+    "and order year for parts whose name matches a token. The schema has "
+    "no partsupp, so unit cost is proxied as 60% of p_retailprice; the "
+    "profit expression (revenue minus cost) is computed entirely on "
+    "DECIMAL — including the 0.6 factor as DECIMAL(2,1), so the product "
+    "is exact in both engines — and cast to DOUBLE only at output. "
+    "LIKE-on-name pushes into the part scan; nation broadcasts "
+    "(constant); part/supplier/orders joins are unhinted (AQE picks "
+    "broadcast while part fits, shuffle join at 100 TB).",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = _dec("l_extendedprice") * _one_minus_disc() - _dec("p_retailprice") * _dec(
+        "l_quantity"
+    ) * F.lit(0.6).cast("decimal(2,1)")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 4).alias("profit"))
+    )

@@ -233,3 +233,41 @@ def test_full_outer_never_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
     n = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n <= 2, plan
+
+
+def test_q7_broadcasts_only_the_two_nation_copies(spark, sf_dir):
+    """Q7 reaches nation twice (supplier-side and customer-side); both
+    copies are constant-size and pre-filtered to the pair, and they are
+    the ONLY forced broadcasts. The ship-date range pushes to the fact
+    scan so the wide joins see two years, not the whole table."""
+    hints = _hint_subtrees(spark, sf_dir, "q7_volume_shipping")
+    assert len(hints) == 2, hints
+    for sub in hints:
+        assert re.search(r"\bn_nationkey#", sub)
+        for t, pat in SCALING_TABLE_ATTRS.items():
+            assert not re.search(pat, sub), f"scaling table {t} in hint"
+    plan = _plan(spark, sf_dir, "q7_volume_shipping")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_q8_pushes_part_type_and_hints_only_constant_dims(spark, sf_dir):
+    """Q8's 7-way join: the ECONOMY filter must reach the part scan
+    (the fact-reducing filter of the query), and the only forced
+    broadcasts are the two nation copies + region."""
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("p_type" in p and "EqualTo" in p for p in pushed), pushed
+    hints = _hint_subtrees(spark, sf_dir, "q8_market_share")
+    assert len(hints) == 3, hints
+
+
+def test_q9_pushes_name_contains_into_part_scan(spark, sf_dir):
+    """Q9's LIKE '%widget%' compiles to StringContains and must push
+    into the part scan — losing it joins the full part table before
+    filtering."""
+    plan = _plan(spark, sf_dir, "q9_product_type_profit")
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("p_name" in p for p in pushed), pushed
+    hints = _hint_subtrees(spark, sf_dir, "q9_product_type_profit")
+    assert len(hints) == 1, hints
