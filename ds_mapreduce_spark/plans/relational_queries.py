@@ -1486,3 +1486,207 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(profit).cast("double"), 4).alias("profit"))
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+SELECT DISTINCT p_partkey, p_name, s_name, l_extendedprice AS min_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND p_size < 10
+  AND l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+    JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+""",
+    doc="TPC-H Q2 shape (adapted; no partsupp, so lineitem prices act as "
+    "the offer list): for each small part, the EUROPE suppliers whose "
+    "line price equals the part's EUROPE-wide minimum — the canonical "
+    "correlated scalar-MIN subquery. The oracle states it correlated; "
+    "the Spark plan decorrelates to a single partkey-partitioned window "
+    "MIN over the filtered join (ONE shuffle, no second fact scan, no "
+    "join-back — the window and the comparison share the partitioning). "
+    "min_price is a raw stored value (no arithmetic), so it crosses the "
+    "comparison boundary unrounded. Nation/region broadcast; "
+    "part/supplier joins AQE-decided. 100 TB: everything is linear; the "
+    "window state per partition is one MIN per partkey.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") < 10)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    joined = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .where(F.col("l_extendedprice") == F.col("min_price"))
+        .select("p_partkey", "p_name", "s_name", "min_price")
+        .dropDuplicates()
+    )
+
+
+@register(
+    "q11_important_value_parts",
+    oracle="""
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))) AS value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, ROUND(CAST(value AS DOUBLE), 4) AS part_value
+FROM v
+WHERE value * 1000 > (SELECT SUM(value) FROM v)
+""",
+    doc="TPC-H Q11 shape (important stock, adapted to shipped value): "
+    "parts whose EUROPE-shipped revenue exceeds 0.1% of the total — a "
+    "HAVING against a scalar subquery over the SAME aggregate. The "
+    "threshold compares exact decimals (value*1000 > total), never "
+    "float shares. Spark derives the 1-row grand total from the same "
+    "per-part aggregate and broadcast-joins it back (the hint sits on "
+    "an Aggregate, bounded at any SF); the aggregate subtree appears "
+    "twice in the static plan, but runtime exchange reuse executes its "
+    "shuffle ONCE (locked by a plan test) — and it is never collected "
+    "to the driver. 100 TB: one partkey shuffle + a 1-row broadcast.",
+)
+def q11_important_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    v = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(_dec("l_extendedprice") * _one_minus_disc()).alias("value"))
+    )
+    total = v.agg(F.sum("value").alias("total"))
+    return (
+        v.join(F.broadcast(total))
+        .where(F.col("value") * 1000 > F.col("total"))
+        .select("p_partkey", F.round(F.col("value").cast("double"), 4).alias("part_value"))
+    )
+
+
+@register(
+    "q20_dominant_part_shippers",
+    oracle="""
+SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+  SELECT l1.l_suppkey FROM lineitem l1 JOIN part ON l1.l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l1.l_shipdate >= TIMESTAMP '1997-01-01' AND l1.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l1.l_suppkey, l1.l_partkey
+  HAVING 2 * SUM(CAST(l1.l_quantity AS DECIMAL(12,2))) > (
+    SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey
+      AND l2.l_shipdate >= TIMESTAMP '1997-01-01' AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+""",
+    doc="TPC-H Q20 shape (adapted): suppliers who shipped MORE THAN HALF "
+    "of some small-named part's 1997 volume — an IN subquery whose "
+    "HAVING holds a correlated per-part aggregate. The oracle keeps the "
+    "nested-correlated form; Spark decorrelates to one (suppkey,partkey) "
+    "aggregate plus a partkey-window SUM for the part total (the window "
+    "reuses the aggregate's output instead of re-scanning the fact), "
+    "then a strict 2*sq > total decimal comparison — exact in both "
+    "engines, no float shares. The date range and name filter push to "
+    "the scans. 100 TB: two linear shuffles ((suppkey,partkey) then "
+    "partkey), distinct-suppliers equi-join to supplier at the end.",
+)
+def q20_dominant_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    s = _t(spark, sf_dir, "supplier")
+    sp = (
+        li.join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        sp.withColumn("part_total", F.sum("supp_qty").over(w))
+        .where(F.lit(2) * F.col("supp_qty") > F.col("part_total"))
+        .select("l_suppkey")
+        .dropDuplicates()
+    )
+    return dominant.join(s, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "q21_waiting_sole_late_supplier",
+    oracle="""
+WITH flags AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS any_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM flags f1 JOIN supplier ON f1.l_suppkey = s_suppkey
+WHERE f1.any_late = 1
+  AND EXISTS (SELECT 1 FROM flags f2
+              WHERE f2.l_orderkey = f1.l_orderkey AND f2.l_suppkey <> f1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM flags f3
+                  WHERE f3.l_orderkey = f1.l_orderkey AND f3.l_suppkey <> f1.l_suppkey
+                    AND f3.any_late = 1)
+GROUP BY s_name
+""",
+    doc="TPC-H Q21 shape (adapted: 'late' = shipped >60 days after the "
+    "order date, since the schema has no commit/receipt dates): count, "
+    "per supplier, the multi-supplier orders where that supplier was the "
+    "ONLY late one — EXISTS + NOT EXISTS over the same derived relation. "
+    "The oracle keeps the two correlated quantifiers; Spark decorrelates "
+    "both into ONE per-order aggregate (n_suppliers, n_late) joined back "
+    "to the per-(order,supplier) flags on the shared orderkey "
+    "partitioning — no anti-join cascade, no repeated fact scans. "
+    "100 TB: shuffles are (orderkey,suppkey), orderkey, suppkey — all "
+    "linear; the supplier name join is last, on the post-aggregation "
+    "per-supplier counts.",
+)
+def q21_waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    ).cast("int")
+    flags = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("any_late"))
+    )
+    per_order = flags.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("any_late").alias("n_late")
+    )
+    waiting = (
+        flags.where(F.col("any_late") == 1)
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )

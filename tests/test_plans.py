@@ -271,3 +271,50 @@ def test_q9_pushes_name_contains_into_part_scan(spark, sf_dir):
     assert any("p_name" in p for p in pushed), pushed
     hints = _hint_subtrees(spark, sf_dir, "q9_product_type_profit")
     assert len(hints) == 1, hints
+
+
+def test_q2_window_decorrelation_single_shuffle(spark, sf_dir):
+    """The correlated scalar-MIN decorrelates to a partkey window whose
+    partitioning the final dedup REUSES — one shuffle total, no
+    join-back of a second aggregate."""
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert "Window" in plan
+    n = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n <= 1, plan
+
+
+def test_q11_total_reuses_aggregate_exchange(spark, sf_dir):
+    """The grand-total scalar subquery must not rescan the fact at
+    runtime: AQE's exchange reuse collapses the twice-planned per-part
+    aggregate into one executed shuffle. Executes the query (cheap at
+    test SF) because ReusedExchange only materializes in the adaptive
+    final plan."""
+    df = REGISTRY["q11_important_value_parts"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+    hints = _hint_subtrees(spark, sf_dir, "q11_important_value_parts")
+    assert any("Aggregate" in h for h in hints)  # the 1-row total
+
+
+def test_q20_window_reuses_group_aggregate(spark, sf_dir):
+    """The correlated per-part total comes from a window over the
+    (suppkey,partkey) aggregate's output — never a second fact scan —
+    and both pre-filters reach the scans."""
+    plan = _plan(spark, sf_dir, "q20_dominant_part_shippers")
+    assert "Window" in plan
+    pushed = "\n".join(seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:])
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "StringStartsWith(p_name,small)" in pushed
+    n = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n <= 3, plan
+
+
+def test_q21_decorrelates_without_anti_join_cascade(spark, sf_dir):
+    """EXISTS + NOT EXISTS compile to one per-order aggregate joined
+    back on orderkey — no LeftAnti node, no repeated lineitem/orders
+    scans beyond the two aggregate branches, all-linear shuffles."""
+    plan = _plan(spark, sf_dir, "q21_waiting_sole_late_supplier")
+    assert "LeftAnti" not in plan
+    n = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n <= 5, plan
