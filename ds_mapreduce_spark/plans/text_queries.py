@@ -652,3 +652,102 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+tagged AS (
+  SELECT doc_id,
+         list_concat(
+           list_transform(t, x -> 'w ' || x),
+           CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)), i -> 'b ' || t[i] || ' ' || t[i+1])
+                ELSE [] END) AS units
+  FROM toks WHERE len(t) > 0
+),
+counts AS (
+  SELECT doc_id, u, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(units) AS u FROM tagged)
+  GROUP BY doc_id, u
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN u LIKE 'w %' THEN c ELSE 0 END) AS BIGINT) AS n_words,
+         CAST(COUNT(CASE WHEN u LIKE 'w %' THEN 1 END) AS BIGINT)      AS n_distinct,
+         CAST(MAX(CASE WHEN u LIKE 'w %' THEN c END) AS BIGINT)        AS top_word_count,
+         CAST(COALESCE(MAX(CASE WHEN u LIKE 'b %' THEN c END), 0) AS BIGINT) AS top_bigram_count
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_distinct, top_word_count, top_bigram_count,
+       (20000 * (n_words - n_distinct) + n_words) // (2 * n_words) AS dup_word_bp,
+       CASE WHEN n_words > 1
+            THEN (20000 * top_bigram_count + (n_words - 1)) // (2 * (n_words - 1))
+            ELSE 0 END AS top_bigram_bp
+FROM agg
+""",
+    doc="Gopher-style per-document repetition signals (the "
+    "quality-filter family of Rae et al. 2021 §A1.1): duplicate-word "
+    "fraction, most-frequent-word count, and most-frequent-BIGRAM count "
+    "per doc, as half-up integer basis points (never float division). "
+    "Words and bigrams are counted in ONE pass: each doc emits a single "
+    "tagged unit array ('w <tok>' + 'b <tok> <tok>'), one explode, one "
+    "(doc_id, unit) count, one per-doc conditional-max — two linear "
+    "shuffles total, one scan. Bigrams are built with zip_with over two "
+    "shifted slices (linear; deliberately NOT the element_at(transform) "
+    "shingle shape, which Catalyst can collapse into O(n²) chained "
+    "projections). 100 TB: both shuffle keys are (doc, unit)-grained — "
+    "cardinality is bounded by corpus token count, no hot keys beyond "
+    "ordinary word skew, which partial aggregation absorbs map-side.",
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, n - 1),
+        F.slice(F.col("t"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", F.lit("b"), a, b),
+    )
+    tagged = docs.select("doc_id", t.alias("t")).where(F.size("t") > 0).select(
+        "doc_id",
+        F.concat(
+            F.transform(F.col("t"), lambda x: F.concat_ws(" ", F.lit("w"), x)),
+            F.when(n >= 2, bigrams).otherwise(F.array().cast("array<string>")),
+        ).alias("units"),
+    )
+    counts = (
+        tagged.select("doc_id", F.explode("units").alias("u"))
+        .groupBy("doc_id", "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_w = F.col("u").startswith("w ")
+    agg = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is_w, F.col("c")).otherwise(0)).cast("bigint").alias("n_words"),
+        F.count(F.when(is_w, F.lit(1))).cast("bigint").alias("n_distinct"),
+        F.max(F.when(is_w, F.col("c"))).cast("bigint").alias("top_word_count"),
+        F.coalesce(F.max(F.when(~is_w, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("top_bigram_count"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        "top_word_count",
+        "top_bigram_count",
+        F.expr("(20000 * (n_words - n_distinct) + n_words) DIV (2 * n_words)").alias(
+            "dup_word_bp"
+        ),
+        F.when(
+            F.col("n_words") > 1,
+            F.expr("(20000 * top_bigram_count + (n_words - 1)) DIV (2 * (n_words - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("top_bigram_bp"),
+    )

@@ -318,3 +318,14 @@ def test_q21_decorrelates_without_anti_join_cascade(spark, sf_dir):
     assert "LeftAnti" not in plan
     n = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n <= 5, plan
+
+
+def test_doc_repetition_single_scan_two_shuffles_no_quadratic(spark, sf_dir):
+    """Words + bigrams are counted from ONE tagged-unit explode: a
+    single documents scan, two linear shuffles, and no element_at-based
+    shingle expression (the shape Catalyst can collapse to O(n²))."""
+    plan = _plan(spark, sf_dir, "doc_repetition_stats")
+    assert plan.count("FileScan") == 1
+    assert "element_at" not in plan
+    n = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n <= 2, plan
