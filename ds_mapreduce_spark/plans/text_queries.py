@@ -751,3 +751,90 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("top_bigram_bp"),
     )
+
+
+@register(
+    "boilerplate_ngram_coverage",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM toks WHERE len(t) >= 3
+),
+boiler AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 4
+),
+per AS (
+  SELECT sh.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(COUNT(boiler.s) AS BIGINT) AS n_boilerplate
+  FROM sh LEFT JOIN boiler ON sh.s = boiler.s
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_units, n_boilerplate,
+       (20000 * n_boilerplate + n_units) // (2 * n_units) AS boilerplate_bp,
+       CASE WHEN (20000 * n_boilerplate + n_units) // (2 * n_units) < 2500
+            THEN 1 ELSE 0 END AS keep
+FROM per
+""",
+    doc="C4-style corpus-level boilerplate detection (Raffel et al. 2020 "
+    "§2.2, adapted from lines to word 3-grams — the corpus is "
+    "single-line): a distinct 3-gram occurring in >= 4 documents is "
+    "boilerplate; each doc reports its unit count, boilerplate-unit "
+    "count, half-up integer-bp coverage, and a keep flag (< 25% "
+    "coverage). Trigrams are built from three shifted slices via nested "
+    "zip_with (linear — not the collapsible element_at shape). Plan: the "
+    "classic two-pass C4 shape — pass 1 counts doc frequency per unit "
+    "(one linear shuffle, hot common n-grams absorbed map-side by "
+    "partial agg), pass 2 re-derives the units and LEFT-joins the df>=4 "
+    "'boilerplate list' (clean docs keep n_boilerplate=0) into the "
+    "per-doc agg. 100 TB: the boilerplate list is the "
+    "high-doc-frequency tail — tiny relative to the corpus, so the "
+    "join broadcasts (AQE decides), and the second corpus pass is the "
+    "unavoidable one every count-then-filter pipeline pays; checkpoint "
+    "the exploded units only if the tokenize cost dominates the scan.",
+)
+def q_boilerplate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size("t")
+    tri = F.zip_with(
+        F.slice(F.col("t"), 1, n - 2),
+        F.zip_with(
+            F.slice(F.col("t"), 2, n - 2),
+            F.slice(F.col("t"), 3, n - 2),
+            lambda b, c: F.concat_ws(" ", b, c),
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    sh = (
+        docs.select("doc_id", t.alias("t"))
+        .where(F.size("t") >= 3)
+        .select("doc_id", F.explode(F.array_distinct(tri)).alias("s"))
+    )
+    boiler = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 4)
+        .select("s", F.lit(1).alias("is_boiler"))
+    )
+    per = (
+        sh.join(boiler, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_units"),
+            F.count("is_boiler").cast("bigint").alias("n_boilerplate"),
+        )
+    )
+    bp = F.expr("(20000 * n_boilerplate + n_units) DIV (2 * n_units)")
+    return per.select(
+        "doc_id",
+        "n_units",
+        "n_boilerplate",
+        bp.alias("boilerplate_bp"),
+        F.when(bp < 2500, 1).otherwise(0).alias("keep"),
+    )

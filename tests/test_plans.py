@@ -329,3 +329,14 @@ def test_doc_repetition_single_scan_two_shuffles_no_quadratic(spark, sf_dir):
     assert "element_at" not in plan
     n = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n <= 2, plan
+
+
+def test_boilerplate_two_pass_linear_no_quadratic(spark, sf_dir):
+    """Boilerplate coverage is the two-pass count-then-filter shape:
+    two linear shuffles max, trigrams built without element_at, and the
+    boilerplate-list join is never a cartesian."""
+    plan = _plan(spark, sf_dir, "boilerplate_ngram_coverage")
+    assert "element_at" not in plan
+    assert "CartesianProduct" not in plan
+    n = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n <= 2, plan
