@@ -16,7 +16,7 @@ flagship wordcount.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ds_mapreduce_spark.functions.text import norm_text, portable_fingerprint, tokens
@@ -837,4 +837,40 @@ def q_boilerplate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_boilerplate",
         bp.alias("boilerplate_bp"),
         F.when(bp < 2500, 1).otherwise(0).alias("keep"),
+    )
+
+
+@register(
+    "domain_quota_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT source, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS qrank
+  FROM documents
+)
+SELECT source, doc_id, qrank FROM ranked WHERE qrank <= 10
+""",
+    doc="Per-domain quota cap (the anti-domination step of every web "
+    "training mix — CommonCrawl-style pipelines cap docs per registrable "
+    "domain): keep AT MOST 10 docs per source, chosen by md5-of-key rank "
+    "(deterministic on every engine/cluster/rerun, unlike seeded "
+    "sampling; ties broken by doc_id). Emits the kept membership itself "
+    "(source, doc_id, rank), so the carve is auditable row-by-row. Plan: "
+    "one shuffle on source + per-partition sort, rank filter. 100 TB: "
+    "the hash rank is uniform, so a giant domain can be pre-thinned with "
+    "a hash-threshold filter (keep md5 < bound chosen from the domain's "
+    "doc count) before the exact window — turning the hot-domain sort "
+    "into a near-quota-sized one; the window itself stays the exact, "
+    "auditable arbiter.",
+)
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("qrank"))
+        .where(F.col("qrank") <= 10)
     )

@@ -340,3 +340,12 @@ def test_boilerplate_two_pass_linear_no_quadratic(spark, sf_dir):
     assert "CartesianProduct" not in plan
     n = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n <= 2, plan
+
+
+def test_domain_quota_single_shuffle_window(spark, sf_dir):
+    """The quota cap is one source-partitioned window — a single
+    shuffle, and the rank filter sits above it (no second pass)."""
+    plan = _plan(spark, sf_dir, "domain_quota_sample")
+    assert "Window" in plan
+    n = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n <= 1, plan
