@@ -188,3 +188,95 @@ def q_wholetext_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_doc_id_f").alias("sum_doc_id"),
         F.sum("total_chars_f").alias("total_chars"),
     )
+
+
+#: Order-independent content checksum both engines compute identically:
+#: sum over rows of the first 8 md5 hex digits as an integer. Pins every
+#: row's exact text through a format round trip without ordering.
+_CHECKSUM_SQL = "CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)"
+
+
+def _text_checksum() -> Column:
+    return (
+        F.sum(F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long"))
+        .cast("bigint")
+    )
+
+
+@register(
+    "csv_roundtrip",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       {_CHECKSUM_SQL} AS text_checksum
+FROM documents
+GROUP BY lang
+""",
+    doc="CSV sink+source graded end-to-end: documents (including the "
+    "free-text column, which CSV must quote) → per-partition CSV files "
+    "with header → schema'd CSV scan → per-lang aggregate with an "
+    "order-independent md5 content checksum. The oracle aggregates the "
+    "original parquet, so the hash matches only if quoting/escaping and "
+    "type round-tripping are lossless for every row. The read supplies "
+    "an EXPLICIT schema — at 100 TB, schema inference is a full extra "
+    "pass over the data and is never acceptable. Map-only render, "
+    "per-partition write, splittable line-oriented re-scan; one "
+    "aggregation shuffle in the graded plan.",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch_dir(spark, "csv_roundtrip", sf_dir)
+    key = (spark.sparkContext.applicationId, "csv_roundtrip", sf_dir)
+    if key not in _WRITTEN:
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.select("doc_id", "text", "lang", "n_chars")
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(out)
+        )
+        _WRITTEN[key] = out
+    back = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT"
+    ).option("header", True).csv(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        _text_checksum().alias("text_checksum"),
+    )
+
+
+@register(
+    "jsonl_roundtrip",
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       {_CHECKSUM_SQL} AS text_checksum
+FROM documents
+GROUP BY source
+""",
+    doc="JSON-Lines sink+source graded end-to-end — the lingua franca of "
+    "LLM training-data interchange: documents → one JSON object per "
+    "line, per-partition files → schema'd json scan → per-source "
+    "aggregate with the md5 content checksum. Lossless only if JSON "
+    "string escaping round-trips every text. The read supplies an "
+    "EXPLICIT schema (no inference pass); JSONL files split by line at "
+    "maxPartitionBytes, so a 100 TB corpus scans with ordinary "
+    "parallelism — but unlike Parquet there is no column pruning or "
+    "predicate pushdown, which is why JSONL is an interchange format "
+    "here, not the analytical store.",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch_dir(spark, "jsonl_roundtrip", sf_dir)
+    key = (spark.sparkContext.applicationId, "jsonl_roundtrip", sf_dir)
+    if key not in _WRITTEN:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.select("doc_id", "text", "source").write.mode("overwrite").json(out)
+        _WRITTEN[key] = out
+    back = spark.read.schema("doc_id BIGINT, text STRING, source STRING").json(out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        _text_checksum().alias("text_checksum"),
+    )

@@ -99,3 +99,62 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, centroids, k=5, nprobe=2).select(
         "query_id", "neighbor_id", "score", F.col("rnk").cast("bigint").alias("rnk")
     )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+WITH q AS (
+  SELECT label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+per AS (
+  SELECT label,
+         CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum') AS BIGINT) AS qnorm2,
+         CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum
+  FROM q
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(qnorm2) AS BIGINT) AS sum_qnorm2,
+       (2 * CAST(SUM(qnorm2) AS BIGINT) + COUNT(*)) // (2 * COUNT(*)) AS avg_qnorm2,
+       MAX(qnorm2) AS max_qnorm2,
+       MIN(qnorm2) AS min_qnorm2,
+       CAST(SUM(qsum) AS BIGINT) AS qcomp_sum
+FROM per GROUP BY label
+""",
+    doc="Per-label embedding geometry audit (the sanity pass before any "
+    "ANN index build: spot zero/denormal vectors, label-cluster scale "
+    "drift): squared L2 norms and component sums on 1e-4-QUANTIZED "
+    "integer components (floor(x*1e4) as BIGINT) — float arithmetic "
+    "never crosses the engine boundary, so the aggregate is exact and "
+    "partition-order-independent, unlike a double norm sum. Map-only "
+    "per row (transform+aggregate fold over the 64-dim array, "
+    "whole-stage codegen), then one 10-group shuffle. 100 TB: "
+    "embarrassingly parallel; the per-label partial aggregates are the "
+    "only shuffled bytes.",
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 10000).cast("bigint"),
+    )
+    zero = F.lit(0).cast("bigint")
+    per = emb.select(
+        "label",
+        F.aggregate(qv, zero, lambda a, x: a + x * x).alias("qnorm2"),
+        F.aggregate(qv, zero, lambda a, x: a + x).alias("qsum"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("qnorm2").cast("bigint").alias("sum_qnorm2"),
+        F.expr("(2 * CAST(SUM(qnorm2) AS BIGINT) + COUNT(*)) DIV (2 * COUNT(*))").alias(
+            "avg_qnorm2"
+        ),
+        F.max("qnorm2").alias("max_qnorm2"),
+        F.min("qnorm2").alias("min_qnorm2"),
+        F.sum("qsum").cast("bigint").alias("qcomp_sum"),
+    )
