@@ -280,3 +280,70 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
         _text_checksum().alias("text_checksum"),
     )
+
+
+@register(
+    "bucketed_join_no_shuffle",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(3,2))
+                  ) AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    doc="Bucketed-table co-located join graded end-to-end — the storage "
+    "layout that eliminates the fact-to-fact shuffle at 100 TB: "
+    "lineitem and orders are written ONCE per session as bucketed+"
+    "sorted tables (8 buckets on the join key, external path in "
+    "scratch), then joined bucket-to-bucket — the scan itself provides "
+    "the hash partitioning AND sort order, so the graded plan's join "
+    "has NO Exchange under it (locked by a plan test). The oracle runs "
+    "the same join/aggregate on the original parquet; the hash matches "
+    "only if the bucketed write+read preserved every row. 100 TB: "
+    "pre-bucketing both fact tables on orderkey turns every future "
+    "orderkey join into a map-side merge — the amortized answer to the "
+    "biggest repeated shuffle in the schema; bucket count scales to "
+    "cluster cores (8 here only for the test fixture).",
+)
+def q_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    li_tbl = f"bkt_lineitem_{sf.replace('.', '_')}_{app}"
+    o_tbl = f"bkt_orders_{sf.replace('.', '_')}_{app}"
+    key = (spark.sparkContext.applicationId, "bucketed_join", sf_dir)
+    if key not in _WRITTEN:
+        base = _scratch_dir(spark, "bucketed_join", sf_dir)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(base, "lineitem"))
+            .saveAsTable(li_tbl)
+        )
+        (
+            o.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(base, "orders"))
+            .saveAsTable(o_tbl)
+        )
+        _WRITTEN[key] = base
+    li_b = spark.table(li_tbl)
+    o_b = spark.table(o_tbl)
+    disc = (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")).cast("decimal(3,2)")
+    return (
+        li_b.join(o_b, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * disc).cast("double"), 4
+            ).alias("revenue"),
+        )
+    )

@@ -349,3 +349,29 @@ def test_domain_quota_single_shuffle_window(spark, sf_dir):
     assert "Window" in plan
     n = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n <= 1, plan
+
+
+def test_bucketed_join_has_no_shuffle_under_the_join(spark, sf_dir):
+    """With broadcast suppressed (at 100 TB neither fact side fits),
+    the bucketed tables' scans must satisfy the join's distribution
+    themselves: a SortMergeJoin with ZERO Exchange beneath it — the
+    only shuffle in the whole plan is the final aggregation's. Sorts
+    are allowed (multi-file buckets re-sort locally); shuffles are not."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "bucketed_join_no_shuffle")
+        assert "SortMergeJoin" in plan, plan
+        join_subtree = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange hashpartitioning" not in join_subtree, join_subtree
+        n = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert n <= 1, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
