@@ -347,3 +347,57 @@ def q_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "partitioned_write_prune",
+    oracle=f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       {_CHECKSUM_SQL} AS text_checksum
+FROM documents
+WHERE lang = 'en'
+GROUP BY source
+""",
+    doc="Hive-partitioned layout + partition pruning graded end-to-end — "
+    "THE dominant cost lever at 100 TB: documents are written ONCE per "
+    "session as parquet partitioned by lang (`partitionBy('lang')` → "
+    "lang=<v>/ directories), then the graded query filters lang='en' "
+    "on the read-back. Because lang is a PARTITION column, the filter "
+    "is resolved against directory metadata — non-matching partitions "
+    "are never opened (the plan test locks `PartitionFilters` on the "
+    "scan and that the partition column is absent from ReadSchema). "
+    "The oracle applies the same predicate to the original parquet, so "
+    "the hash also proves the partitioned write was lossless, including "
+    "the partition-column round trip through directory names. 100 TB: "
+    "a lang/source-partitioned corpus makes every per-slice job read "
+    "only its slice — pruning is free, happens at planning time, and "
+    "needs no index; partition columns must be low-cardinality (lang, "
+    "source, date), never high-cardinality keys which would create "
+    "millions of tiny files.",
+)
+def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch_dir(spark, "partitioned_write_prune", sf_dir)
+    key = (spark.sparkContext.applicationId, "partitioned_write_prune", sf_dir)
+    if key not in _WRITTEN:
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.select("doc_id", "text", "source", "n_chars", "lang")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(out)
+        )
+        _WRITTEN[key] = out
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            _text_checksum().alias("text_checksum"),
+        )
+    )

@@ -874,3 +874,69 @@ def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", "doc_id", F.row_number().over(w).alias("qrank"))
         .where(F.col("qrank") <= 10)
     )
+
+
+@register(
+    "sequence_packing",
+    oracle=r"""
+WITH toks AS (
+  SELECT lang, source, doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+), packed AS (
+  SELECT lang, source, doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tok AS BIGINT) AS start_tok
+  FROM toks
+)
+SELECT lang, source,
+       CAST(start_tok // 2048 AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY lang, source, seq_id
+""",
+    doc="GPT-style sequence packing (concat-and-split): within each "
+    "(lang, source) shard, documents are concatenated in deterministic "
+    "doc_id order and split into 2048-token training sequences; each "
+    "doc is assigned to the sequence its FIRST token lands in (running "
+    "token sum via a window frame, integer DIV for the boundary). "
+    "Output: per-sequence doc count, token count, and doc-id span — "
+    "the packing manifest a loader would materialize. One shuffle "
+    "total: the window's (lang, source) exchange also satisfies the "
+    "final group-by's clustering (seq_id is a function of data already "
+    "co-located), locked by a plan test. 100 TB: packing is per-shard "
+    "parallel; the within-shard ORDER BY doc_id sort is a single task "
+    "per shard, so real corpora sub-shard by deterministic doc_id "
+    "ranges first (shard = hash(doc_id) DIV k), keeping every sort "
+    "in-memory while preserving a reproducible pack order.",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    packed = toks.withColumn(
+        "start_tok", (F.sum("n_tok").over(w) - F.col("n_tok")).cast("bigint")
+    )
+    return (
+        packed.withColumn("seq_id", F.expr("start_tok DIV 2048"))
+        .groupBy("lang", "source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

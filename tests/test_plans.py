@@ -375,3 +375,29 @@ def test_bucketed_join_has_no_shuffle_under_the_join(spark, sf_dir):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    """The lang='en' predicate must resolve at PLANNING time against the
+    hive partition layout: the scan carries a PartitionFilters entry on
+    lang, and lang is NOT in the parquet ReadSchema (it exists only as
+    directory metadata, so non-matching partitions are never opened)."""
+    plan = _plan(spark, sf_dir, "partitioned_write_prune")
+    assert "PartitionFilters" in plan, plan
+    import re as _re
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "lang" in pf.group(1), plan
+    rs = _re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert rs and "lang" not in rs.group(1), plan
+    n = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n <= 1, plan
+
+
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    """The window's (lang, source) exchange must also satisfy the final
+    group-by (seq_id is derived from co-located data): exactly one
+    hash exchange in the whole plan, and a Window above it."""
+    plan = _plan(spark, sf_dir, "sequence_packing")
+    assert "Window" in plan, plan
+    n = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n <= 1, plan
