@@ -940,3 +940,164 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+#: PII regexes restricted to the RE2 ∩ Java-regex common dialect (char
+#: classes, bounded repeats, \b): both engines must match byte-identically.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@register(
+    "pii_redaction",
+    oracle=rf"""
+WITH aug AS (
+  SELECT lang, doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) || ' done' ELSE '' END
+         AS t
+  FROM documents
+), red AS (
+  SELECT lang,
+         len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+         len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+         len(regexp_extract_all(t, '{_PII_IP}')) AS n_ip,
+         regexp_replace(regexp_replace(regexp_replace(t,
+            '{_PII_EMAIL}', '<EMAIL>', 'g'),
+            '{_PII_PHONE}', '<PHONE>', 'g'),
+            '{_PII_IP}', '<IP>', 'g') AS rt
+  FROM aug
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(SUM(n_ip) AS BIGINT) AS ips_redacted,
+       CAST(SUM(CAST(('0x' || substr(md5(rt), 1, 8)) AS BIGINT)) AS BIGINT) AS redacted_checksum
+FROM red GROUP BY lang
+""",
+    doc="PII detection + redaction — the scrubbing pass every training "
+    "corpus needs before release. The synthetic corpus contains no PII, "
+    "so the query first INJECTS deterministic emails / phone numbers / "
+    "IPs into a doc_id-keyed subset (identically in Spark and the "
+    "oracle), then detects (regexp_count) and redacts (regexp_replace "
+    "chain, fixed order) and grades per-lang match counts plus an md5 "
+    "checksum of every redacted text — byte-identical redaction is the "
+    "only way the hash matches. Patterns are restricted to the "
+    "RE2 ∩ Java-regex common dialect so both engines agree. 100 TB: "
+    "map-only scan (detection and redaction fuse into one codegen "
+    "stage, no Python); one aggregation shuffle.",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"), F.lit(" now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit(" done"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    rt = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    red = docs.select(
+        "lang",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).alias("n_phone"),
+        F.regexp_count(aug, F.lit(_PII_IP)).alias("n_ip"),
+        rt.alias("rt"),
+    )
+    return red.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("emails_redacted"),
+        F.sum("n_phone").cast("bigint").alias("phones_redacted"),
+        F.sum("n_ip").cast("bigint").alias("ips_redacted"),
+        F.sum(F.conv(F.substring(F.md5(F.col("rt")), 1, 8), 16, 10).cast("long"))
+        .cast("bigint")
+        .alias("redacted_checksum"),
+    )
+
+
+@register(
+    "unigram_commonness",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+), tot AS (
+  SELECT COUNT(*) AS t FROM toks
+), per_doc AS (
+  SELECT t1.doc_id, t1.lang,
+         CAST(SUM(cnt.c) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks t1 JOIN cnt USING (token)
+  GROUP BY t1.doc_id, t1.lang
+)
+SELECT lang,
+       CAST(((s * 10000) // (n * (SELECT t FROM tot))) // 25 AS BIGINT) AS commonness_bucket,
+       COUNT(*) AS n_docs
+FROM per_doc
+GROUP BY lang, commonness_bucket
+""",
+    doc="CCNet-style corpus-frequency quality score, integer-exact: pass "
+    "1 builds the corpus unigram table; pass 2 scores each document by "
+    "its mean token corpus-probability in basis points — "
+    "(sum of per-occurrence corpus counts * 10000) DIV (doc tokens * "
+    "corpus tokens) — and the output is the per-lang histogram over "
+    "25-bp buckets (docs made of rare tokens land low, boilerplate-y "
+    "docs high: the cheap stand-in for LM-perplexity filtering when no "
+    "model is available). No floats anywhere, so Spark and DuckDB agree "
+    "exactly. Spark fuses pass 1 into a COUNT() OVER (PARTITION BY "
+    "token) window on the exploded tokens — 3 shuffles total (token, "
+    "doc, histogram) instead of the join formulation's 4; the corpus "
+    "total is a 1-row broadcast. 100 TB: the token window shuffles one "
+    "row per occurrence — the same scale as wordcount's explode — and "
+    "hot tokens are bounded by per-partition partial counting if "
+    "skewed (same salting seam as mr_salted_wordcount).",
+)
+def q_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    wc = Window.partitionBy("token")
+    per_doc = (
+        exploded.withColumn("c", F.count(F.lit(1)).over(wc))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    tot = exploded.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    return (
+        per_doc.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "commonness_bucket", F.expr("((s * 10000) DIV (n * t)) DIV 25")
+        )
+        .groupBy("lang", "commonness_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -401,3 +401,17 @@ def test_sequence_packing_single_shuffle(spark, sf_dir):
     assert "Window" in plan, plan
     n = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n <= 1, plan
+
+
+def test_unigram_commonness_shuffle_budget(spark, sf_dir):
+    """Pass-1 corpus counts fuse into a token-partitioned window on the
+    exploded rows: ≤3 hash exchanges (token window, doc re-agg,
+    histogram) and the corpus total joins as a broadcast, never a
+    shuffle."""
+    plan = _plan(spark, sf_dir, "unigram_commonness")
+    assert "Window" in plan, plan
+    # 3 data shuffles; the corpus-total scalar adds one SinglePartition
+    # exchange carrying ONE ROW per upstream task — free at any scale.
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
