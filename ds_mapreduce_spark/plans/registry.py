@@ -82,7 +82,6 @@ PRIORITY: tuple[str, ...] = (
     "events_sliding_window",
     "events_funnel",
     "events_rolling_1h_stats",
-    "events_cohort_retention",
     "sessions_per_hour",
     "tfidf_top_terms",
     "stratified_sample",
@@ -101,13 +100,20 @@ PRIORITY: tuple[str, ...] = (
     "mr_inverted_index",
     "multimodal_metadata_stats",
     "agg_suite",
-    "agg_percentiles",
     "agg_approx_suite",
     "sql_grouping_sets",
-    "filter_project",
     "scalar_functions",
-    "date_functions",
     "regex_functions",
+    # storage-layout + LLM-pipeline ops (round 3): the 100 TB cost
+    # levers (partition pruning, shuffle-free bucketed joins) and the
+    # training-prep passes (packing, PII scrubbing) graded by the
+    # driver. agg_percentiles / filter_project / date_functions /
+    # events_cohort_retention moved out (families still covered in the
+    # window; all four stay under the in-repo parity gate).
+    "partitioned_write_prune",
+    "bucketed_join_no_shuffle",
+    "sequence_packing",
+    "pii_redaction",
     "q10_returned_item_customers",
     "q15_top_supplier",
     "q19_disjunctive_predicates",
