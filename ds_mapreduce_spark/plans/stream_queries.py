@@ -517,3 +517,56 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+WITH dim AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+         SUM(CAST(value AS DECIMAL(12,2))) AS s
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN CAST(e.value AS DECIMAL(12,2)) * d.n > d.s
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+""",
+    doc="Skew-mitigating SALTED join, graded against an unsalted oracle: "
+    "events are enriched with their event_type's (count, decimal sum) "
+    "to flag above-average values — but event_type has ~5 distinct "
+    "values, the canonical hot-key join that melts one reducer at "
+    "100 TB. The probe side carries salt = event_id % 8 and the dim "
+    "side is REPLICATED once per salt (explode(sequence(0,7))), so the "
+    "join key (event_type, salt) spreads each hot key over 8 tasks; "
+    "every probe row still matches exactly one replica, which the "
+    "hash-equality with the plain-join oracle proves. Above-average "
+    "test is exact decimal arithmetic (value*n > sum — no division, no "
+    "floats). 100 TB: salt fan-out K sizes to the skew ratio; the dim "
+    "replication is K× a POST-AGGREGATE (bounded) table, never the "
+    "fact side, and AQE's skew-join handles residual imbalance. The "
+    "plan test pins salt into the join keys with broadcast disabled.",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("decimal(12,2)").alias("v")
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+        F.sum("v").alias("s"),
+    )
+    k = 8
+    dim_x = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    ).withColumn("salt", F.col("salt").cast("int"))
+    probe = ev.withColumn("salt", (F.col("event_id") % k).cast("int"))
+    joined = probe.join(dim_x, ["event_type", "salt"])
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("v") * F.col("n") > F.col("s"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above_avg"),
+    )

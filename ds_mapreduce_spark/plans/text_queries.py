@@ -1101,3 +1101,53 @@ def q_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "commonness_bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "doc_chunking",
+    oracle=r"""
+WITH sized AS (
+  SELECT doc_id, text, length(text) AS len,
+         CASE WHEN length(text) <= 80 THEN CAST(1 AS BIGINT)
+              ELSE (length(text) - 80 + 59) // 60 + 1 END AS n_chunks
+  FROM documents
+), chunks AS (
+  SELECT doc_id, len, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx, text
+  FROM sized
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 60 AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, chunk_idx * 60 + 1, 80)) AS BIGINT) AS chunk_len,
+       md5(substr(text, chunk_idx * 60 + 1, 80)) AS chunk_md5
+FROM chunks
+""",
+    doc="RAG-style document chunking: fixed 80-char windows with 20-char "
+    "overlap (stride 60), each chunk emitted with its offset, length, "
+    "and md5 fingerprint — the manifest an embedding/indexing stage "
+    "consumes. Chunk count is closed-form integer arithmetic ((len-80"
+    "+59) DIV 60 + 1), so Spark's sequence+explode and the oracle's "
+    "generate_series agree exactly; final short chunks keep their "
+    "true length. 100 TB: map-only — sequence/explode/substring all "
+    "fuse into one codegen stage, ZERO shuffles (plan-locked); output "
+    "scales as corpus_chars/stride, and the fingerprints feed the "
+    "exact-dedup and decontamination stages downstream.",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.when(F.length("text") <= 80, F.lit(1).cast("bigint")).otherwise(
+        F.expr("(length(text) - 80 + 59) DIV 60 + 1")
+    )
+    chunked = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.substring(F.col("text"), (F.col("chunk_idx") * 60 + 1).cast("int"), 80)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.col("chunk_idx") * 60).cast("bigint").alias("chunk_start"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )

@@ -415,3 +415,33 @@ def test_unigram_commonness_shuffle_budget(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_doc_chunking_is_map_only(spark, sf_dir):
+    """sequence/explode/substring/md5 fuse into one scan-side stage:
+    no exchange of any kind in the plan."""
+    plan = _plan(spark, sf_dir, "doc_chunking")
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_skew_salted_join_salts_the_join_keys(spark, sf_dir):
+    """With broadcast suppressed (the 100 TB case), the enrich join must
+    be a shuffle join keyed on (event_type, salt) — the salt column in
+    the join keys is what spreads a hot event_type over K tasks."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "skew_salted_join")
+        m = re.search(r"SortMergeJoin \[([^\]]*)\], \[([^\]]*)\]", plan)
+        assert m, plan
+        assert "event_type" in m.group(1) and "salt" in m.group(1), m.group(0)
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
