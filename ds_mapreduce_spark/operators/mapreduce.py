@@ -163,3 +163,61 @@ def word_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def run_mapreduce_capped(
+    kv: DataFrame, mr: MapReducer, per_key_cap: int
+) -> DataFrame:
+    """``run_mapreduce`` with a BOUNDED reduce fan-in, for reducers that
+    are not associative (so ``run_mapreduce_salted`` does not apply) but
+    tolerate truncation — the inverted-index posting-list case: an
+    ultra-common word's doc list is capped, not materialized whole.
+
+    Contract: each key's reduce receives the ``per_key_cap``
+    lexicographically-smallest values (deterministic, retry-stable).
+    Two-level enforcement, mirroring partial aggregation:
+
+    1. map-side partial cap — each Arrow batch keeps only its own
+       ``per_key_cap`` smallest values per key, so the shuffle carries
+       at most cap × distinct-keys-per-batch rows (the global smallest
+       cap values are a subset of every partial's, so this loses
+       nothing);
+    2. a ``row_number`` window on (key, value) keeps the global
+       smallest ``per_key_cap`` — the per-key sort is JVM-side and
+       spillable, and at most ``per_key_cap`` rows per key ever reach
+       the Python reduce.
+
+    At 100 TB this bounds the hot-key group that would otherwise land
+    ~1 TB in one ``applyInPandas`` call (the hazard documented on
+    ``mr_inverted_index``) to ``per_key_cap`` rows.
+    """
+    from pyspark.sql import Window
+
+    def map_phase(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out_k: list[str] = []
+            out_v: list[str] = []
+            for key, value in zip(batch["key"], batch["value"]):
+                for k, v in mr.map(key, value):
+                    out_k.append(k)
+                    out_v.append(v)
+            out = pd.DataFrame({"key": out_k, "value": out_v})
+            yield (
+                out.sort_values(["key", "value"], kind="mergesort")
+                .groupby("key", sort=False)
+                .head(per_key_cap)
+            )
+
+    def reduce_phase(group: pd.DataFrame) -> pd.DataFrame:
+        key = group["key"].iloc[0]
+        value = mr.reduce(key, group["value"].tolist())
+        return pd.DataFrame({"key": [key], "value": [value]})
+
+    mapped = kv.mapInPandas(map_phase, schema=KV_SCHEMA)
+    w = Window.partitionBy("key").orderBy("value")
+    capped = (
+        mapped.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= per_key_cap)
+        .drop("__rn")
+    )
+    return capped.groupBy("key").applyInPandas(reduce_phase, schema=KV_SCHEMA)

@@ -67,3 +67,50 @@ def test_generic_mapreduce_custom_job(spark):
 def test_mapreduce_empty_input(spark):
     kv = spark.createDataFrame([], "key string, value string")
     assert run_mapreduce(kv, WordCount()).count() == 0
+
+
+def test_capped_mapreduce_bounds_reduce_fanin(spark):
+    """A hot key with 100 values reduces over exactly the cap smallest
+    (lexicographic) values; cold keys are untouched. The reduce records
+    the group size it saw, proving the bound held inside Python."""
+    from ds_mapreduce_spark.operators.mapreduce import run_mapreduce_capped
+
+    class Passthrough:
+        def map(self, key, value):
+            yield value.split(":", 1)[0], value.split(":", 1)[1]
+
+        def reduce(self, key, values):
+            return f"{len(values)}|" + ",".join(sorted(values))
+
+    rows = [("r", f"hot:{i:03d}") for i in range(100)] + [
+        ("r", "cold:x"), ("r", "cold:y")
+    ]
+    kv = spark.createDataFrame(rows, "key string, value string").repartition(8)
+    out = {
+        r["key"]: r["value"]
+        for r in run_mapreduce_capped(kv, Passthrough(), per_key_cap=5).collect()
+    }
+    assert out["hot"] == "5|" + ",".join(f"{i:03d}" for i in range(5))
+    assert out["cold"] == "2|x,y"
+
+
+def test_capped_mapreduce_matches_uncapped_when_under_cap(spark):
+    from ds_mapreduce_spark.operators.mapreduce import (
+        run_mapreduce,
+        run_mapreduce_capped,
+    )
+
+    class Join:
+        def map(self, key, value):
+            for w in set(value.split()):
+                yield w, key
+
+        def reduce(self, key, values):
+            return ",".join(sorted(set(values)))
+
+    kv = spark.createDataFrame(
+        [("1", "a b"), ("2", "b c"), ("3", "a c d")], "key string, value string"
+    ).repartition(3)
+    capped = sorted(map(tuple, run_mapreduce_capped(kv, Join(), 100).collect()))
+    full = sorted(map(tuple, run_mapreduce(kv, Join()).collect()))
+    assert capped == full
