@@ -349,6 +349,24 @@ def q_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partitioned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents written ONCE per session as lang-partitioned parquet;
+    shared by the static (partitioned_write_prune) and dynamic
+    (dynamic_partition_pruning) pruning queries."""
+    out = _scratch_dir(spark, "partitioned_write_prune", sf_dir)
+    key = (spark.sparkContext.applicationId, "partitioned_write_prune", sf_dir)
+    if key not in _WRITTEN:
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.select("doc_id", "text", "source", "n_chars", "lang")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(out)
+        )
+        _WRITTEN[key] = out
+    return spark.read.parquet(out)
+
+
 @register(
     "partitioned_write_prune",
     oracle=f"""
@@ -379,18 +397,7 @@ GROUP BY source
     "millions of tiny files.",
 )
 def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _scratch_dir(spark, "partitioned_write_prune", sf_dir)
-    key = (spark.sparkContext.applicationId, "partitioned_write_prune", sf_dir)
-    if key not in _WRITTEN:
-        docs = load_table(spark, sf_dir, "documents")
-        (
-            docs.select("doc_id", "text", "source", "n_chars", "lang")
-            .write.mode("overwrite")
-            .partitionBy("lang")
-            .parquet(out)
-        )
-        _WRITTEN[key] = out
-    back = spark.read.parquet(out)
+    back = _partitioned_docs(spark, sf_dir)
     return (
         back.filter(F.col("lang") == "en")
         .groupBy("source")
@@ -398,6 +405,67 @@ def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
+            _text_checksum().alias("text_checksum"),
+        )
+    )
+
+
+@register(
+    "dynamic_partition_pruning",
+    oracle=f"""
+WITH lang_dim AS (
+  SELECT DISTINCT lang,
+         CASE WHEN lang = 'zh' THEN 'cjk' ELSE 'latin' END AS script
+  FROM documents
+)
+SELECT d.lang, d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(d.doc_id) AS BIGINT) AS id_checksum,
+       {_CHECKSUM_SQL.replace("md5(text)", "md5(d.text)")} AS text_checksum
+FROM documents d JOIN lang_dim USING (lang)
+WHERE lang_dim.script = 'cjk'
+GROUP BY d.lang, d.source
+""",
+    doc="DYNAMIC partition pruning graded end-to-end — the runtime half "
+    "of the pruning story: the fact side is the lang-partitioned "
+    "parquet (shared with partitioned_write_prune), the build side a "
+    "script-metadata dim written to its own parquet and filtered on "
+    "script='cjk' — a predicate on a NON-partition attribute, so the "
+    "fact partitions to keep are unknowable at plan time. Spark "
+    "broadcasts the filtered dim, derives the matching lang set at "
+    "RUNTIME, and injects `dynamicpruningexpression(lang IN "
+    "dynamicpruning#...)` into the fact scan's PartitionFilters "
+    "(plan-locked) — only matching lang= directories are read. The "
+    "oracle computes the same join on the original parquet with the "
+    "dim as a CTE. 100 TB: this is the date-dim pattern — "
+    "`fact JOIN dates WHERE fiscal_quarter='Q3'` prunes a year-"
+    "partitioned fact to 13 weeks without the user naming dates; "
+    "works wherever the partition key is joined to any filtered dim.",
+)
+def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    back = _partitioned_docs(spark, sf_dir)
+    dim_path = _scratch_dir(spark, "lang_dim", sf_dir)
+    key = (spark.sparkContext.applicationId, "lang_dim", sf_dir)
+    if key not in _WRITTEN:
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.select("lang")
+            .distinct()
+            .withColumn(
+                "script",
+                F.when(F.col("lang") == "zh", "cjk").otherwise("latin"),
+            )
+            .write.mode("overwrite")
+            .parquet(dim_path)
+        )
+        _WRITTEN[key] = dim_path
+    dim = spark.read.parquet(dim_path).filter(F.col("script") == "cjk")
+    return (
+        back.join(dim, "lang")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
             _text_checksum().alias("text_checksum"),
         )
     )

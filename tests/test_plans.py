@@ -445,3 +445,12 @@ def test_skew_salted_join_salts_the_join_keys(spark, sf_dir):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+
+
+def test_dynamic_partition_pruning_injects_runtime_filter(spark, sf_dir):
+    """The fact scan must carry a dynamicpruningexpression on lang —
+    derived at runtime from the broadcast filtered dim — so only
+    matching lang= directories are ever opened."""
+    plan = _plan(spark, sf_dir, "dynamic_partition_pruning")
+    m = re.search(r"PartitionFilters: \[[^\]]*dynamicpruningexpression\([^\)]*lang", plan)
+    assert m, plan
