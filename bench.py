@@ -44,6 +44,11 @@ HEADLINE = [
     "text_stats",
     "tfidf_top_terms",
     "decontamination",
+    # round 3: training-prep family representatives — the two heaviest
+    # new shapes (per-shard window packing; two-pass corpus-frequency
+    # scoring with a token-partitioned window)
+    "sequence_packing",
+    "unigram_commonness",
 ]
 
 

@@ -134,3 +134,66 @@ def test_sessionize_matches_python_reference(spark, data):
         for (s, n, sp) in _sessions_ref(ts, 1800)
     }
     assert got == expected
+
+
+def test_doc_chunking_reconstructs_every_document(spark, sf_dir):
+    """Lossless-coverage invariant of the 80/60 overlapping chunker:
+    dropping each chunk's 20-char overlap with its predecessor and
+    concatenating in chunk order reproduces every document exactly."""
+    from ds_mapreduce_spark.plans.registry import load_all
+
+    reg = load_all()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    chunks: dict[int, list] = {}
+    for r in reg["doc_chunking"].fn(spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    assert set(chunks) == set(docs)
+    for doc_id, rows in chunks.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        text = docs[doc_id]
+        rebuilt = ""
+        for r in rows:
+            piece = text[r["chunk_start"] : r["chunk_start"] + r["chunk_len"]]
+            import hashlib
+
+            assert hashlib.md5(piece.encode()).hexdigest() == r["chunk_md5"]
+            rebuilt += piece if not rebuilt else piece[len(rebuilt) - r["chunk_start"]:]
+        assert rebuilt == text, doc_id
+
+
+def test_sequence_packing_conserves_tokens(spark, sf_dir):
+    """Packing is a partition of the shard's docs: per (lang, source)
+    the sequence token sums equal the shard's total tokens, doc counts
+    add up, and seq_ids stay within the range the token sum implies
+    (a doc longer than the budget may leave gap sequences, so only the
+    bounds are contractual)."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.functions.text import tokens
+    from ds_mapreduce_spark.plans.registry import load_all
+
+    reg = load_all()
+    packed = reg["sequence_packing"].fn(spark, sf_dir).collect()
+    truth = {
+        (r["lang"], r["source"]): (r["n"], r["t"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(tokens(F.col("text")))).alias("t"),
+        )
+        .collect()
+    }
+    by_shard: dict[tuple, list] = {}
+    for r in packed:
+        by_shard.setdefault((r["lang"], r["source"]), []).append(r)
+    assert set(by_shard) == set(truth)
+    for shard, rows in by_shard.items():
+        n_docs, n_tokens = truth[shard]
+        assert sum(r["n_docs"] for r in rows) == n_docs
+        assert sum(r["seq_tokens"] for r in rows) == n_tokens
+        seq_ids = sorted(r["seq_id"] for r in rows)
+        assert seq_ids[0] == 0 and seq_ids[-1] <= (n_tokens - 1) // 2048
