@@ -57,3 +57,47 @@ def top_k_per_group(
     """Per-group top-k via row_number window: one shuffle on the group key."""
     w = Window.partitionBy(*group).orderBy(*order)
     return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def latest_wins_merge(
+    all_rows: DataFrame, key_cols: Sequence[str], version_col: str
+) -> DataFrame:
+    """CDC merge core: keep the highest-``version_col`` row per key.
+
+    Shared by the batch query (``cdc_latest_wins_merge``: base UNION ALL
+    changes in one plan) and the streaming job
+    (``streaming.jobs.run_streaming_cdc_merge``: the same reduction
+    applied per micro-batch inside ``foreachBatch``, merging each batch
+    into the landed state). One row_number window = one shuffle on the
+    merge key. 100 TB: with the base table bucketed on the key only the
+    (small) change set shuffles — the incremental-compaction plan.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+    return (
+        all_rows.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def cdc_change_rows(orders: DataFrame) -> DataFrame:
+    """The deterministic synthetic CDC feed both the batch query and the
+    streaming twin merge: every order emits its v1 base row; every 7th
+    key also emits a v2 re-price. Derived from the input rows alone, so
+    the same orders produce the same feed whether they arrive as one
+    batch or as micro-batches."""
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        F.lit(1).alias("version"),
+    )
+    upd = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("status"),
+        (F.col("o_totalprice").cast("decimal(12,2)") + 10).alias("price"),
+        F.lit(2).alias("version"),
+    )
+    return base.unionByName(upd)

@@ -1172,32 +1172,18 @@ FROM ranked WHERE rn = 1
     "derived deterministically so both engines merge identical inputs.",
 )
 def cdc_latest_wins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ds_mapreduce_spark.operators.relational import (
+        cdc_change_rows,
+        latest_wins_merge,
+    )
 
     o = _t(spark, sf_dir, "orders")
-    base = o.select(
+    merged = latest_wins_merge(cdc_change_rows(o), ["o_orderkey"], "version")
+    return merged.select(
         "o_orderkey",
-        F.col("o_orderstatus").alias("status"),
-        _dec("o_totalprice").alias("price"),
-        F.lit(1).alias("version"),
-    )
-    upd = o.where(F.col("o_orderkey") % 7 == 0).select(
-        "o_orderkey",
-        F.lit("U").alias("status"),
-        (_dec("o_totalprice") + 10).alias("price"),
-        F.lit(2).alias("version"),
-    )
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
-    return (
-        base.unionByName(upd)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "o_orderkey",
-            F.col("status").alias("final_status"),
-            F.round(F.col("price").cast("double"), 4).alias("final_price"),
-            "version",
-        )
+        F.col("status").alias("final_status"),
+        F.round(F.col("price").cast("double"), 4).alias("final_price"),
+        "version",
     )
 
 

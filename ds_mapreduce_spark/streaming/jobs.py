@@ -209,3 +209,56 @@ def run_streaming_tumbling_window(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def run_streaming_cdc_merge(
+    spark: SparkSession, orders_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming CDC upsert: the change feed arrives as micro-batches
+    and each batch MERGES into the landed state via ``foreachBatch`` —
+    the latest-wins reduction is the same ``latest_wins_merge`` the
+    batch query (``cdc_latest_wins_merge``) runs in one plan.
+
+    State is chained through versioned parquet dirs (``v{batch_id}``
+    reads ``v{batch_id-1}``): a retried batch id rewrites its own
+    version from its predecessor, so the sink is idempotent on top of
+    at-least-once delivery (exactly-once state). Returns the final
+    merged state. 100 TB: each micro-batch shuffles only
+    |state ∩ batch keys| + |batch| rows; a bucketed state table drops
+    the state side of that shuffle entirely, and compaction of the
+    version chain is the same incremental-compaction plan as batch.
+    """
+    from ds_mapreduce_spark.operators.relational import (
+        cdc_change_rows,
+        latest_wins_merge,
+    )
+
+    schema = spark.read.parquet(orders_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(orders_dir)
+    )
+    feed = cdc_change_rows(stream)
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        rows = batch_df
+        if batch_id > 0:
+            rows = sess.read.parquet(f"{state_dir}/v{batch_id - 1}").unionByName(
+                batch_df
+            )
+        merged = latest_wins_merge(rows, ["o_orderkey"], "version")
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        feed.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{state_dir}/v{last_version[0]}")

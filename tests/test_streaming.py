@@ -190,3 +190,31 @@ def test_batch_sessionization_covers_all_events(spark, sf_dir):
     sessions = sessionize_batch(ev)
     agg = sessions.groupBy().sum("n_events").collect()[0][0]
     assert agg == ev.count()
+
+
+def test_streaming_cdc_merge_matches_batch(spark, sf_dir, tmp_path):
+    """The micro-batched foreachBatch merge must converge to exactly the
+    batch query's latest-wins state, however the feed is chunked: orders
+    are split into 3 files (3 micro-batches via maxFilesPerTrigger=1)."""
+    from ds_mapreduce_spark.operators.relational import (
+        cdc_change_rows,
+        latest_wins_merge,
+    )
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_cdc_merge
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    feed_dir = str(tmp_path / "orders_feed")
+    orders.repartition(3).write.parquet(feed_dir)
+
+    streamed = run_streaming_cdc_merge(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    batch = latest_wins_merge(cdc_change_rows(orders), ["o_orderkey"], "version")
+
+    key = lambda r: r["o_orderkey"]
+    srows = sorted(map(tuple, streamed.collect()), key=lambda t: t[0])
+    brows = sorted(map(tuple, batch.collect()), key=lambda t: t[0])
+    assert srows == brows
+    assert len(srows) == orders.count()
