@@ -158,3 +158,46 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("qnorm2").alias("min_qnorm2"),
         F.sum("qsum").cast("bigint").alias("qcomp_sum"),
     )
+
+
+@register(
+    "knn_quality_gated",
+    oracle=f"""
+WITH ok AS (SELECT doc_id FROM documents WHERE n_chars >= 120),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id IN (SELECT doc_id FROM ok)),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND(list_cosine_similarity(qe, ce), 6) AS score
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+""",
+    doc="Quality-gated semantic search — the retrieval-over-curated-"
+    "corpus composition every RAG/dedup pipeline runs: the ANN corpus "
+    "is embeddings LEFT SEMI joined to documents passing a quality "
+    "gate (n_chars >= 120; vec_id aligns with doc_id in the testdata), "
+    "then exact cosine top-5 for the standard 20-query set. The gate "
+    "predicate pushes into the documents parquet scan, the semi join "
+    "carries only ids, and the reduced corpus streams through the same "
+    "broadcast-queries scoring as knn_bruteforce. 100 TB: curation "
+    "shrinks the scored corpus BEFORE any vector math; the semi join "
+    "is an equi-join on the id (no payload movement), and the scale "
+    "path swaps the exact scorer for knn_ivf unchanged.",
+)
+def q_knn_quality_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ok = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars") >= 120)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = emb.join(ok, "vec_id", "left_semi")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(corpus, queries, k=5).select(
+        "query_id", "neighbor_id", "score", F.col("rnk").cast("bigint").alias("rnk")
+    )
