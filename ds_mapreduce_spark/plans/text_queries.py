@@ -949,6 +949,50 @@ _PII_PHONE = r"\b555-[0-9]{4}\b"
 _PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 
+def pii_scrub_rows(docs: DataFrame) -> DataFrame:
+    """Per-row PII inject+detect+redact (no aggregation): the map-only
+    transformation shared by the batch query (which aggregates it) and
+    the streaming twin (``streaming.jobs.run_streaming_pii_scrub`` —
+    being stateless, the same column expressions run unchanged under
+    ``readStream``). Returns (lang, n_email, n_phone, n_ip, rt)."""
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"), F.lit(" now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit(" done"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    rt = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return docs.select(
+        "lang",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).alias("n_phone"),
+        F.regexp_count(aug, F.lit(_PII_IP)).alias("n_ip"),
+        rt.alias("rt"),
+    )
+
+
+
 @register(
     "pii_redaction",
     oracle=rf"""
@@ -991,42 +1035,7 @@ FROM red GROUP BY lang
     "stage, no Python); one aggregation shuffle.",
 )
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    aug = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(F.lit(" call 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"), F.lit(" now")),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.lit(" ip 10.0."),
-                (F.col("doc_id") % 256).cast("string"),
-                F.lit("."),
-                (F.col("doc_id") % 100).cast("string"),
-                F.lit(" done"),
-            ),
-        ).otherwise(F.lit("")),
-    )
-    rt = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
-        ),
-        _PII_IP,
-        "<IP>",
-    )
-    red = docs.select(
-        "lang",
-        F.regexp_count(aug, F.lit(_PII_EMAIL)).alias("n_email"),
-        F.regexp_count(aug, F.lit(_PII_PHONE)).alias("n_phone"),
-        F.regexp_count(aug, F.lit(_PII_IP)).alias("n_ip"),
-        rt.alias("rt"),
-    )
+    red = pii_scrub_rows(load_table(spark, sf_dir, "documents"))
     return red.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_email").cast("bigint").alias("emails_redacted"),

@@ -262,3 +262,35 @@ def run_streaming_cdc_merge(
     )
     q.awaitTermination()
     return spark.read.parquet(f"{state_dir}/v{last_version[0]}")
+
+
+def run_streaming_pii_scrub(
+    spark: SparkSession, docs_dir: str, sink_table: str = "stream_pii"
+) -> DataFrame:
+    """PII scrubbing as a stream: the batch transformation
+    (``plans.text_queries.pii_scrub_rows`` — stateless column
+    expressions) applied unchanged to a ``readStream`` over the
+    documents parquet, landing per-row redacted records in a memory
+    sink (append mode — a scrub emits rows as they arrive, no state,
+    no watermark). 100 TB: this is the always-on ingest scrubber; each
+    micro-batch is map-only, so throughput is scan-bound and the job
+    scales by adding executors."""
+    from ds_mapreduce_spark.plans.text_queries import pii_scrub_rows
+
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema)
+    if docs_dir.endswith(".parquet"):
+        base, _, fname = docs_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        docs_dir = base
+    stream = reader.parquet(docs_dir)
+    out = pii_scrub_rows(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

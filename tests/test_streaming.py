@@ -218,3 +218,17 @@ def test_streaming_cdc_merge_matches_batch(spark, sf_dir, tmp_path):
     brows = sorted(map(tuple, batch.collect()), key=lambda t: t[0])
     assert srows == brows
     assert len(srows) == orders.count()
+
+
+def test_streaming_pii_scrub_matches_batch(spark, sf_dir):
+    """The stateless scrub must emit exactly the batch transformation's
+    rows (same injection, same redaction, same counts) when run as an
+    append-mode stream."""
+    from ds_mapreduce_spark.plans.text_queries import pii_scrub_rows
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_pii_scrub
+
+    streamed = run_streaming_pii_scrub(spark, f"{sf_dir}/documents.parquet")
+    batch = pii_scrub_rows(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert srows == brows and len(srows) > 0
