@@ -454,3 +454,15 @@ def test_dynamic_partition_pruning_injects_runtime_filter(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dynamic_partition_pruning")
     m = re.search(r"PartitionFilters: \[[^\]]*dynamicpruningexpression\([^\)]*lang", plan)
     assert m, plan
+
+
+def test_knn_quality_gated_pushes_gate_and_stays_semi(spark, sf_dir):
+    """The curation gate must reach the documents scan as a pushed
+    filter, the curation join must stay a LeftSemi on the id (no
+    payload movement), and the only nested-loop join is the intended
+    broadcast of the bounded query set."""
+    plan = _plan(spark, sf_dir, "knn_quality_gated")
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("n_chars" in p and "GreaterThanOrEqual" in p for p in pushed), pushed
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
