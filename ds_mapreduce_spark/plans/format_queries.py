@@ -469,3 +469,54 @@ def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             _text_checksum().alias("text_checksum"),
         )
     )
+
+
+@register(
+    "compaction_rebalance",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       {_CHECKSUM_SQL} AS text_checksum
+FROM documents
+GROUP BY lang
+""",
+    doc="Small-files compaction graded end-to-end — the third storage-"
+    "layout lever after pruning and bucketing: documents are first "
+    "written deliberately FRAGMENTED (64 shuffle files — the shape a "
+    "streaming ingest or over-parallel job leaves behind), then "
+    "compacted by an AQE REBALANCE write (`/*+ REBALANCE */` lets AQE "
+    "coalesce post-shuffle partitions to target-size outputs instead "
+    "of a fixed repartition count), and the graded aggregate runs on "
+    "the compacted copy. The oracle aggregates the original parquet, "
+    "so the hash proves compaction was lossless; the unit test pins "
+    "that the file count actually collapsed. 100 TB: compaction is "
+    "the maintenance job that keeps scan task counts proportional to "
+    "bytes, not to ingest micro-batch history — REBALANCE (not "
+    "repartition(n)) is the right primitive because AQE sizes the "
+    "output splits from runtime statistics.",
+)
+def q_compaction_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frag = _scratch_dir(spark, "compaction_frag", sf_dir)
+    compacted = _scratch_dir(spark, "compaction_out", sf_dir)
+    key = (spark.sparkContext.applicationId, "compaction_rebalance", sf_dir)
+    if key not in _WRITTEN:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        docs.repartition(64).write.mode("overwrite").parquet(frag)
+        (
+            spark.read.parquet(frag)
+            .hint("rebalance")
+            .write.mode("overwrite")
+            .parquet(compacted)
+        )
+        _WRITTEN[key] = compacted
+    back = spark.read.parquet(compacted)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        _text_checksum().alias("text_checksum"),
+    )

@@ -56,3 +56,24 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     assert [r.id for r in pruned.collect()] == [2]
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "part#" in plan  # pruning visible in the plan
+
+
+def test_compaction_collapses_file_count(spark, sf_dir):
+    """The graded compaction query must actually compact: the
+    deliberately fragmented copy has ~64 parquet files; the REBALANCE
+    write produces far fewer (AQE coalesces to target-size splits —
+    at test scale everything fits one or a handful of files)."""
+    import glob
+    import os
+
+    from ds_mapreduce_spark.plans.format_queries import _scratch_dir
+    from ds_mapreduce_spark.plans.registry import load_all
+
+    reg = load_all()
+    reg["compaction_rebalance"].fn(spark, sf_dir).collect()
+    frag = _scratch_dir(spark, "compaction_frag", sf_dir)
+    compacted = _scratch_dir(spark, "compaction_out", sf_dir)
+    n_frag = len(glob.glob(os.path.join(frag, "part-*")))
+    n_comp = len(glob.glob(os.path.join(compacted, "part-*")))
+    assert n_frag >= 32, n_frag
+    assert n_comp <= n_frag // 8, (n_frag, n_comp)
