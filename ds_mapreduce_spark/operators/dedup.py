@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ds_mapreduce_spark.functions.text import norm_text, tokens
+from ds_mapreduce_spark.functions.text import norm_text, portable_fingerprint, tokens
 from ds_mapreduce_spark.functions.vector import dot, l2_norm
 
 
@@ -628,3 +628,50 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def incremental_dedup(
+    history: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """Incremental exact dedup: classify each BATCH doc against the
+    historical fingerprint store and its own batch — the production
+    shape where yesterday's 100 TB corpus is never re-read, only its
+    (md5, keep_id) fingerprint table.
+
+    Verdict per batch doc (priority order):
+      ``dup_of_history`` — canonical hash already in the store;
+      ``dup_in_batch``   — first seen in this batch, but a smaller
+                           doc_id in the SAME batch holds the hash;
+      ``new``            — this doc owns the hash (min id of its
+                           intra-batch group, unseen in history).
+
+    Plan: history collapses to one row per hash (aggregate, bounded by
+    distinct content); the batch left-joins it on the hash and takes a
+    min-id window within the batch group. Two key shuffles, both on
+    the md5 — no text moves after fingerprinting. 100 TB: the store is
+    the only historical state (fingerprints, not documents), append-
+    only, and bucketed by hash so the daily batch join is co-located.
+    Ref parity: generalizes E6 (exact dedup) to the incremental-ingest
+    contract; reference has no analogue (batch-only, SURVEY §2.3).
+    """
+    from pyspark.sql import Window
+
+    hist_fp = (
+        history.select(portable_fingerprint(F.col("text")).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.lit(1).alias("__seen"))
+    )
+    b = batch.select(
+        "doc_id", portable_fingerprint(F.col("text")).alias("text_md5")
+    )
+    w = Window.partitionBy("text_md5")
+    b = b.withColumn("batch_keep", F.min("doc_id").over(w))
+    joined = b.join(hist_fp, "text_md5", "left")
+    verdict = (
+        F.when(F.col("__seen").isNotNull(), "dup_of_history")
+        .when(F.col("doc_id") != F.col("batch_keep"), "dup_in_batch")
+        .otherwise("new")
+    )
+    return joined.select(
+        "doc_id", "text_md5", verdict.alias("verdict"), "batch_keep"
+    )

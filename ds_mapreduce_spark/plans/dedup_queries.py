@@ -388,3 +388,44 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = connected_components(pairs, src="doc_a", dst="doc_b")
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("comp_id"))
+
+
+@register(
+    "dedup_incremental",
+    oracle=r"""
+WITH hist AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_md5
+  FROM documents WHERE doc_id % 3 <> 0
+),
+b AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_md5
+  FROM documents WHERE doc_id % 3 = 0
+),
+bk AS (
+  SELECT doc_id, text_md5,
+         MIN(doc_id) OVER (PARTITION BY text_md5) AS batch_keep
+  FROM b
+)
+SELECT bk.doc_id, bk.text_md5,
+       CASE WHEN hist.text_md5 IS NOT NULL THEN 'dup_of_history'
+            WHEN bk.doc_id <> bk.batch_keep THEN 'dup_in_batch'
+            ELSE 'new' END AS verdict,
+       bk.batch_keep
+FROM bk LEFT JOIN hist USING (text_md5)
+""",
+    doc="Incremental exact dedup — the daily-ingest contract: the corpus "
+    "is split deterministically into history (doc_id % 3 != 0) and "
+    "today's batch; each batch doc is classified dup_of_history / "
+    "dup_in_batch / new against the history's FINGERPRINT table only "
+    "(md5 of the canonical text — yesterday's 100 TB is never re-read) "
+    "plus a min-id window within the batch. Two md5-keyed shuffles, no "
+    "text movement after fingerprinting; at scale the store is append-"
+    "only and bucketed by hash so the batch join is co-located.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    return incremental_dedup(history, batch)
