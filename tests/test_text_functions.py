@@ -227,3 +227,28 @@ class TestConnectedComponents:
         # direction and multiplicity must not matter
         got = self._run(spark, [(5, 3), (3, 5), (5, 3), (7, 5)])
         assert got == {3: 3, 5: 3, 7: 3}
+
+
+def test_incremental_dedup_all_three_verdicts(spark):
+    """The graded corpus has no exact dups, so the two dup branches are
+    pinned here with constructed collisions: doc 10 repeats history
+    (modulo canonicalization), docs 11/12 collide with each other."""
+    from ds_mapreduce_spark.operators.dedup import incremental_dedup
+
+    history = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "  ALPHA   beta GAMMA "),   # canonical dup of history doc 0
+            (11, "zeta eta"),                # new, owns the hash
+            (12, "zeta  eta"),               # canonical dup of 11 within batch
+            (13, "theta"),                   # plain new
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(history, batch).collect()}
+    assert out[10]["verdict"] == "dup_of_history"
+    assert out[11]["verdict"] == "new"
+    assert out[12]["verdict"] == "dup_in_batch" and out[12]["batch_keep"] == 11
+    assert out[13]["verdict"] == "new"
