@@ -1676,3 +1676,50 @@ def q21_waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFram
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "numwait")
     )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM pairs
+GROUP BY part_a, part_b
+HAVING COUNT(*) >= 2
+""",
+    doc="Market-basket co-occurrence (frequent-itemset support counting): "
+    "distinct (order, part) items self-joined WITHIN the order "
+    "(equi-join on l_orderkey + `part_a < part_b` residual) → pair "
+    "support counts, kept at support >= 2. The pair space is bounded "
+    "per order by basket size (TPC-H baskets are ~4-7 items → ≤21 "
+    "pairs), never corpus-quadratic: the join is hash-partitioned on "
+    "orderkey so each task enumerates only its own orders' pairs. "
+    "100 TB: fanout = sum(basket²) ≈ 25× item count — linear in "
+    "orders; a production run would cap basket size first (same "
+    "two-level cap as mr_inverted_index_capped) and count pair "
+    "support with partial aggregation, which is exactly this plan.",
+)
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )

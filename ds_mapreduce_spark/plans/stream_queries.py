@@ -570,3 +570,48 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_above_avg"),
     )
+
+
+@register(
+    "events_dow_hour_profile",
+    oracle="""
+WITH base AS (
+  SELECT (((epoch_us(ts) // 1000000) // 86400 + 4) % 7) AS dow,
+         ((epoch_us(ts) // 1000000) % 86400) // 3600 AS hour_utc,
+         event_type, value
+  FROM events
+)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(hour_utc AS BIGINT) AS hour_utc,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_value
+FROM base
+GROUP BY dow, hour_utc, event_type
+""",
+    doc="Seasonality profile: day-of-week × UTC-hour × event_type heat "
+    "counts — the load-shape report behind capacity planning and "
+    "anomaly baselines. DOW is computed with pure integer epoch "
+    "arithmetic ((epoch_days + 4) % 7, anchoring 1970-01-01 to "
+    "Thursday=4 → 0=Sunday) instead of engine date functions, whose "
+    "week-start conventions differ between Spark (dayofweek 1=Sunday) "
+    "and DuckDB (dayofweek 0=Sunday) — the CLAUDE.md timestamp "
+    "invariant applied to derived calendar fields. Map-only projection "
+    "+ one 7×24×|types| aggregation shuffle; partial agg bounds the "
+    "shuffle to one row per group per task at any scale.",
+)
+def q_events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr("((unix_micros(ts) DIV 1000000) DIV 86400 + 4) % 7").alias("dow"),
+            F.expr("((unix_micros(ts) DIV 1000000) % 86400) DIV 3600").alias("hour_utc"),
+            "event_type",
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        )
+        .groupBy("dow", "hour_utc", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("v").cast("double"), 4).alias("sum_value"),
+        )
+    )
