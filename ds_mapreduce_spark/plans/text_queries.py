@@ -1160,3 +1160,87 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).cast("bigint").alias("chunk_len"),
         F.md5(chunk).alias("chunk_md5"),
     )
+
+
+@register(
+    "span_corruption_plan",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, len(t) AS n FROM toks WHERE len(t) > 0
+), masks AS (
+  SELECT doc_id, n,
+         list_transform(range(n),
+           i -> CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 20 < 3
+         ) AS m
+  FROM sized
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(m, x -> x)) AS BIGINT) AS n_masked,
+       CAST(list_aggregate(list_transform(range(n),
+              i -> CASE WHEN m[i + 1] AND (i = 0 OR NOT m[i]) THEN 1 ELSE 0 END),
+            'sum') AS BIGINT) AS n_spans,
+       CAST(len(list_filter(m, x -> x)) * 10000 // n AS BIGINT) AS corruption_bp
+FROM masks
+""",
+    doc="T5-style span-corruption mask planning, fully deterministic: "
+    "each token position is masked iff md5(doc_id:pos)'s leading 32 "
+    "bits mod 20 < 3 (a portable 15% pseudo-noise both engines derive "
+    "identically — the repo's md5-integer convention), and contiguous "
+    "masked runs count as spans (mask-start positions: masked AND "
+    "predecessor unmasked). Output per doc: token count, masked "
+    "count, span count, corruption rate in integer bp — the denoising-"
+    "objective manifest a T5/UL2 data loader consumes, reproducible "
+    "across runs and engines with no RNG state. 100 TB: map-only — "
+    "mask derivation, span counting, and rates are one array-"
+    "expression projection inside the scan stage; ZERO shuffles "
+    "(plan-locked). DuckDB 1-indexes list access (m[i+1]); Spark's "
+    "element_at is also 1-indexed, so the lag test is i=0 OR NOT "
+    "m[i] on both sides.",
+)
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    sized = docs.select("doc_id", F.size(t).alias("n")).where(F.col("n") > 0)
+    pos_hash = lambda i: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 20
+        < 3
+    )
+    masks = sized.select(
+        "doc_id",
+        "n",
+        F.transform(F.sequence(F.lit(0), F.col("n") - 1), pos_hash).alias("m"),
+    )
+    is_start = lambda i: F.when(
+        F.element_at("m", (i + 1).cast("int"))
+        & ((i == 0) | ~F.element_at("m", i.cast("int"))),
+        1,
+    ).otherwise(0)
+    return masks.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.size(F.filter("m", lambda x: x)).cast("bigint").alias("n_masked"),
+        F.aggregate(
+            F.transform(F.sequence(F.lit(0), F.col("n") - 1), is_start),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        .cast("bigint")
+        .alias("n_spans"),
+        F.expr("CAST(size(filter(m, x -> x)) * 10000 DIV n AS BIGINT)").alias(
+            "corruption_bp"
+        ),
+    )

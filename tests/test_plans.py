@@ -466,3 +466,14 @@ def test_knn_quality_gated_pushes_gate_and_stays_semi(spark, sf_dir):
     assert any("n_chars" in p and "GreaterThanOrEqual" in p for p in pushed), pushed
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_span_corruption_is_map_only(spark, sf_dir):
+    """Mask derivation, span counting, and rates are array expressions
+    inside the scan stage — no exchange anywhere. The mask array must
+    stay a materialized column (a Project boundary): if the collapsed
+    plan inlines the transform into every element_at, evaluation goes
+    O(n_tokens^2) per doc (the winnowing-hotspot regression)."""
+    plan = _plan(spark, sf_dir, "span_corruption_plan")
+    assert "Exchange" not in plan, plan
+    assert "element_at(transform(" not in plan, plan
