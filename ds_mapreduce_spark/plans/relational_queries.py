@@ -1723,3 +1723,63 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 2)
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, frequency,
+         NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_quartile,
+         NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+  FROM per_cust
+)
+SELECT CAST(r_quartile AS BIGINT) AS r_quartile,
+       CAST(f_quartile AS BIGINT) AS f_quartile,
+       CAST(m_quartile AS BIGINT) AS m_quartile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(frequency) AS BIGINT) AS total_orders
+FROM scored
+GROUP BY r_quartile, f_quartile, m_quartile
+""",
+    doc="RFM behavioral segmentation: per-customer recency (epoch "
+    "seconds of last order), frequency, and DECIMAL monetary roll up "
+    "once, then three NTILE(4) windows assign quartiles (every ORDER "
+    "BY tie-broken by o_custkey — NTILE is only cross-engine-"
+    "deterministic under a total order) and the output is the 4×4×4 "
+    "segment census. 100 TB caveat, stated honestly: an un-partitioned "
+    "NTILE is a single-task global sort, so at scale the quartile "
+    "boundaries come from approx_percentile instead and the window "
+    "disappears — the aggregate pre-pass (one custkey shuffle, "
+    "|customers| rows into the window) is what this plan grades.",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_dec("o_totalprice")).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    scored = per_cust.select(
+        "frequency",
+        F.ntile(4).over(wr).cast("bigint").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("bigint").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("bigint").alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("frequency").cast("bigint").alias("total_orders"),
+    )
