@@ -429,3 +429,74 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = docs.where(F.col("doc_id") % 3 != 0)
     batch = docs.where(F.col("doc_id") % 3 == 0)
     return incremental_dedup(history, batch)
+
+
+@register(
+    "related_docs_topk",
+    oracle="WITH "
+    + _PROFILE_CTE
+    + """,
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i,
+         CAST(a.n_shingles + b.n_shingles - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS u
+  FROM profiles a JOIN profiles b ON a.block = b.block AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b, CAST((20000 * i + u) // (2 * u) AS BIGINT) AS jacc_scaled FROM cand
+),
+accepted AS (
+  SELECT doc_a, doc_b, jacc_scaled FROM scored WHERE jacc_scaled >= 5000
+),
+sym AS (
+  SELECT doc_a AS doc_id, doc_b AS related_id, jacc_scaled FROM accepted
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS related_id, jacc_scaled FROM accepted
+),
+ranked AS (
+  SELECT doc_id, related_id, jacc_scaled,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY jacc_scaled DESC, related_id) AS rnk
+  FROM sym
+)
+SELECT doc_id, related_id, jacc_scaled / 10000.0 AS jaccard,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+    doc="Related-documents ranking — the 'more like this' product query, "
+    "composed from the dedup machinery at a looser threshold: min-"
+    "shingle-blocked candidates verified by exact integer Jaccard "
+    "(>= 0.5), SYMMETRIZED (each accepted pair feeds both endpoints' "
+    "lists), and per-doc top-3 by (jaccard DESC, related_id) — a total "
+    "order, so both engines rank identically. Same shared-constant "
+    "oracle CTEs as dedup_ngram_jaccard (one definition of the "
+    "shingle/hash pipeline, CLAUDE.md invariant). 100 TB: pair space "
+    "stays block-bounded (never all-pairs); the symmetric union "
+    "doubles rows but the per-doc window is partition-local on "
+    "doc_id — one shuffle after the verified-pair join.",
+)
+def q_related_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ds_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("related_id"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("related_id"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), "related_id")
+    return (
+        sym.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "related_id", "jaccard", "rnk")
+    )
