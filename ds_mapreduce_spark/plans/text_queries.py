@@ -1244,3 +1244,55 @@ def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corruption_bp"
         ),
     )
+
+
+@register(
+    "mixture_rebalance",
+    oracle="""
+WITH quota AS (
+  SELECT CAST(MIN(cnt) AS BIGINT) AS q
+  FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)
+),
+ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+  FROM documents
+),
+kept AS (
+  SELECT lang, doc_id FROM ranked WHERE r <= (SELECT q FROM quota)
+)
+SELECT lang,
+       COUNT(*) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS kept_id_checksum
+FROM kept GROUP BY lang
+""",
+    doc="Uniform-mixture rebalancing — the language-mixture step of a "
+    "multilingual training recipe: pass 1 derives the per-lang quota "
+    "from the DATA (the smallest language's count — the largest "
+    "uniform mixture the corpus supports, unlike domain_quota_sample's "
+    "fixed cap), pass 2 keeps exactly quota docs per lang by md5-of-id "
+    "rank (deterministic on every engine/cluster/rerun) and grades the "
+    "kept membership via an id checksum. The 1-row quota broadcasts "
+    "into the rank filter. 100 TB: identical shape to the quota "
+    "sampler — one lang shuffle for the window, hash-threshold "
+    "pre-thinning for giant languages; generalizing to arbitrary "
+    "target shares replaces MIN(cnt) with round(share * total), same "
+    "plan.",
+)
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    quota = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").cast("bigint").alias("q"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select("lang", "doc_id", F.row_number().over(w).alias("r"))
+    kept = ranked.crossJoin(F.broadcast(quota)).where(F.col("r") <= F.col("q"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("kept_id_checksum"),
+    )
