@@ -94,7 +94,9 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_verified",
     "dedup_simhash",
     "dedup_embedding_srp",
-    "dedup_connected_components",
+    # dedup_connected_components moved out for the incremental-ingest
+    # contract (its recursive-CTE oracle stays under the in-repo gate)
+    "dedup_incremental",
     "mr_generic_wordcount",
     "mr_secondary_sort",
     "mr_inverted_index",
@@ -103,7 +105,10 @@ PRIORITY: tuple[str, ...] = (
     "agg_approx_suite",
     "sql_grouping_sets",
     "scalar_functions",
-    "regex_functions",
+    # regex_functions moved out in favor of runtime partition pruning
+    # (expressions stay covered by scalar_functions; regex machinery is
+    # graded via pii_redaction's regexp_count/replace chain)
+    "dynamic_partition_pruning",
     # storage-layout + LLM-pipeline ops (round 3): the 100 TB cost
     # levers (partition pruning, shuffle-free bucketed joins) and the
     # training-prep passes (packing, PII scrubbing) graded by the
