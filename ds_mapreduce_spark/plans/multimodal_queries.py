@@ -101,3 +101,41 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return resize_images(attach_binary_payload(docs), width=64, height=64)
+
+
+@register(
+    "multimodal_payload_dedup",
+    oracle="""
+SELECT md5(text) AS payload_md5,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM documents
+GROUP BY md5(text)
+""",
+    doc="Exact dedup over the BINARY payload column — the asset-level "
+    "dedup every multimodal corpus runs before decode (identical bytes "
+    "= identical media, no codec needed): md5 computed directly on the "
+    "binary payload (Spark md5(BINARY) ≡ DuckDB md5 of the same utf-8 "
+    "bytes, since the stand-in payload is encode(text)), grouped with "
+    "min-id representative, copy count, and total bytes from the typed "
+    "metadata struct (meta.byte_len — the struct access path graded). "
+    "100 TB: one (hash, id, byte_len) shuffle — payload bytes never "
+    "move; at real scale the hash is computed at ingest and stored as "
+    "a column, making this a pure fingerprint-table groupBy.",
+)
+def q_multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        media.select(
+            "doc_id",
+            F.md5(F.col("payload")).alias("payload_md5"),
+            F.col("meta.byte_len").alias("byte_len"),
+        )
+        .groupBy("payload_md5")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum("byte_len").cast("bigint").alias("total_bytes"),
+        )
+    )
