@@ -294,3 +294,84 @@ def run_streaming_pii_scrub(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def run_streaming_incremental_dedup(
+    spark: SparkSession,
+    batch_dir: str,
+    history: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming ingest dedup: documents arrive as micro-batches and
+    each batch is classified against the ACCUMULATED fingerprint store
+    (initial store = the history corpus's fingerprints) with the same
+    ``incremental_dedup`` reduction the batch query grades; hashes of
+    this batch's 'new' docs are appended to the store for the next
+    batch.
+
+    Semantics note vs the one-shot batch run: a duplicate pair split
+    across micro-batches classifies as dup_of_history (the store saw it
+    first) rather than dup_in_batch — but the KEPT SET (one owner per
+    hash, smallest id wins when arrival order is id-ordered) is
+    identical however the feed is chunked, which is the invariant
+    ``tests/test_streaming.py`` pins. State chains through versioned
+    parquet dirs like the CDC merge (idempotent per batch id). 100 TB:
+    the store is fingerprints only (append-only, bucketed by hash); a
+    day's batch never joins more than |store ∩ batch| + |batch| rows.
+    """
+    from ds_mapreduce_spark.functions.text import portable_fingerprint
+
+    hist_fp = (
+        history.select(portable_fingerprint(F.col("text")).alias("text_md5"))
+        .distinct()
+    )
+    hist_fp.write.mode("overwrite").parquet(f"{state_dir}/v-1")
+
+    schema = spark.read.parquet(batch_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(batch_dir)
+    )
+    last = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        store = sess.read.parquet(f"{state_dir}/v{batch_id - 1}")
+        # same reduction as operators.dedup.incremental_dedup, but the
+        # history side is already a fingerprint store (hashes, not text)
+        from pyspark.sql import Window
+
+        b = batch_df.select(
+            "doc_id", portable_fingerprint(F.col("text")).alias("text_md5")
+        )
+        w = Window.partitionBy("text_md5")
+        b = b.withColumn("batch_keep", F.min("doc_id").over(w))
+        joined = b.join(
+            store.withColumn("__seen", F.lit(1)), "text_md5", "left"
+        )
+        verdict = (
+            F.when(F.col("__seen").isNotNull(), "dup_of_history")
+            .when(F.col("doc_id") != F.col("batch_keep"), "dup_in_batch")
+            .otherwise("new")
+        )
+        out = joined.select("doc_id", "text_md5", verdict.alias("verdict"))
+        out.write.mode("overwrite").parquet(f"{state_dir}/verdicts_v{batch_id}")
+        new_hashes = out.where(F.col("verdict") == "new").select("text_md5")
+        store.select("text_md5").unionByName(new_hashes).distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/v{batch_id}")
+        last[0] = max(last[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(
+        *[f"{state_dir}/verdicts_v{i}" for i in range(last[0] + 1)]
+    )

@@ -232,3 +232,56 @@ def test_streaming_pii_scrub_matches_batch(spark, sf_dir):
     srows = sorted(map(tuple, streamed.collect()))
     brows = sorted(map(tuple, batch.collect()))
     assert srows == brows and len(srows) > 0
+
+
+def test_streaming_incremental_dedup_kept_set_is_chunking_invariant(spark, tmp_path):
+    """The kept set (one owner per hash) must equal the one-shot batch
+    classification however the feed is micro-batched, given id-ordered
+    arrival. Constructed dups cover all three verdicts, including a
+    pair SPLIT ACROSS micro-batches (classified dup_of_history by the
+    stream, dup_in_batch by the one-shot — same keeper either way)."""
+    from ds_mapreduce_spark.operators.dedup import incremental_dedup
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_incremental_dedup
+
+    history = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma")], "doc_id long, text string"
+    )
+    batch_rows = [
+        (10, "alpha  beta"),   # chunk 0: dup of history
+        (11, "delta one"),     # chunk 0: new
+        (12, "epsilon"),       # chunk 1: new, owns the hash
+        (13, "epsilon "),      # chunk 1: dup of 12 in the SAME micro-batch
+        (24, "epsilon"),       # chunk 2: dup of 12 from an EARLIER micro-batch
+        (25, "zeta"),          # chunk 2: new
+    ]
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    feed_dir = str(tmp_path / "feed")
+    # three sequential single-file appends → strictly increasing mtimes,
+    # so FileStreamSource consumes the chunks in id order (the arrival
+    # order the kept-set invariant assumes)
+    for chunk in (batch_rows[:2], batch_rows[2:4], batch_rows[4:]):
+        (
+            spark.createDataFrame(chunk, "doc_id long, text string")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(feed_dir)
+        )
+
+    streamed = run_streaming_incremental_dedup(
+        spark, feed_dir, history, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    srows = {r["doc_id"]: r["verdict"] for r in streamed.collect()}
+    brows = {
+        r["doc_id"]: r["verdict"]
+        for r in incremental_dedup(history, batch).collect()
+    }
+    assert set(srows) == set(brows) == {10, 11, 12, 13, 24, 25}
+    # kept sets agree exactly
+    s_new = {d for d, v in srows.items() if v == "new"}
+    b_new = {d for d, v in brows.items() if v == "new"}
+    assert s_new == b_new == {11, 12, 25}
+    # the split pair differs only in dup *label*, never in keeper
+    assert brows[24] == "dup_in_batch"
+    assert srows[24] == "dup_of_history"
+    assert srows[10] == brows[10] == "dup_of_history"
+    assert srows[13] == brows[13] == "dup_in_batch"
