@@ -1296,3 +1296,60 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").cast("bigint").alias("kept_id_checksum"),
     )
+
+
+#: power-of-two length-bucket boundaries shared by query and oracle
+_LEN_BUCKETS = (8, 16, 32, 64, 128)
+
+
+def _bucket_case_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} <= {b} THEN {b}" for b in _LEN_BUCKETS
+    )
+    return f"CASE {cases} ELSE {_LEN_BUCKETS[-1] * 2} END"
+
+
+@register(
+    "length_bucketed_batching",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n
+  FROM documents
+), sized AS (
+  SELECT doc_id, n, {_bucket_case_sql('n')} AS bucket FROM toks WHERE n > 0
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(MAX(n) AS BIGINT) AS max_tokens,
+       CAST((COUNT(*) * MAX(n) - SUM(n)) * 10000 // (COUNT(*) * MAX(n)) AS BIGINT) AS padding_waste_bp
+FROM sized GROUP BY bucket
+""",
+    doc="Length-bucketed batching report — the padding-efficiency "
+    "analysis behind dynamic batching: docs bucket by token count "
+    "into power-of-two boundaries (CASE thresholds shared verbatim "
+    "with the oracle — no log2 floats whose boundary rounding could "
+    "diverge), and each bucket reports doc count, token mass, the "
+    "batch-shaping max, and padding waste in integer bp "
+    "((n·max − total)·10⁴ DIV (n·max)) — what fraction of a "
+    "rectangular batch padded to the bucket max is wasted. The "
+    "operational knob: more buckets → less padding but smaller "
+    "batches. Map-only projection + one ≤6-group shuffle; partial agg "
+    "makes the shuffle constant-size at any corpus scale.",
+)
+def q_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text")))
+    bucket = F.lit(_LEN_BUCKETS[-1] * 2)
+    for b in reversed(_LEN_BUCKETS):
+        bucket = F.when(n <= b, b).otherwise(bucket)
+    sized = docs.select(n.alias("n"), bucket.alias("bucket")).where(F.col("n") > 0)
+    return sized.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.max("n").cast("bigint").alias("max_tokens"),
+        F.expr(
+            "CAST((COUNT(*) * MAX(n) - SUM(n)) * 10000 DIV (COUNT(*) * MAX(n)) AS BIGINT)"
+        ).alias("padding_waste_bp"),
+    ).withColumn("bucket", F.col("bucket").cast("bigint"))
