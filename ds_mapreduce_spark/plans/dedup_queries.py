@@ -500,3 +500,85 @@ def q_related_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "related_id", "jaccard", "rnk")
     )
+
+
+@register(
+    "contrastive_pairs",
+    oracle="WITH "
+    + _PROFILE_CTE
+    + """,
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i,
+         CAST(a.n_shingles + b.n_shingles - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS u
+  FROM profiles a JOIN profiles b ON a.block = b.block AND a.doc_id < b.doc_id
+),
+pos AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE CAST((20000 * i + u) // (2 * u) AS BIGINT) >= 5000
+),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+neg_raw AS (
+  SELECT d.doc_id AS doc_a,
+         (d.doc_id * 31 + 7) % (SELECT n FROM n_docs) AS doc_b
+  FROM documents d
+),
+neg AS (
+  SELECT nr.doc_a, nr.doc_b FROM neg_raw nr
+  WHERE nr.doc_b <> nr.doc_a
+    AND NOT EXISTS (
+      SELECT 1 FROM pos p
+      WHERE (p.doc_a = LEAST(nr.doc_a, nr.doc_b) AND p.doc_b = GREATEST(nr.doc_a, nr.doc_b))
+    )
+)
+SELECT doc_a, CAST(doc_b AS BIGINT) AS doc_b, CAST(1 AS BIGINT) AS label FROM pos
+UNION ALL
+SELECT doc_a, CAST(doc_b AS BIGINT) AS doc_b, CAST(0 AS BIGINT) AS label FROM neg
+""",
+    doc="Contrastive training-pair mining — the dataset-construction "
+    "step for embedding-model training: POSITIVES are the verified "
+    "near-dup pairs (min-shingle-blocked, exact integer Jaccard >= "
+    "0.5 — the same machinery as related_docs_topk), NEGATIVES pair "
+    "every doc with a deterministic arithmetic partner "
+    "((id*31 + 7) mod N — doc_ids are dense 0..N-1 in the testdata, a "
+    "documented precondition; at scale use the md5-rank as the dense "
+    "index) with self-pairs and accidental positives anti-joined out. "
+    "Fully deterministic on both engines — no RNG. 100 TB: positives "
+    "stay block-bounded; the negative map is a map-only projection "
+    "plus one anti-join against the (small) positive set; the N "
+    "scalar is a 1-row broadcast.",
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = ngram_jaccard_pairs(docs, k=3, threshold=0.5).select("doc_a", "doc_b")
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    neg_raw = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            ((F.col("doc_id") * 31 + 7) % F.col("n")).alias("doc_b"),
+        )
+        .where(F.col("doc_b") != F.col("doc_a"))
+    )
+    neg_keyed = neg_raw.select(
+        "doc_a",
+        "doc_b",
+        F.least("doc_a", "doc_b").alias("__lo"),
+        F.greatest("doc_a", "doc_b").alias("__hi"),
+    )
+    pos_keyed = pos.select(
+        F.col("doc_a").alias("__lo"), F.col("doc_b").alias("__hi")
+    )
+    neg = neg_keyed.join(pos_keyed, ["__lo", "__hi"], "left_anti").select(
+        "doc_a", "doc_b"
+    )
+    return pos.select(
+        "doc_a", F.col("doc_b").cast("bigint").alias("doc_b"), F.lit(1).cast("bigint").alias("label")
+    ).unionByName(
+        neg.select(
+            "doc_a", F.col("doc_b").cast("bigint").alias("doc_b"), F.lit(0).cast("bigint").alias("label")
+        )
+    )
