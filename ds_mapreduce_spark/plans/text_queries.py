@@ -1353,3 +1353,69 @@ def q_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((COUNT(*) * MAX(n) - SUM(n)) * 10000 DIV (COUNT(*) * MAX(n)) AS BIGINT)"
         ).alias("padding_waste_bp"),
     ).withColumn("bucket", F.col("bucket").cast("bigint"))
+
+
+@register(
+    "vocab_oov_rates",
+    oracle=r"""
+WITH words AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS c FROM words GROUP BY w ORDER BY c DESC, w LIMIT 16
+  )
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
+  FROM words LEFT JOIN vocab v USING (w)
+  GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST((oov * 10000 // n) // 500 AS BIGINT) AS oov_bucket,
+       COUNT(*) AS n_docs
+FROM per_doc
+GROUP BY lang, oov_bucket
+""",
+    doc="Tokenizer vocabulary coverage — the OOV audit run before "
+    "committing a vocab: pass 1 takes the top-16 words by (count DESC, "
+    "word) — a total order, so both engines pick the identical vocab — "
+    "pass 2 computes each doc's out-of-vocab token rate against it "
+    "(left join, integer bp) and reports the per-lang histogram in 5% "
+    "buckets. High-OOV languages tell you the vocab under-serves them "
+    "— the signal behind per-language vocab allocation. 100 TB: the "
+    "vocab is LIMIT-bounded (broadcastable at any corpus size), the "
+    "word join is an equi-join on the token, and the per-doc re-agg "
+    "reuses wordcount's explode-scale shuffle shape.",
+)
+def q_vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(16)
+        .select("w", F.lit(1).alias("__in_vocab"))
+    )
+    per_doc = (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov"),
+        )
+    )
+    return (
+        per_doc.withColumn("oov_bucket", F.expr("(oov * 10000 DIV n) DIV 500"))
+        .groupBy("lang", "oov_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
