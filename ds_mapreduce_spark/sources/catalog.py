@@ -34,6 +34,28 @@ TABLES = (
 )
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to LTZ TIMESTAMP whatever the physical encoding.
+
+    The SINGLE place that knows the driver's on-disk ts encodings (batch
+    ``load_table`` and every streaming reader call this):
+
+    - INT64 nanos (read as long under ``nanosAsLong``) → µs truncation
+      then ``timestamp_micros``;
+    - ``timestamp[us]`` without tz (Spark: TIMESTAMP_NTZ) → cast to
+      TIMESTAMP; with the session tz pinned UTC the cast preserves the
+      wall-clock value, so ``unix_micros`` ≙ DuckDB ``epoch_us``.
+
+    Works on both batch and streaming DataFrames (pure column expr).
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar Parquet scan of one catalog table.
 
@@ -43,9 +65,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Determinism guards (idempotent, safe under any driver session):
     - session timezone pinned to UTC so timestamp literals/formatting
       match a timezone-naive oracle;
-    - ``events.ts`` is stored as nanosecond INT64, which Spark 4 cannot
-      read as a timestamp — read as long then convert at microsecond
-      precision (the same truncation every µs-native engine applies).
+    - ``events.ts`` has shipped in two physical encodings across driver
+      rounds, and ALL ts-encoding knowledge lives here (nowhere else):
+
+      * nanosecond INT64 — Spark 4 cannot read it as a timestamp; read
+        as long (``nanosAsLong``) and convert at microsecond precision
+        (the same truncation every µs-native engine applies);
+      * ``timestamp[us]`` with no timezone — Spark 4 reads it as
+        TIMESTAMP_NTZ, which ``unix_micros``/``window``/``unix_timestamp``
+        reject; cast NTZ→TIMESTAMP (LTZ). The session tz is pinned UTC
+        above, so the cast is wall-clock-preserving and ``unix_micros``
+        equals DuckDB ``epoch_us`` on the same naive value.
+
+      Downstream code may therefore assume ``ts`` is always LTZ
+      TIMESTAMP in UTC, whatever the driver regenerates next round.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
@@ -53,9 +86,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") in ("bigint", "long"):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
+        return normalize_events_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ds_mapreduce_spark.sources.catalog import normalize_events_ts
+
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """The shared batch/stream transformation (event-time tumbling agg)."""
@@ -160,9 +162,7 @@ def run_streaming_attribution_join(
         base, _, fname = events_dir.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         events_dir = base
-    stream = reader.parquet(events_dir)
-    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = normalize_events_ts(reader.parquet(events_dir))
     clicks = stream.where(F.col("event_type") == "click")
     purchases = stream.where(F.col("event_type") == "purchase")
     out = attribution_join(clicks, purchases, horizon)
@@ -196,9 +196,7 @@ def run_streaming_tumbling_window(
         base, _, fname = events_dir.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         events_dir = base
-    stream = reader.parquet(events_dir)
-    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = normalize_events_ts(reader.parquet(events_dir))
     out = windowed_counts(stream)
     q = (
         out.writeStream.format("memory")

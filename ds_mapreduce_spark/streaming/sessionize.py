@@ -140,11 +140,10 @@ def run_streaming_sessionize(
         base, _, fname = events_dir.rpartition("/")
         reader = reader.option("pathGlobFilter", fname)
         events_dir = base
-    stream = reader.parquet(events_dir)
-    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
-        ts_us = F.expr("ts DIV 1000")
-    else:
-        ts_us = F.unix_micros(F.col("ts"))
+    from ds_mapreduce_spark.sources.catalog import normalize_events_ts
+
+    stream = normalize_events_ts(reader.parquet(events_dir))
+    ts_us = F.unix_micros(F.col("ts"))
     gap_us = gap_sec * 1_000_000
 
     def fn(key, pdf_iter, state):

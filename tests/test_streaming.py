@@ -100,13 +100,13 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
     base, _, fname = events_path.rpartition("/")
-    stream = (
+    from ds_mapreduce_spark.sources.catalog import normalize_events_ts
+
+    stream = normalize_events_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", fname)
         .parquet(base)
     )
-    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     out = windowed_counts(stream)
 
     def sink(batch_df, batch_id: int):
