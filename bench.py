@@ -63,34 +63,58 @@ def main() -> None:
     # warm the JVM once per query shape so per-query timings measure the
     # plan, not first-touch classloading/codegen: run every headline
     # query at the smallest scale factor first (sf0.001 ≈ free), then
-    # time at the target scale
+    # time at the target scale. A broken query must never kill the
+    # bench: failures degrade per-query into the "errors" map and the
+    # JSON line is ALWAYS printed.
     warm_dir = "/root/testdata/sf0.001"
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         try:
             registry[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:
-            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # recorded at timing time too; warm best-effort
+                errors[name] = f"warm: {type(exc).__name__}: {exc}"[:500]
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     for name in HEADLINE:
         fn = registry[name].fn
         t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    total = round(sum(t for t in timings.values() if t is not None), 3)
+    result = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # even a harness-level failure emits the line
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_total",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "sf": -1.0,
+                    "errors": {"__harness__": f"{type(exc).__name__}: {exc}"[:500]},
+                }
+            )
+        )
+        sys.exit(1)
