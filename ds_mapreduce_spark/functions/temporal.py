@@ -1,0 +1,55 @@
+"""Temporal column helpers: the ONE place epoch conversion lives.
+
+Round 3 broke on a silent driver-side encoding change because 16 call
+sites each assumed ``events.ts`` arrives as LTZ TIMESTAMP. The catalog
+(``sources.catalog.normalize_events_ts``) now guarantees that, and these
+helpers are additionally NTZ-safe (a defensive ``cast("timestamp")`` is
+a no-op on LTZ and a wall-clock-preserving UTC cast on NTZ, since every
+session is pinned UTC by ``load_table``) — so the next encoding change
+is a one-file fix, mirroring the repo's shared-constants invariant for
+minhash/SRP oracles.
+
+Oracle equivalences (DuckDB):
+- ``epoch_us(c)``  ≙ ``epoch_us(c)``
+- ``epoch_sec(c)`` ≙ ``epoch_us(c) // 1000000`` (floor division)
+
+Scale notes: pure column expressions — whole-stage codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_US_PER_SEC = 1_000_000
+
+
+def _as_col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def idiv_floor(col: Column, n: int) -> Column:
+    """Exact integer floor division of a BIGINT column by a constant.
+
+    Done exactly in integer space (subtract the positive modulus before
+    dividing) so the double division lands on an exactly-representable
+    integer — no rounding drift vs the oracle's ``//``. Floor (not
+    truncate-toward-zero) semantics for negative inputs.
+    """
+    n_ = F.lit(n)
+    return ((col - F.pmod(col, n_)) / n_).cast("long")
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Epoch microseconds (BIGINT) from a timestamp column, NTZ/LTZ-safe."""
+    return F.unix_micros(_as_col(col).cast("timestamp"))
+
+
+def epoch_sec(col: Column | str) -> Column:
+    """Epoch seconds (BIGINT, floor) — oracle: ``epoch_us(c) // 1000000``."""
+    return idiv_floor(epoch_us(col), _US_PER_SEC)
+
+
+def epoch_day(col: Column | str) -> Column:
+    """Epoch days (BIGINT, floor) — oracle: ``epoch_us(c) // 86400000000``."""
+    return idiv_floor(epoch_us(col), 86_400 * _US_PER_SEC)

@@ -18,6 +18,7 @@ from ds_mapreduce_spark.operators.mapreduce import (
     run_mapreduce_salted,
     word_count,
 )
+from ds_mapreduce_spark.functions.temporal import epoch_day, epoch_sec, epoch_us, idiv_floor
 from ds_mapreduce_spark.plans.registry import register
 from ds_mapreduce_spark.sources.catalog import load_table
 
@@ -258,7 +259,7 @@ def q_mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "user_id",
-        F.expr("unix_micros(ts) DIV 1000000").alias("ts_sec"),
+        epoch_sec("ts").alias("ts_sec"),
         "event_id",
         "event_type",
     )

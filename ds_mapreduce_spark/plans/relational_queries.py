@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ds_mapreduce_spark.functions.temporal import epoch_day, epoch_sec, epoch_us, idiv_floor
 from ds_mapreduce_spark.plans.registry import register
 from ds_mapreduce_spark.sources.catalog import load_table
 
@@ -968,9 +969,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "o_orderkey",
-            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000000").alias(
-                "order_epoch"
-            ),
+            epoch_sec("o_orderdate").alias("order_epoch"),
             F.round(F.col("__tq").cast("double"), 4).alias("total_qty"),
         )
     )

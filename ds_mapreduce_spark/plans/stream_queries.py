@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ds_mapreduce_spark.functions.temporal import epoch_day, epoch_sec, epoch_us, idiv_floor
 from ds_mapreduce_spark.plans.registry import register
 from ds_mapreduce_spark.sources.catalog import load_table
 
@@ -43,7 +44,7 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            epoch_sec(F.col("w.start")).alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -81,7 +82,7 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("sum_cents"))
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            epoch_sec(F.col("w.start")).alias("window_start"),
             "n_events",
             (
                 F.expr("(200 * sum_cents + n_events) DIV (2 * n_events)") / 10000.0
@@ -145,7 +146,7 @@ def q_events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return daily.select(
-        F.unix_timestamp("day").alias("day_start"), "event_type", "n_events", "sum_value"
+        epoch_sec("day").alias("day_start"), "event_type", "n_events", "sum_value"
     )
 
 
@@ -266,7 +267,7 @@ def q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").cast("bigint").alias("n_types"),
-        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        (epoch_sec(F.max("ts")) - epoch_sec(F.min("ts")))
         .cast("bigint")
         .alias("active_span_sec"),
         F.round(
@@ -399,7 +400,7 @@ def q_events_rolling_1h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.select(
         "event_id",
         "user_id",
-        F.expr("unix_micros(ts) DIV 1000000").alias("ts_sec"),
+        epoch_sec("ts").alias("ts_sec"),
         (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3599, 0)
@@ -448,7 +449,7 @@ SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
 )
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    e = ev.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    e = ev.select("user_id", "event_type", epoch_us("ts").alias("us"))
     v = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -503,9 +504,7 @@ GROUP BY cohort_day, day_offset
 )
 def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    days = ev.select(
-        "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
-    )
+    days = ev.select("user_id", epoch_day("ts").alias("day"))
     first_seen = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     activity = (
         days.join(first_seen, "user_id")
@@ -604,8 +603,8 @@ def q_events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(
-            F.expr("((unix_micros(ts) DIV 1000000) DIV 86400 + 4) % 7").alias("dow"),
-            F.expr("((unix_micros(ts) DIV 1000000) % 86400) DIV 3600").alias("hour_utc"),
+            F.pmod(epoch_day("ts") + 4, F.lit(7)).alias("dow"),
+            idiv_floor(F.pmod(epoch_sec("ts"), F.lit(86400)), 3600).alias("hour_utc"),
             "event_type",
             F.col("value").cast("decimal(12,2)").alias("v"),
         )

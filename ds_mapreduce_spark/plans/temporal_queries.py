@@ -18,6 +18,7 @@ from ds_mapreduce_spark.operators.temporal import (
     make_intervals,
     range_join_points_intervals,
 )
+from ds_mapreduce_spark.functions.temporal import epoch_day, epoch_sec, epoch_us, idiv_floor
 from ds_mapreduce_spark.plans.registry import register
 from ds_mapreduce_spark.sources.catalog import load_table
 
@@ -49,8 +50,8 @@ def q_asof_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.expr("unix_micros(ts) DIV 1000000").alias("click_sec"),
-        F.expr("unix_micros(asof_ts) DIV 1000000").alias("last_purchase_sec"),
+        epoch_sec("ts").alias("click_sec"),
+        epoch_sec("asof_ts").alias("last_purchase_sec"),
     )
 
 

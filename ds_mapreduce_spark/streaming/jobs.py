@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ds_mapreduce_spark.functions.temporal import epoch_sec, epoch_us
 from ds_mapreduce_spark.sources.catalog import normalize_events_ts
 
 
@@ -34,7 +35,7 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
             ),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            epoch_sec(F.col("w.start")).alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -143,8 +144,8 @@ def attribution_join(clicks: DataFrame, purchases: DataFrame, horizon: str = "2 
         F.col("p_user").alias("user_id"),
         "purchase_id",
         "click_id",
-        F.unix_micros("purchase_ts").alias("purchase_us"),
-        F.unix_micros("click_ts").alias("click_us"),
+        epoch_us("purchase_ts").alias("purchase_us"),
+        epoch_us("click_ts").alias("click_us"),
     )
 
 

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ds_mapreduce_spark.functions.temporal import epoch_us, idiv_floor
+
 #: a closed session: who, when it started (epoch sec), how many events,
 #: how long it lasted. Micro-second arithmetic end-to-end so batch and
 #: stream (and the DuckDB oracle) agree exactly.
@@ -46,8 +48,8 @@ def sessionize_batch(events: DataFrame, gap_sec: int = DEFAULT_GAP_SEC) -> DataF
     session_id numbered 1.. per user in time order.
     """
     w = Window.partitionBy("user_id").orderBy("ts")
-    us = F.unix_micros(F.col("ts"))
-    prev_us = F.unix_micros(F.lag("ts").over(w))
+    us = epoch_us("ts")
+    prev_us = epoch_us(F.lag("ts").over(w))
     new_session = F.when(
         prev_us.isNull() | ((us - prev_us) > gap_sec * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
@@ -59,11 +61,11 @@ def sessionize_batch(events: DataFrame, gap_sec: int = DEFAULT_GAP_SEC) -> DataF
         .select("user_id", "ts", F.sum("new_s").over(run).alias("session_id"))
         .groupBy("user_id", "session_id")
         .agg(
-            F.expr("min(unix_micros(ts)) DIV 1000000").alias("session_start"),
+            idiv_floor(F.min(epoch_us("ts")), 1_000_000).alias("session_start"),
             F.count(F.lit(1)).alias("n_events"),
-            F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) DIV 1000000").alias(
-                "span_sec"
-            ),
+            idiv_floor(
+                F.max(epoch_us("ts")) - F.min(epoch_us("ts")), 1_000_000
+            ).alias("span_sec"),
         )
     )
 
@@ -143,7 +145,7 @@ def run_streaming_sessionize(
     from ds_mapreduce_spark.sources.catalog import normalize_events_ts
 
     stream = normalize_events_ts(reader.parquet(events_dir))
-    ts_us = F.unix_micros(F.col("ts"))
+    ts_us = epoch_us("ts")
     gap_us = gap_sec * 1_000_000
 
     def fn(key, pdf_iter, state):
