@@ -28,15 +28,15 @@ def _as_col(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def idiv_floor(col: Column, n: int) -> Column:
-    """Exact integer floor division of a BIGINT column by a constant.
+def idiv_floor(col: Column, n: int | Column) -> Column:
+    """Exact integer floor division of a BIGINT column by a constant or column.
 
     Done exactly in integer space (subtract the positive modulus before
     dividing) so the double division lands on an exactly-representable
     integer — no rounding drift vs the oracle's ``//``. Floor (not
     truncate-toward-zero) semantics for negative inputs.
     """
-    n_ = F.lit(n)
+    n_ = F.lit(n) if isinstance(n, int) else n
     return ((col - F.pmod(col, n_)) / n_).cast("long")
 
 

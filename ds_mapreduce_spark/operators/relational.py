@@ -101,3 +101,79 @@ def cdc_change_rows(orders: DataFrame) -> DataFrame:
         F.lit(2).alias("version"),
     )
     return base.unionByName(upd)
+
+
+def ntile_over_total_order(
+    df: DataFrame, k: int, order: Sequence[Column], out_col: str
+) -> DataFrame:
+    """NTILE(k) over a TOTAL order with no single-task global sort.
+
+    Spark's un-partitioned ``ntile().over(Window.orderBy(...))`` plans a
+    SinglePartition exchange — one task sorts everything. This operator
+    produces the IDENTICAL tile assignment scalably:
+
+    1. ``repartitionByRange`` on the order (distributed range sort —
+       each partition holds a contiguous, ordered key range) +
+       ``sortWithinPartitions`` — no window function, so no extra
+       hash exchange on a partition-id key;
+    2. ``monotonically_increasing_id`` right after the sort: its bit
+       layout (pid << 33 | record-number) yields the ordered partition
+       id AND the partition-local row number in one map-only
+       projection — the DataFrame form of zipWithIndex;
+    3. eager ``localCheckpoint``: |rows| are materialized ONCE, so the
+       tiny per-partition counts branch (self-joined broadcast,
+       #partitions rows) doesn't recompute the upstream subtree —
+       global rank = predecessor-count offset + local row number, with
+       no SinglePartition exchange anywhere;
+    4. the standard-SQL NTILE arithmetic: q = n div k, r = n mod k, the
+       first r tiles get q+1 rows. Exact integer floor division
+       (``idiv_floor``) so the assignment matches the oracle's NTILE
+       bit-for-bit at any n.
+
+    ``order`` must be a total order (tie-break!) for cross-engine
+    determinism — same contract as the window form. 100 TB: the range
+    exchange is the same machinery as a distributed ORDER BY; no task
+    ever holds more than its range slice, and the checkpoint is the
+    rank-stage materialization every distributed zipWithIndex pays.
+    """
+    from ds_mapreduce_spark.functions.temporal import idiv_floor
+
+    d = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright(F.col("__mid"), 33))
+        .withColumn("__lrn", (F.pmod(F.col("__mid"), F.lit(1 << 33)) + 1).cast("bigint"))
+        .drop("__mid")
+    )
+    d = d.localCheckpoint(eager=True)
+    counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    meta = (
+        a.join(F.broadcast(b), F.lit(True))
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(
+            F.sum(F.col("b.__cnt")).cast("bigint").alias("__n"),
+            F.sum(
+                F.when(F.col("b.__pid") < F.col("a.__pid"), F.col("b.__cnt")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("__off"),
+        )
+    )
+    d = d.join(F.broadcast(meta), "__pid")
+    rn = (F.col("__off") + F.col("__lrn")).cast("bigint")
+    n = F.col("__n")
+    q = idiv_floor(n, k)
+    r = F.pmod(n, F.lit(k))
+    big = r * (q + 1)  # rows covered by the first r (larger) tiles
+    tile = F.when(rn <= big, idiv_floor(rn - 1, q + 1) + 1).otherwise(
+        # q > 0 here (q == 0 implies r == n, i.e. every row in the first
+        # branch); greatest() keeps ANSI division happy regardless
+        r + idiv_floor(rn - big - 1, F.greatest(q, F.lit(1))) + 1
+    )
+    return d.withColumn(out_col, tile.cast("bigint")).drop(
+        "__pid", "__lrn", "__cnt", "__n", "__off"
+    )

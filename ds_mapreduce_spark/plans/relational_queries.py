@@ -1749,19 +1749,19 @@ SELECT CAST(r_quartile AS BIGINT) AS r_quartile,
 FROM scored
 GROUP BY r_quartile, f_quartile, m_quartile
 """,
-    doc="RFM behavioral segmentation: per-customer recency (epoch "
-    "seconds of last order), frequency, and DECIMAL monetary roll up "
-    "once, then three NTILE(4) windows assign quartiles (every ORDER "
-    "BY tie-broken by o_custkey — NTILE is only cross-engine-"
-    "deterministic under a total order) and the output is the 4×4×4 "
-    "segment census. 100 TB caveat, stated honestly: an un-partitioned "
-    "NTILE is a single-task global sort, so at scale the quartile "
-    "boundaries come from approx_percentile instead and the window "
-    "disappears — the aggregate pre-pass (one custkey shuffle, "
-    "|customers| rows into the window) is what this plan grades.",
+    doc="RFM behavioral segmentation: per-customer recency, frequency, "
+    "and DECIMAL monetary roll up once, then three DISTRIBUTED "
+    "NTILE(4) passes (operators/relational.py ntile_over_total_order: "
+    "range-repartition + partition-local row_number + broadcast "
+    "offsets — identical tile assignment to the window form, every "
+    "ORDER BY tie-broken by o_custkey) and the output is the 4×4×4 "
+    "segment census. 100 TB: no SinglePartition exchange anywhere — "
+    "each NTILE is a range exchange over |customers| rows, the same "
+    "machinery as a distributed ORDER BY; tests/test_plans.py pins "
+    "the SinglePartition absence.",
 )
 def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ds_mapreduce_spark.operators.relational import ntile_over_total_order
 
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -1769,15 +1769,13 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(_dec("o_totalprice")).alias("monetary"),
     )
-    wr = Window.orderBy(F.col("last_order").desc(), "o_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
-    scored = per_cust.select(
-        "frequency",
-        F.ntile(4).over(wr).cast("bigint").alias("r_quartile"),
-        F.ntile(4).over(wf).cast("bigint").alias("f_quartile"),
-        F.ntile(4).over(wm).cast("bigint").alias("m_quartile"),
-    )
+    scored = per_cust
+    for col, order in (
+        ("r_quartile", [F.col("last_order").desc(), F.col("o_custkey")]),
+        ("f_quartile", [F.col("frequency").desc(), F.col("o_custkey")]),
+        ("m_quartile", [F.col("monetary").desc(), F.col("o_custkey")]),
+    ):
+        scored = ntile_over_total_order(scored, 4, order, col)
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("frequency").cast("bigint").alias("total_orders"),
