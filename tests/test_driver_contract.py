@@ -85,14 +85,20 @@ def test_check_window_covers_the_round1_dark_families():
     """The specific queries VERDICT r1 called out as never graded."""
     must_grade = {
         "knn_bruteforce", "knn_ivf",                      # E8
-        "text_stats", "tfidf_top_terms", "decontamination",
-        "stratified_sample",                              # E9
+        "text_stats", "tfidf_top_terms", "decontamination",  # E9
         "events_tumbling_window", "events_sliding_window",
         "events_sessionization", "events_json_extract",
         "events_funnel",                                  # E13/E14
         "asof_join_click_purchase", "range_join_price_bands",  # temporal
         "join_full_outer", "q15_top_supplier",
-        "q19_disjunctive_predicates", "null_semantics",   # relational tail
+        "q19_disjunctive_predicates",                     # relational tail
+        # null_semantics / stratified_sample rotated out in r4 after two
+        # green driver rounds (families still in-window); the r3 LLM-prep
+        # ops take their slots and are pinned below until driver-graded
         "kv_text_roundtrip",                              # R1/R4-R6
+        "related_docs_topk", "contrastive_pairs",         # r3 dedup-family
+        "mixture_rebalance", "doc_chunking",
+        "span_corruption_plan",                           # r3 text-family
+        "multimodal_payload_dedup",                       # r3 multimodal
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))
