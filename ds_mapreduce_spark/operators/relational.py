@@ -177,3 +177,55 @@ def ntile_over_total_order(
     return d.withColumn(out_col, tile.cast("bigint")).drop(
         "__pid", "__lrn", "__cnt", "__n", "__off"
     )
+
+
+def prefix_sum_over_total_order(
+    df: DataFrame, order: Sequence[Column], value: Column, out_col: str
+) -> DataFrame:
+    """Inclusive running SUM(value) over a TOTAL order, no single-task sort.
+
+    The scalable form of ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` (which Spark plans as a SinglePartition window): range
+    exchange (ordered partitions) → eager localCheckpoint (freeze the
+    partition ids; the tiny totals branch then never recomputes the
+    subtree) → partition-local running sum → per-partition totals
+    self-joined (broadcast, #partitions rows) into predecessor offsets.
+    Global prefix = offset + local running sum.
+
+    Two data shuffles (the range exchange + the local window's hash
+    exchange on the frozen partition id, which preserves partition-local
+    parallelism). ``order`` must be total for determinism. 100 TB: this
+    is the shard-assignment / cumulative-quota primitive — each task
+    sorts only its range slice, and the offset table stays #partitions
+    rows however large the data.
+    """
+    d = (
+        df.repartitionByRange(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", value.cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = d.groupBy("__pid").agg(F.sum("__v").cast("bigint").alias("__tot"))
+    a, b = totals.alias("a"), totals.alias("b")
+    meta = (
+        a.join(F.broadcast(b), F.lit(True))
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.__pid") < F.col("a.__pid"), F.col("b.__tot")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("__off")
+        )
+    )
+    d = d.withColumn("__lcum", F.sum("__v").over(w)).join(F.broadcast(meta), "__pid")
+    return d.withColumn(out_col, (F.col("__off") + F.col("__lcum")).cast("bigint")).drop(
+        "__pid", "__v", "__lcum", "__off"
+    )

@@ -1780,3 +1780,90 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("frequency").cast("bigint").alias("total_orders"),
     )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled integer-arithmetic PageRank CTEs (shared shape with the
+    Spark loop in q_graph_pagerank — same constants, same DIV floor)."""
+    ctes = [
+        """edges0 AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS s
+  FROM edges e JOIN r{i-1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iters}"
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(3),
+    doc="PageRank (3 unrolled power iterations, damping 0.85) over the "
+    "undirected customer-supplier trade graph (distinct "
+    "customer-supplier pairs from lineitem JOIN orders) — the iterative-"
+    "algorithm family beyond connected components: authority scores in "
+    "EXACT integer fixed-point (ranks scaled to 1e12; per-edge share is "
+    "rank DIV outdeg, damping is (85*s) DIV 100 — floor semantics both "
+    "engines, so the oracle's 3 unrolled CTEs match bit-for-bit; no "
+    "floats anywhere). Spark shape: the edge list is built once and "
+    "localCheckpoint'ed (the operator every iteration re-reads must not "
+    "re-join two fact tables 3x), each iteration is one shuffle on the "
+    "destination node + a broadcast-left-join back to nodes — the "
+    "Pregel message-passing plan. 100 TB: edges partition by src; "
+    "out-degree joins co-partition with the contribution shuffle; "
+    "iteration count is fixed and small, and each step's lineage is "
+    "cut by the checkpointed base so plans stay constant-size.",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.withColumn("rank", F.lit(1_000_000_000_000).cast("bigint"))
+    for _ in range(3):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank DIV outdeg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").cast("bigint").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.expr("CAST(150000000000 + (85 * coalesce(s, 0)) DIV 100 AS BIGINT)").alias(
+                    "rank"
+                ),
+            )
+        )
+    return ranks

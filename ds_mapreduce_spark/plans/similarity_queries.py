@@ -201,3 +201,136 @@ def q_knn_quality_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(corpus, queries, k=5).select(
         "query_id", "neighbor_id", "score", F.col("rnk").cast("bigint").alias("rnk")
     )
+
+
+N_KMEANS = 8
+
+
+def _kmeans_oracle(iters: int = 2, k: int = N_KMEANS) -> str:
+    """Unrolled integer-exact Lloyd iterations (same constants and the
+    same floor-of-double per-dim mean as q_kmeans_lloyd_refine)."""
+    dist = (
+        "list_aggregate(list_transform(range(1, len(v.qv) + 1), "
+        "i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])), 'sum')"
+    )
+    ctes = [
+        f"""v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, qv AS cv FROM v WHERE vec_id < {k})"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT v.vec_id, v.qv, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS r
+    FROM v JOIN c{i-1} c ON TRUE
+  ) WHERE r = 1
+),
+c{i} AS (
+  SELECT cid, list(m ORDER BY i) AS cv FROM (
+    SELECT cid, i, CAST(floor(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+    FROM a{i}, UNNEST(range(1, len(qv) + 1)) u(i)
+    GROUP BY cid, i
+  ) GROUP BY cid
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+final AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT v.vec_id, c.cid, {dist} AS dist,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS r
+    FROM v JOIN c{iters} c ON TRUE
+  ) WHERE r = 1
+)
+SELECT cid AS centroid_id, COUNT(*) AS n_vecs,
+       CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(dist) AS BIGINT) AS inertia
+FROM final GROUP BY cid"""
+    )
+
+
+@register(
+    "kmeans_lloyd_refine",
+    oracle=_kmeans_oracle(2),
+    doc="Lloyd k-means (2 refinement iterations, k=8, seeded by the "
+    "first k vec_ids — the centroid-training step an IVF index build "
+    "runs before `knn_ivf` queries it) in EXACT integer arithmetic: "
+    "components quantized to floor(x*1e4) BIGINT (the "
+    "embedding_norm_stats convention), squared-L2 distances exact "
+    "integer folds, per-dim centroid means floor(double-div) — "
+    "bit-identical in both engines, so a 2-iteration oracle can be "
+    "unrolled and hash-compared (floats never cross the boundary). "
+    "Spark shape per iteration: broadcast k centroids × corpus scan "
+    "(argmin via one row_number window partitioned by vec_id), then a "
+    "posexplode to (cid, dim) partial means — one |corpus|-key window "
+    "shuffle + one 64k-row agg shuffle; new centroids (k rows) are "
+    "localCheckpoint'ed so iteration plans stay constant-size. 100 TB: "
+    "classic mini-batch variants drop in, but even full Lloyd is "
+    "scan-dominated with k-row broadcasts — no pairwise blowup, no "
+    "driver-side math.",
+)
+def q_kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 10000).cast("bigint"),
+        ).alias("qv"),
+    )
+    cent = v.where(F.col("vec_id") < N_KMEANS).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+
+    def dist_col():
+        zero = F.lit(0).cast("bigint")
+        return F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cent_df):
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            v.crossJoin(F.broadcast(cent_df))
+            .select("vec_id", "qv", "cid", dist_col().alias("dist"))
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+        )
+
+    for _ in range(2):
+        assigned = assign(cent)
+        cent = (
+            assigned.select("cid", F.posexplode("qv").alias("i", "val"))
+            .groupBy("cid", "i")
+            .agg(
+                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    final = assign(cent)
+    return final.groupBy(F.col("cid").alias("centroid_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("vec_id").cast("bigint").alias("id_checksum"),
+        F.sum("dist").cast("bigint").alias("inertia"),
+    )

@@ -1419,3 +1419,142 @@ def q_vocab_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "oov_bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "exact_ngram_decontamination",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(t) - 3),
+                                      i -> array_to_string(t[i:i+4], ' '))) AS gs
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT g FROM grams, UNNEST(gs) u(g)
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+),
+bl AS (SELECT list(g) AS l FROM bench),
+hits AS (
+  SELECT doc_id, lang,
+         CAST(len(gs) AS BIGINT) AS n_ngrams,
+         CAST(len(list_intersect(gs, bl.l)) AS BIGINT) AS n_hits
+  FROM grams CROSS JOIN bl
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+)
+SELECT doc_id, lang, n_ngrams, n_hits,
+       CAST(CASE WHEN n_ngrams > 0 AND 20 * n_hits >= n_ngrams
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM hits
+""",
+    doc="GPT-3-style EXACT n-gram collision decontamination, the "
+    "complement of the winnowing variant (`decontamination`): a train "
+    "doc is scored by how many of its distinct 5-gram token windows "
+    "appear ANYWHERE in the benchmark split (same deterministic md5 "
+    "1/16 bucket), flagged at >=5% overlap in exact integer arithmetic "
+    "— the published recipe (all n-grams, not a winnowed selection) "
+    "when the budget allows the bigger collision set. Per-doc 5-grams "
+    "are one codegen projection; the benchmark gram set broadcasts "
+    "(benchmark-sized, not corpus-sized), so the corpus NEVER "
+    "shuffles: scan → explode → broadcast-hash left join → per-doc "
+    "re-aggregation on the same scan partitioning. 100 TB: identical "
+    "shape; the gram set fits because benchmarks are MBs, and a bloom "
+    "filter stands in if not.",
+)
+def q_exact_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    # two-phase select: tokens materialize as a COLUMN before shingles
+    # index into them — inlining the tokenizer into every element_at
+    # would be O(tokens²·k) per doc (the shingle_hash_sequence lesson,
+    # operators/dedup.py:103-109; 87 s → ~1 s at sf0.1 here)
+    grams = docs.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("__t")
+    ).select("doc_id", "lang", shingles(F.col("__t"), 5).alias("gs"))
+    bench_grams = (
+        grams.where(is_bench).select(F.explode("gs").alias("g")).distinct()
+        .withColumn("__b", F.lit(1))
+    )
+    train = grams.where(~is_bench).select(
+        "doc_id", "lang", F.size("gs").cast("bigint").alias("n_ngrams"),
+        F.explode_outer("gs").alias("g"),
+    )
+    per_doc = (
+        train.join(F.broadcast(bench_grams), "g", "left")
+        .groupBy("doc_id", "lang", "n_ngrams")
+        .agg(
+            F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits")
+        )
+    )
+    contaminated = (
+        (F.col("n_ngrams") > 0) & (20 * F.col("n_hits") >= F.col("n_ngrams"))
+    )
+    return per_doc.select(
+        "doc_id", "lang", "n_ngrams", "n_hits",
+        F.when(contaminated, 1).otherwise(0).cast("bigint").alias("contaminated"),
+    )
+
+
+@register(
+    "corpus_shard_plan",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+              AS BIGINT) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT CAST((cum - n_tok) // 2000 AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM cum GROUP BY shard_id
+""",
+    doc="Training-shard planning: docs are laid out in a deterministic "
+    "pseudo-random order (md5 of doc_id — the reproducible corpus "
+    "shuffle every training run needs) and packed greedily into shards "
+    "of ~2000 tokens by CUMULATIVE token count; a doc's shard is its "
+    "starting offset DIV budget. The prefix sum is the scalable "
+    "operator (operators/relational.py prefix_sum_over_total_order: "
+    "range exchange + partition-local running sum + broadcast offsets "
+    "— NO SinglePartition window), so the plan holds at 100 TB where "
+    "the naive SUM-OVER-ORDER-BY would serialize on one task. Output "
+    "is the shard manifest (docs, tokens, id checksum per shard).",
+)
+def q_corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.functions.temporal import idiv_floor
+    from ds_mapreduce_spark.operators.relational import prefix_sum_over_total_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("__key"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    cum = prefix_sum_over_total_order(
+        base, [F.col("__key"), F.col("doc_id")], F.col("n_tok"), "cum"
+    )
+    return (
+        cum.withColumn("shard_id", idiv_floor(F.col("cum") - F.col("n_tok"), 2000))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("shard_tokens"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
