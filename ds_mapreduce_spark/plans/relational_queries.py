@@ -1867,3 +1867,45 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 4) AS total_price
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Materialized-view maintenance: the landed per-priority aggregate "
+    "(orders with o_orderkey % 10 <> 0 — 'yesterday's MV') is updated "
+    "with a delta batch (the % 10 == 0 arrivals) by MERGING PARTIALS "
+    "(count-sum and DECIMAL sum-sum re-aggregation) — the base fact "
+    "table is never rescanned. The oracle computes the aggregate over "
+    "ALL orders directly, so the hash proves partial-merge maintenance "
+    "is lossless (DECIMAL partials make it exact; a float MV would "
+    "drift). 100 TB: this is the continuous-aggregate contract — the "
+    "daily delta is the only scan, the MV is group-cardinality-sized, "
+    "and the merge shuffles |groups| rows, not |orders|. Same algebra "
+    "as events_hierarchical_rollup one level up: any associative "
+    "DECIMAL/COUNT aggregate maintains incrementally.",
+)
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).alias("s"),
+        )
+
+    base_mv = partial(o.where(F.col("o_orderkey") % 10 != 0))
+    delta_mv = partial(o.where(F.col("o_orderkey") % 10 == 0))
+    return (
+        base_mv.unionByName(delta_mv)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.round(F.sum("s").cast("double"), 4).alias("total_price"),
+        )
+    )

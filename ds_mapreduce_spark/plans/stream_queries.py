@@ -614,3 +614,45 @@ def q_events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("v").cast("double"), 4).alias("sum_value"),
         )
     )
+
+
+@register(
+    "events_native_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) // 1000000 AS session_start,
+       epoch_us(MAX(ts)) // 1000000 + 1800 AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS sum_value
+FROM numbered GROUP BY user_id, session_id
+""",
+    doc="Spark's NATIVE session_window operator (F.session_window — "
+    "merge-on-overlap inside the aggregation, no lag/running-sum "
+    "windows), graded against the same lag-derived oracle as "
+    "events_sessionization with one boundary refinement: the native "
+    "window is half-open ([start, last+gap)), so an event at EXACTLY "
+    "gap distance starts a new session — the oracle flags new_s on "
+    ">= gap where the window-function twin uses >. Both formulations "
+    "in the same engine lets a user pick per workload: session_window "
+    "pushes merging into the agg operator (works unchanged in "
+    "Structured Streaming with state-store merge), the window form "
+    "composes with arbitrary per-session logic. One user_id shuffle "
+    "either way; value sums on DECIMAL.",
+)
+def q_events_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.streaming.jobs import session_window_agg
+
+    return session_window_agg(load_table(spark, sf_dir, "events"))

@@ -43,6 +43,65 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def session_window_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """The shared batch/stream transformation for NATIVE session windows
+    (F.session_window): merge-on-overlap inside the aggregation. In
+    streaming the state store merges overlapping per-key windows across
+    micro-batches and the watermark closes sessions; in batch the same
+    plan is a single merging aggregation. Used by the graded batch query
+    (plans/stream_queries.py events_native_session_window) and
+    run_streaming_session_window."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    from ds_mapreduce_spark.functions.temporal import epoch_sec
+
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            epoch_sec(F.col("w.start")).alias("session_start"),
+            epoch_sec(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_streaming_session_window(
+    spark: SparkSession, events_dir: str, sink_table: str = "stream_session_windows"
+) -> DataFrame:
+    """Native session windows as a stream (availableNow drain → memory
+    sink). Append mode + watermark: the state store emits each merged
+    session once its close is final — sessions still extendable within
+    the watermark of max event time stay in state, exactly like the
+    applyInPandasWithState twin's open sessions."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if events_dir.endswith(".parquet"):
+        base, _, fname = events_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        events_dir = base
+    stream = normalize_events_ts(reader.parquet(events_dir))
+    out = session_window_agg(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 def run_streaming_wordcount(
     spark: SparkSession, text_path: str, sink_table: str = "stream_wordcount"
 ) -> DataFrame:

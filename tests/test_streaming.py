@@ -285,3 +285,29 @@ def test_streaming_incremental_dedup_kept_set_is_chunking_invariant(spark, tmp_p
     assert srows[24] == "dup_of_history"
     assert srows[10] == brows[10] == "dup_of_history"
     assert srows[13] == brows[13] == "dup_in_batch"
+
+
+def test_streaming_native_session_window_matches_batch(spark, sf_dir):
+    """Native session_window stream (append + watermark) must emit exactly
+    the batch sessions whose close is final at the drained watermark —
+    i.e. all batch sessions except those still extendable within the 2h
+    watermark of max event time."""
+    from ds_mapreduce_spark.streaming.jobs import (
+        run_streaming_session_window,
+        session_window_agg,
+    )
+    from pyspark.sql import functions as F
+    from ds_mapreduce_spark.functions.temporal import epoch_sec
+
+    events_path = f"{sf_dir}/events.parquet"
+    ev = load_table(spark, sf_dir, "events")
+    batch = session_window_agg(ev)
+    wm_cutoff = ev.agg((F.max(epoch_sec("ts")) - 2 * 3600).alias("c")).collect()[0].c
+    closed = batch.where(F.col("session_end") <= F.lit(wm_cutoff))
+
+    stream = run_streaming_session_window(
+        spark, events_path, sink_table="t_stream_native_sessions"
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    assert _rows(stream, cols) == _rows(closed, cols)
+    assert stream.count() > 0
