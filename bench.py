@@ -49,6 +49,12 @@ HEADLINE = [
     # scoring with a token-partitioned window)
     "sequence_packing",
     "unigram_commonness",
+    # round 4: the distributed-total-order primitive (prefix-sum shard
+    # planning), the native session-window operator, and the exact
+    # n-gram collision gate
+    "corpus_shard_plan",
+    "events_native_session_window",
+    "exact_ngram_decontamination",
 ]
 
 

@@ -311,3 +311,64 @@ def test_streaming_native_session_window_matches_batch(spark, sf_dir):
     cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
     assert _rows(stream, cols) == _rows(closed, cols)
     assert stream.count() > 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics pinned explicitly. Spark's contract is
+    one-sided: in-watermark data is NEVER dropped; too-late data is
+    dropped only once the window's state has been EVICTED (a late row
+    arriving in the same batch as the eviction still merges). So the
+    guaranteed-drop shape needs three micro-batches: (0) advance the
+    watermark past the first window, (1) a fresh event — end of this
+    batch evicts+emits the first window, (2) the too-late re-arrival —
+    its window is gone and its event time is behind the watermark, so
+    it must be dropped, never re-emitting the window."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.streaming.jobs import windowed_counts
+
+    base = 1_700_000_000
+    src = tmp_path / "late_src"
+
+    def write(rows):
+        df = spark.createDataFrame(rows, "event_id long, sec long").select(
+            "event_id",
+            F.timestamp_seconds("sec").alias("ts"),
+            F.lit("click").alias("event_type"),
+            F.lit(1.0).alias("value"),
+        )
+        df.coalesce(1).write.mode("append").parquet(str(src))
+
+    # sequential appends with distinct mtimes → FileStreamSource consumes
+    # the files in arrival order, one per micro-batch
+    write([(1, base), (2, base + 3600 * 5)])  # wm after this: +5h - 2h
+    _time.sleep(1.1)
+    write([(3, base + 3600 * 5 + 1)])  # evicts+emits the base-hour window
+    _time.sleep(1.1)
+    write([(4, base + 1)])  # too late: window evicted, ts < watermark
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = windowed_counts(stream)  # 1h tumbling, 2h watermark
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("append")  # append emits only FINALIZED windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = [
+        (r.window_start, r.n_events) for r in spark.table("t_late_drop").collect()
+    ]
+    # exactly one emission of the base-hour window, counting ONLY event 1:
+    # the too-late event 4 was dropped and never resurrected the window;
+    # events 2/3's window is newer than the final watermark and stays in
+    # state (append mode emits nothing for it when the stream drains)
+    assert emitted == [(base - base % 3600, 1)]
