@@ -426,7 +426,11 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """
     assert bits == 32, "simhash is fixed at 32 bits (md5-derived token hashes)"
     th = _token_hashes()
-    d = docs.select("doc_id", th.alias("th")).where(F.size("th") >= 1)
+    # cheap token-count filter BEFORE the projection (the
+    # shingle_hash_sequence rule, :103-109): a post-hoc size(th) filter
+    # is pushed below the Project and re-evaluates the md5 transform in
+    # the Filter — one wasted full pass per row
+    d = docs.where(F.size(tokens(F.col("text"))) >= 1).select("doc_id", th.alias("th"))
     bitsums = F.expr(
         "aggregate(th, array_repeat(0, 32), (acc, x) -> "
         "zip_with(acc, sequence(0, 31), (a, i) -> "
@@ -437,7 +441,15 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         "CASE WHEN b > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END), "
         "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    return d.select("doc_id", bitsums.alias("bs")).select("doc_id", sim.alias("simhash"))
+    # coalesce-with-literal makes simhash provably NON-NULLABLE, so the
+    # downstream join's inferred isnotnull(chunk_val) constraint folds to
+    # true instead of being pushed below the Projects with the WHOLE
+    # simhash expression substituted into a per-row Filter (locked by
+    # tests/test_plans.py::test_no_filter_inlines_the_tokenizer)
+    sim_nn = F.coalesce(sim, F.lit(0).cast("bigint"))
+    return d.select("doc_id", bitsums.alias("bs")).select(
+        "doc_id", sim_nn.alias("simhash")
+    )
 
 
 def simhash_candidate_pairs(docs: DataFrame, bits: int = 32, chunks: int = 4) -> DataFrame:

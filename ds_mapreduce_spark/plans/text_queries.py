@@ -1478,8 +1478,17 @@ def q_exact_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     grams = docs.select(
         "doc_id", "lang", tokens(F.col("text")).alias("__t")
     ).select("doc_id", "lang", shingles(F.col("__t"), 5).alias("gs"))
+    # explode_OUTER on purpose: plain explode makes the optimizer infer a
+    # size(gs) > 0 filter and push it below the Projects, inlining the
+    # whole gram+tokenizer expression into a per-row Filter (the same
+    # pathology as operators/dedup.py:103-109, ~1.5 s of the bench time);
+    # the null row from empty arrays is dropped AFTER the Generate, where
+    # nothing can be pushed through
     bench_grams = (
-        grams.where(is_bench).select(F.explode("gs").alias("g")).distinct()
+        grams.where(is_bench)
+        .select(F.explode_outer("gs").alias("g"))
+        .where(F.col("g").isNotNull())
+        .distinct()
         .withColumn("__b", F.lit(1))
     )
     train = grams.where(~is_bench).select(

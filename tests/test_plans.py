@@ -477,3 +477,35 @@ def test_span_corruption_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "span_corruption_plan")
     assert "Exchange" not in plan, plan
     assert "element_at(transform(" not in plan, plan
+
+
+def test_no_filter_inlines_the_tokenizer(spark, sf_dir):
+    """The inferred-filter trap, locked family-wide: a plain explode()
+    over a computed array makes the optimizer infer `size(arr) > 0` and
+    push it below the Projects, substituting the WHOLE array expression
+    (tokenizer included) into a per-row Filter — O(n_tokens²·k) per doc
+    when the array indexes tokens via element_at (twice root-caused:
+    operators/dedup.py:103-109 in r1, exact_ngram_decontamination in
+    r4). No text/dedup plan may carry a Filter whose condition contains
+    the tokenizer."""
+    import re
+
+    for name in [
+        "exact_ngram_decontamination",
+        "decontamination",
+        "doc_winnowing_fingerprints",
+        "boilerplate_ngram_coverage",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "tfidf_top_terms",
+        "wordcount",
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        filters = re.findall(r"Filter \(?.{0,4000}?\n", plan)
+        bad = [
+            f
+            for f in filters
+            if "split(text" in f and ("element_at" in f or "transform(" in f)
+        ]
+        assert not bad, (name, bad[:1])
