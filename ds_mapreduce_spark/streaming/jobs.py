@@ -433,3 +433,80 @@ def run_streaming_incremental_dedup(
     return spark.read.parquet(
         *[f"{state_dir}/verdicts_v{i}" for i in range(last[0] + 1)]
     )
+
+
+def run_streaming_shard_plan(
+    spark: SparkSession,
+    batch_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    budget: int = 2000,
+) -> DataFrame:
+    """Streaming ingest shard planning: documents arrive as micro-batches
+    and each batch's docs are packed into token-budget shards CONTINUING
+    from the accumulated token total — the ingest-time twin of the batch
+    ``corpus_shard_plan`` query. Within a batch the assignment is the
+    same ``prefix_sum_over_total_order`` operator (md5 order); the
+    carried offset chains through versioned 1-row parquet state
+    (idempotent per batch id, like the CDC merge). When arrival chunks
+    respect the global md5 order, assignments equal the one-shot batch
+    plan exactly — the invariant tests/test_streaming.py pins.
+
+    100 TB: per-batch work is one range exchange over the BATCH (not the
+    corpus); state is a single row; the shard manifest appends forever.
+    """
+    from ds_mapreduce_spark.functions.temporal import idiv_floor
+    from ds_mapreduce_spark.functions.text import tokens
+    from ds_mapreduce_spark.operators.relational import prefix_sum_over_total_order
+
+    spark.createDataFrame([(0,)], "carried bigint").write.mode("overwrite").parquet(
+        f"{state_dir}/v-1"
+    )
+    schema = spark.read.parquet(batch_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(batch_dir)
+    )
+    last = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        carried = sess.read.parquet(f"{state_dir}/v{batch_id - 1}")
+        base = batch_df.select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("__key"),
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        )
+        cum = prefix_sum_over_total_order(
+            base, [F.col("__key"), F.col("doc_id")], F.col("n_tok"), "cum_local"
+        )
+        assigned = (
+            cum.crossJoin(F.broadcast(carried))
+            .withColumn("cum", F.col("cum_local") + F.col("carried"))
+            .withColumn(
+                "shard_id", idiv_floor(F.col("cum") - F.col("n_tok"), budget)
+            )
+            .select("doc_id", "n_tok", "shard_id")
+        )
+        assigned.write.mode("overwrite").parquet(f"{state_dir}/assign_v{batch_id}")
+        new_total = (
+            sess.read.parquet(f"{state_dir}/assign_v{batch_id}")
+            .agg((F.sum("n_tok")).cast("bigint").alias("b"))
+            .crossJoin(F.broadcast(carried))
+            .select((F.col("carried") + F.coalesce(F.col("b"), F.lit(0))).alias("carried"))
+        )
+        new_total.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        last[0] = max(last[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(
+        *[f"{state_dir}/assign_v{i}" for i in range(last[0] + 1)]
+    )

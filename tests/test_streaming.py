@@ -372,3 +372,48 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # events 2/3's window is newer than the final watermark and stays in
     # state (append mode emits nothing for it when the stream drains)
     assert emitted == [(base - base % 3600, 1)]
+
+
+def test_streaming_shard_plan_matches_batch(spark, sf_dir, tmp_path):
+    """Ingest-time shard planning must converge to the one-shot batch
+    manifest when arrival chunks respect the global md5 order: docs are
+    sorted by the plan's key, split into 3 sequential micro-batches, and
+    the per-shard census must equal corpus_shard_plan's exactly."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_shard_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", F.md5(F.col("doc_id").cast("string")).alias("__k")
+    )
+    ordered = docs.orderBy("__k", "doc_id").drop("__k").collect()
+    feed = str(tmp_path / "feed")
+    third = (len(ordered) + 2) // 3
+    for i in range(3):
+        chunk = ordered[i * third : (i + 1) * third]
+        if chunk:
+            spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(feed)
+            _time.sleep(1.1)
+
+    streamed = run_streaming_shard_plan(
+        spark, feed, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    s_census = sorted(
+        map(
+            tuple,
+            streamed.groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("shard_tokens"),
+                F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            )
+            .collect(),
+        )
+    )
+    batch = load_all()["corpus_shard_plan"].fn(spark, sf_dir)
+    b_census = sorted(map(tuple, batch.collect()))
+    assert s_census == b_census
+    assert len(s_census) > 1  # multiple shards actually produced
