@@ -55,6 +55,7 @@ HEADLINE = [
     "corpus_shard_plan",
     "events_native_session_window",
     "exact_ngram_decontamination",
+    "pipeline_llm_training_prep",
 ]
 
 

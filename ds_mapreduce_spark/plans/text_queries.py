@@ -1567,3 +1567,136 @@ def q_corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+@register(
+    "pipeline_llm_training_prep",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+t2 AS (
+  SELECT doc_id, lang, n_chars, is_bench,
+         CAST(len(tk) AS BIGINT) AS n_tok,
+         md5(array_to_string(tk[1:8], ' ')) AS fp8,
+         list_distinct(list_transform(range(1, len(tk) - 3),
+                                      i -> array_to_string(tk[i:i+4], ' '))) AS gs
+  FROM t
+),
+bench AS (SELECT DISTINCT g FROM t2, UNNEST(gs) u(g) WHERE is_bench),
+bl AS (SELECT list(g) AS l FROM bench),
+d AS (
+  SELECT t2.*,
+         CASE WHEN NOT is_bench AND len(list_intersect(gs, bl.l)) > 0 THEN 1 END AS hit,
+         (NOT is_bench AND n_chars >= 200) AS q
+  FROM t2 CROSS JOIN bl
+),
+d2 AS (
+  SELECT *, MIN(CASE WHEN q THEN doc_id END) OVER (PARTITION BY fp8) AS keep_id
+  FROM d
+),
+d3 AS (
+  SELECT *,
+         (q AND doc_id = keep_id) AS keeper,
+         (q AND doc_id = keep_id AND hit IS NULL) AS clean
+  FROM d2
+),
+d4 AS (
+  SELECT *, row_number() OVER (PARTITION BY lang, clean
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+  FROM d3
+),
+staged AS (
+  SELECT lang, n_tok,
+         CASE WHEN is_bench THEN 'benchmark'
+              WHEN NOT q THEN 'quality_cut'
+              WHEN NOT keeper THEN 'duplicate'
+              WHEN hit IS NOT NULL THEN 'contaminated'
+              WHEN rnk > 50 THEN 'quota_cut'
+              ELSE 'final' END AS stage
+  FROM d4
+)
+SELECT lang, stage, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST((SUM(n_tok) + 511) // 512 AS BIGINT) AS n_sequences
+FROM staged GROUP BY lang, stage
+""",
+    doc="THE flagship end-to-end LLM training-prep funnel as ONE "
+    "declarative plan: benchmark split-off -> quality gate (length) -> "
+    "leading-content dedup (md5 of the first 8 tokens — the boilerplate-"
+    "prefix technique; quality survivors only, smallest doc_id kept) -> "
+    "exact 5-gram decontamination against the broadcast benchmark gram "
+    "set -> per-language md5-rank quota (K=50) -> 512-token packing "
+    "arithmetic. Every doc gets a furthest-stage-survived label via "
+    "per-stage flag columns, so the whole funnel census (docs + tokens "
+    "+ sequences per lang per stage) is ONE aggregation — no per-stage "
+    "rescans. Plan: one corpus scan for docs + one for bench grams, two "
+    "doc-level windows (fingerprint group, lang-quota rank), one "
+    "broadcast gram join, one census shuffle. 100 TB: stage flags ride "
+    "the same rows (no multi-pass), the gram set is benchmark-sized, "
+    "and each window partitions by a bounded key family.",
+)
+def q_pipeline_llm_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    t1 = docs.select(
+        "doc_id", "lang", "n_chars", is_bench.alias("is_bench"),
+        tokens(F.col("text")).alias("__t"),
+    )
+    t2 = t1.select(
+        "doc_id", "lang", "n_chars", "is_bench",
+        F.size("__t").cast("bigint").alias("n_tok"),
+        F.md5(F.concat_ws(" ", F.slice("__t", 1, 8))).alias("fp8"),
+        shingles(F.col("__t"), 5).alias("gs"),
+    )
+    bench_grams = (
+        t2.where("is_bench")
+        .select(F.explode_outer("gs").alias("g"))
+        .where(F.col("g").isNotNull())
+        .distinct()
+        .withColumn("__b", F.lit(1))
+    )
+    hits = (
+        t2.where(~F.col("is_bench"))
+        .select("doc_id", F.explode_outer("gs").alias("g"))
+        .join(F.broadcast(bench_grams), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.max("__b").alias("__hit"))
+    )
+    d = (
+        t2.drop("gs")
+        .join(hits, "doc_id", "left")
+        .withColumn("q", ~F.col("is_bench") & (F.col("n_chars") >= 200))
+    )
+    d = d.withColumn(
+        "keep_id",
+        F.min(F.when(F.col("q"), F.col("doc_id"))).over(Window.partitionBy("fp8")),
+    )
+    d = d.withColumn("keeper", F.col("q") & (F.col("doc_id") == F.col("keep_id")))
+    d = d.withColumn("clean", F.col("keeper") & F.col("__hit").isNull())
+    w_rank = Window.partitionBy("lang", "clean").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    d = d.withColumn("rnk", F.row_number().over(w_rank))
+    stage = (
+        F.when(F.col("is_bench"), "benchmark")
+        .when(~F.col("q"), "quality_cut")
+        .when(~F.col("keeper"), "duplicate")
+        .when(F.col("__hit").isNotNull(), "contaminated")
+        .when(F.col("rnk") > 50, "quota_cut")
+        .otherwise("final")
+    )
+    return (
+        d.withColumn("stage", stage)
+        .groupBy("lang", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.expr("CAST((SUM(n_tok) + 511) DIV 512 AS BIGINT)").alias("n_sequences"),
+        )
+    )
