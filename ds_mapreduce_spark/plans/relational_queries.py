@@ -1909,3 +1909,35 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("s").cast("double"), 4).alias("total_price"),
         )
     )
+
+
+@register(
+    "approx_distinct_rollup",
+    oracle=None,  # approximate by design (Datasketches HLL internals are
+    # engine-specific); re-aggregation losslessness + error bounds are
+    # asserted against exact answers in tests/test_approx.py
+    doc="RE-AGGREGATABLE sketch rollup — the property that makes approx "
+    "distinct viable at 100 TB: per-(priority, status) Datasketches-HLL "
+    "sketches of o_custkey (hll_sketch_agg) are MERGED upward "
+    "(hll_union_agg) to per-priority estimates, never re-reading the "
+    "fact table — the sketch analogue of incremental_agg_maintenance's "
+    "DECIMAL partials. The same merge maintains a daily sketch store "
+    "incrementally (union yesterday's sketches with today's delta). "
+    "Rows-only driver check; tests/test_approx.py pins (a) merged "
+    "estimate == direct-sketch estimate exactly (union losslessness) "
+    "and (b) <2%% error vs exact distinct.",
+)
+def q_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        per_group.groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_statuses"),
+        )
+    )

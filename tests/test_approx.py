@@ -69,3 +69,36 @@ def test_ivf_recall_floor(spark, sf_dir):
     ]
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.5, f"IVF recall@5 collapsed: {avg:.2f}"
+
+
+def test_hll_rollup_merge_is_lossless_and_bounded(spark, sf_dir):
+    """The sketch-merge contract: (a) estimating after hll_union_agg of
+    per-group sketches equals sketching the whole partition directly
+    (union losslessness — what makes the daily-increment store exact
+    w.r.t. the sketch), and (b) the estimate is within 2% of exact."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    merged = {
+        r.o_orderpriority: r.approx_custs
+        for r in o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .groupBy("o_orderpriority")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs"))
+        .collect()
+    }
+    direct = {
+        r.o_orderpriority: r.approx_custs
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("approx_custs"))
+        .collect()
+    }
+    exact = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert merged == direct  # union losslessness
+    for k, est in merged.items():
+        assert abs(est - exact[k]) / exact[k] < 0.02, (k, est, exact[k])
