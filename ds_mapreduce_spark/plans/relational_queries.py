@@ -1841,18 +1841,20 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
+    raw_edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = raw_edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # degree folded into the edge list ONCE — each iteration then joins
+    # only ranks (one co-partitioned join per step instead of two)
+    edges = raw_edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = raw_edges.select(F.col("src").alias("node")).distinct()
     ranks = nodes.withColumn("rank", F.lit(1_000_000_000_000).cast("bigint"))
     for _ in range(3):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr("rank DIV outdeg").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").cast("bigint").alias("s"))
