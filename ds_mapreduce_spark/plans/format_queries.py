@@ -628,3 +628,67 @@ def q_zorder_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_price"),
         )
     )
+
+
+#: primary key column per catalog table (the membership-checksum basis)
+_TABLE_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": None,  # composite: orderkey * 8 + linenumber (≤7 lines/order)
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _anti_entropy_oracle() -> str:
+    parts = []
+    for t, k in _TABLE_KEYS.items():
+        key = k if k is not None else "l_orderkey * 8 + l_linenumber"
+        parts.append(
+            f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows, "
+            f"CAST(SUM(CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS key_checksum "
+            f"FROM {t}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "table_antientropy_checksums",
+    oracle=_anti_entropy_oracle(),
+    doc="Anti-entropy / replication verification: one order-independent "
+    "membership checksum per catalog table (row count + SUM of a 32-bit "
+    "md5 slice of the primary key; lineitem uses the composite "
+    "orderkey*8+linenumber). Two replicas — or an engine migration, "
+    "which is exactly what the DuckDB oracle is here — compare these 10 "
+    "rows instead of 10 tables; any dropped/duplicated/corrupted-key "
+    "row flips the sum. Each table contributes one scan of ONE column "
+    "+ a scalar agg (partial sums per task, 1-row exchange); tables "
+    "verify independently, so at 100 TB the checksums run as one job "
+    "per table against live replicas. The md5 slice is the repo's "
+    "portable-hash rule (never engine-private hashes in results).",
+)
+def q_table_antientropy_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, k in _TABLE_KEYS.items():
+        df = load_table(spark, sf_dir, t)
+        key = (
+            F.col(k)
+            if k is not None
+            else (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        )
+        row = df.select(
+            F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h")
+        ).agg(
+            F.lit(t).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").cast("bigint").alias("key_checksum"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
