@@ -197,3 +197,78 @@ def test_sequence_packing_conserves_tokens(spark, sf_dir):
         assert sum(r["seq_tokens"] for r in rows) == n_tokens
         seq_ids = sorted(r["seq_id"] for r in rows)
         assert seq_ids[0] == 0 and seq_ids[-1] <= (n_tokens - 1) // 2048
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=40
+    ),
+    divisor=st.integers(min_value=1, max_value=10**7),
+)
+def test_idiv_floor_matches_python_floordiv(spark, vals, divisor):
+    """idiv_floor (the ONE integer-division primitive every epoch/NTILE/
+    shard computation routes through) against Python's // ground truth,
+    including negatives (floor, not truncate) and >2^53 magnitudes."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.functions.temporal import idiv_floor
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v long")
+    got = {
+        r.i: r.q for r in df.select("i", idiv_floor(F.col("v"), divisor).alias("q")).collect()
+    }
+    assert got == {i: v // divisor for i, v in enumerate(vals)}
+
+
+@SLOW
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    k=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_ntile_distributed_matches_window_randomized(spark, n, k, seed):
+    """ntile_over_total_order == Spark's window NTILE for random sizes,
+    tile counts, and value permutations (hypothesis-shrunk)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.operators.relational import ntile_over_total_order
+
+    rows = [(i, (i * 7 + seed) % n) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(5)
+    order = [F.col("v").desc(), F.col("id")]
+    got = {r.id: r.t for r in ntile_over_total_order(df, k, order, "t").collect()}
+    exp = {
+        r.id: r.t
+        for r in df.select(
+            "id", F.ntile(k).over(Window.orderBy(*order)).cast("bigint").alias("t")
+        ).collect()
+    }
+    assert got == exp
+
+
+@SLOW
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+)
+def test_prefix_sum_matches_python_cumsum(spark, vals):
+    """prefix_sum_over_total_order against Python's running sum over the
+    same total order."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.operators.relational import prefix_sum_over_total_order
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, v long").repartition(4)
+    got = {
+        r.i: r.cum
+        for r in prefix_sum_over_total_order(
+            df, [F.col("i")], F.col("v"), "cum"
+        ).collect()
+    }
+    acc, exp = 0, {}
+    for i, v in rows:
+        acc += v
+        exp[i] = acc
+    assert got == exp
