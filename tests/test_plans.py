@@ -509,3 +509,63 @@ def test_no_filter_inlines_the_tokenizer(spark, sf_dir):
             if "split(text" in f and ("element_at" in f or "transform(" in f)
         ]
         assert not bad, (name, bad[:1])
+
+
+def test_runtime_bloom_filter_join_injects_and_preserves_results(spark, sf_dir):
+    """Runtime BLOOM-FILTER join injection — the row-level complement to
+    dynamic partition pruning: with the build side selective, Spark
+    plants might_contain(bloom(o_orderkey)) into the fact scan's Filter,
+    discarding non-matching lineitem rows BEFORE the shuffle. The size
+    knobs exist only because test data is tiny — at 100 TB the default
+    10GB application-side threshold triggers naturally. Results must be
+    bit-identical with and without the filter (it is purely a pruning
+    structure). Session confs are restored either way (they would change
+    every other query's plan)."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.sources.catalog import load_table
+
+    def run_join():
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .cast("string")
+                .alias("rev"),
+            )
+        )
+
+    baseline = sorted(map(tuple, run_join().collect()))
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    prev_abc = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        df = run_join()
+        got = sorted(map(tuple, df.collect()))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert got == baseline
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        if prev_bc is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        if prev_abc is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_abc)
