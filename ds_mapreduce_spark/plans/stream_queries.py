@@ -656,3 +656,74 @@ def q_events_native_session_window(spark: SparkSession, sf_dir: str) -> DataFram
     from ds_mapreduce_spark.streaming.jobs import session_window_agg
 
     return session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_rolling_anomaly_flags",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) // 1000000 AS ts_sec,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+framed AS (
+  SELECT event_id, event_type, cents,
+         COUNT(*) OVER w AS n_1h,
+         SUM(cents) OVER w AS s_1h,
+         SUM(cents * cents) OVER w AS sq_1h
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+),
+flagged AS (
+  SELECT event_type,
+         CASE WHEN n_1h >= 5
+               AND (n_1h * cents - s_1h) * (n_1h * cents - s_1h)
+                   > 9 * (n_1h * sq_1h - s_1h * s_1h)
+              THEN 1 ELSE 0 END AS anom
+  FROM framed
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(anom) AS BIGINT) AS n_anomalies
+FROM flagged GROUP BY event_type
+""",
+    doc="Rolling z-score anomaly flags — the fraud/abuse shape on top of "
+    "the trailing-window machinery: an event is anomalous when its value "
+    "deviates >3 sigma from the user's OWN trailing-1h distribution "
+    "(n>=5 for a meaningful baseline). The z-test is EXACT integer "
+    "arithmetic on cents — (n*x - s)^2 > 9*(n*sq - s^2) after clearing "
+    "denominators — so no float variance ever crosses the engine "
+    "boundary (means/stddevs of doubles are partition-order-dependent; "
+    "this is the CLAUDE.md decimal rule applied to second moments). One "
+    "user_id shuffle, O(1) running frame state; the census shuffle "
+    "carries 5 rows.",
+)
+def q_events_rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        epoch_sec("ts").alias("ts_sec"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3599, 0)
+    framed = base.select(
+        "event_type",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("s_1h"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("sq_1h"),
+    )
+    dev = F.col("n_1h") * F.col("cents") - F.col("s_1h")
+    var_n2 = F.col("n_1h") * F.col("sq_1h") - F.col("s_1h") * F.col("s_1h")
+    anom = F.when(
+        (F.col("n_1h") >= 5) & (dev * dev > 9 * var_n2), 1
+    ).otherwise(0)
+    return framed.select("event_type", anom.alias("anom")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("anom").cast("bigint").alias("n_anomalies"),
+    )
