@@ -31,13 +31,16 @@ def _as_col(col: Column | str) -> Column:
 def idiv_floor(col: Column, n: int | Column) -> Column:
     """Exact integer floor division of a BIGINT column by a constant or column.
 
-    Done exactly in integer space (subtract the positive modulus before
-    dividing) so the double division lands on an exactly-representable
-    integer — no rounding drift vs the oracle's ``//``. Floor (not
-    truncate-toward-zero) semantics for negative inputs.
+    Floor (not truncate-toward-zero) semantics for negative inputs,
+    exact over the FULL int64 range: subtract the positive modulus so
+    the numerator is an exact multiple of ``n``, then divide in
+    DECIMAL(38,0) — the earlier double-division variant was exact only
+    below 2^53 (hypothesis found 9007199254740993 // 10**6 off by one;
+    ``tests/test_properties.py`` now pins the full range).
     """
     n_ = F.lit(n) if isinstance(n, int) else n
-    return ((col - F.pmod(col, n_)) / n_).cast("long")
+    num = (col - F.pmod(col, n_)).cast("decimal(38,0)")
+    return (num / n_.cast("decimal(38,0)")).cast("long")
 
 
 def epoch_us(col: Column | str) -> Column:
