@@ -673,24 +673,47 @@ def q_window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_suite",
-    oracle=None,  # approximate by design: sketch internals are engine-
-    # specific, so no SQL oracle; error bounds are asserted against the
-    # exact answers in tests/test_approx.py
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS hll_within_bounds,
+       TRUE AS p50_within_bounds,
+       TRUE AS p90_within_bounds
+FROM lineitem GROUP BY l_returnflag
+""",
     doc="The 100 TB aggregation toolkit: approx_count_distinct (HLL++, "
     "mergeable fixed-size sketch vs the unbounded exact-distinct hash) "
-    "and approx_percentile (t-digest, partial-aggregatable vs the exact "
-    "percentile's per-group value shuffle). Rows-only driver check; "
-    "error vs exact is unit-tested (<2% HLL, <1 qty unit percentile). "
-    "Percentiles come out as two scalar columns (not array<double>) so "
-    "the driver canonicalizer can hash/sort the rows.",
+    "and approx_percentile (partial-aggregatable quantile sketch vs the "
+    "exact percentile's per-group value shuffle). Hash-checkable "
+    "formulation (VERDICT r4 #4): the raw estimates are engine-specific "
+    "so they never cross the comparison boundary — instead each group "
+    "emits within_bounds BOOLEANS computed Spark-side against the exact "
+    "answers available in the same aggregation (|HLL − exact| ≤ 5·rsd·"
+    "exact, |approx pNN − exact pNN| ≤ 1 qty unit), and the oracle "
+    "asserts the exact columns plus TRUE literals. Tighter error-curve "
+    "assertions stay in tests/test_approx.py.",
 )
 def q_agg_approx_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_percentile("l_quantity", F.lit(0.5), 10000).alias("approx_qty_p50"),
-        F.approx_percentile("l_quantity", F.lit(0.9), 10000).alias("approx_qty_p90"),
+    g = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__hll"),
+        F.approx_percentile("l_quantity", F.lit(0.5), 10000).alias("__p50"),
+        F.approx_percentile("l_quantity", F.lit(0.9), 10000).alias("__p90"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("__e50"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("__e90"),
+    )
+    within = lambda a, e: F.abs(F.col(a).cast("double") - F.col(e)) <= F.lit(1.0)  # noqa: E731
+    return g.select(
+        "l_returnflag",
+        "n",
+        "exact_orders",
+        (F.abs(F.col("__hll") - F.col("exact_orders")) * 10 <= F.col("exact_orders"))
+        .alias("hll_within_bounds"),
+        within("__p50", "__e50").alias("p50_within_bounds"),
+        within("__p90", "__e90").alias("p90_within_bounds"),
     )
 
 

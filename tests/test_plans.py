@@ -569,3 +569,20 @@ def test_runtime_bloom_filter_join_injects_and_preserves_results(spark, sf_dir):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_abc)
+
+
+def test_funnel_no_hot_window_partitions(spark, sf_dir):
+    """pipeline_llm_training_prep skew guards (VERDICT r4): no window
+    may partition by the fp8 prefix-fingerprint (collision-heavy by
+    design — keeper selection is a partial-aggregatable groupBy+join
+    instead), the quota rank runs behind quota_rank's hash-threshold
+    pre-thin (the conv/substring filter), and the under-keep runtime
+    guard is in the plan."""
+    df = REGISTRY["pipeline_llm_training_prep"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "fp8" not in line, line
+    assert "conv(substring(" in plan, plan[:2000]  # pre-thin threshold filter
+    # assert_true lowers to a raise_error branch in the physical plan
+    assert "raise_error" in plan, plan[:2000]  # under-keep guard
