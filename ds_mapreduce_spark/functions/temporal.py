@@ -32,15 +32,19 @@ def idiv_floor(col: Column, n: int | Column) -> Column:
     """Exact integer floor division of a BIGINT column by a constant or column.
 
     Floor (not truncate-toward-zero) semantics for negative inputs,
-    exact over the FULL int64 range: subtract the positive modulus so
-    the numerator is an exact multiple of ``n``, then divide in
-    DECIMAL(38,0) — the earlier double-division variant was exact only
-    below 2^53 (hypothesis found 9007199254740993 // 10**6 off by one;
-    ``tests/test_properties.py`` now pins the full range).
+    exact over the FULL int64 range: the column is cast to
+    DECIMAL(38,0) FIRST, then the positive modulus is subtracted and
+    the division performed entirely in DECIMAL — the earlier
+    double-division variant was exact only below 2^53 (hypothesis found
+    9007199254740993 // 10**6 off by one), and a BIGINT pmod-subtract
+    would wrap for inputs within ``n`` of int64 min (ADVICE r4);
+    ``tests/test_properties.py`` pins the full range including the
+    int64 boundaries.
     """
     n_ = F.lit(n) if isinstance(n, int) else n
-    num = (col - F.pmod(col, n_)).cast("decimal(38,0)")
-    return (num / n_.cast("decimal(38,0)")).cast("long")
+    c = col.cast("decimal(38,0)")
+    nd = n_.cast("decimal(38,0)")
+    return ((c - F.pmod(c, nd)) / nd).cast("long")
 
 
 def epoch_us(col: Column | str) -> Column:

@@ -559,10 +559,7 @@ def zorder_write(spark: SparkSession, sf_dir: str) -> str:
             F.min("l_partkey").alias("__ymin"),
             F.max("l_partkey").alias("__ymax"),
         )
-        top = F.lit((1 << 10) - 1)
-
         def norm(c, lo, hi):
-            span = F.greatest(F.col(hi) - F.col(lo), F.lit(1))
             return F.expr(
                 f"CAST((({c} - {lo}) * {(1 << 10) - 1}) DIV "
                 f"greatest({hi} - {lo}, 1) AS BIGINT)"

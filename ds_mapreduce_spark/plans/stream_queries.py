@@ -671,7 +671,7 @@ framed AS (
   SELECT event_id, event_type, cents,
          COUNT(*) OVER w AS n_1h,
          SUM(cents) OVER w AS s_1h,
-         SUM(cents * cents) OVER w AS sq_1h
+         SUM(CAST(cents AS HUGEINT) * cents) OVER w AS sq_1h
   FROM base
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
                RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
@@ -679,8 +679,9 @@ framed AS (
 flagged AS (
   SELECT event_type,
          CASE WHEN n_1h >= 5
-               AND (n_1h * cents - s_1h) * (n_1h * cents - s_1h)
-                   > 9 * (n_1h * sq_1h - s_1h * s_1h)
+               AND CAST(n_1h * cents - s_1h AS HUGEINT)
+                   * CAST(n_1h * cents - s_1h AS HUGEINT)
+                   > 9 * (n_1h * sq_1h - CAST(s_1h AS HUGEINT) * s_1h)
               THEN 1 ELSE 0 END AS anom
   FROM framed
 )
@@ -695,7 +696,11 @@ FROM flagged GROUP BY event_type
     "arithmetic on cents — (n*x - s)^2 > 9*(n*sq - s^2) after clearing "
     "denominators — so no float variance ever crosses the engine "
     "boundary (means/stddevs of doubles are partition-order-dependent; "
-    "this is the CLAUDE.md decimal rule applied to second moments). One "
+    "this is the CLAUDE.md decimal rule applied to second moments). "
+    "Second moments are DECIMAL(38,0) Spark-side ≙ HUGEINT oracle-side "
+    "(ADVICE r4: a BIGINT 9·n·sq wraps near 9e18 at ~1000 events/h of "
+    "cents~1e6 while DuckDB's HUGEINT doesn't — both engines are now "
+    "exact to 38 digits and overflow LOUD, never silently). One "
     "user_id shuffle, O(1) running frame state; the census shuffle "
     "carries 5 rows.",
 )
@@ -711,15 +716,25 @@ def q_events_rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3599, 0)
+    cd = F.col("cents").cast("decimal(19,0)")
     framed = base.select(
         "event_type",
         "cents",
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum("cents").over(w).alias("s_1h"),
-        F.sum(F.col("cents") * F.col("cents")).over(w).alias("sq_1h"),
+        # cents^2 accumulates in DECIMAL(38,0): a BIGINT second moment
+        # wraps silently at ~9e18 (ADVICE r4); DECIMAL is exact to 38
+        # digits and fails loud beyond.
+        F.sum(cd * cd).over(w).alias("sq_1h"),
     )
-    dev = F.col("n_1h") * F.col("cents") - F.col("s_1h")
-    var_n2 = F.col("n_1h") * F.col("sq_1h") - F.col("s_1h") * F.col("s_1h")
+    dev = (
+        F.col("n_1h").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        - F.col("s_1h").cast("decimal(38,0)")
+    ).cast("decimal(19,0)")
+    var_n2 = (
+        F.col("n_1h").cast("decimal(19,0)") * F.col("sq_1h")
+        - F.col("s_1h").cast("decimal(19,0)") * F.col("s_1h").cast("decimal(19,0)")
+    )
     anom = F.when(
         (F.col("n_1h") >= 5) & (dev * dev > 9 * var_n2), 1
     ).otherwise(0)

@@ -18,7 +18,7 @@ from ds_mapreduce_spark.operators.temporal import (
     make_intervals,
     range_join_points_intervals,
 )
-from ds_mapreduce_spark.functions.temporal import epoch_day, epoch_sec, epoch_us, idiv_floor
+from ds_mapreduce_spark.functions.temporal import epoch_sec
 from ds_mapreduce_spark.plans.registry import register
 from ds_mapreduce_spark.sources.catalog import load_table
 

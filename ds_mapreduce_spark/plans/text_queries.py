@@ -1454,7 +1454,9 @@ bench AS (
   SELECT DISTINCT g FROM grams, UNNEST(gs) u(g)
   WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
 ),
-bl AS (SELECT list(g) AS l FROM bench),
+-- COALESCE: an empty benchmark bucket must yield [] (0 hits, matching
+-- Spark's left-join NULL), not a NULL list that nulls every n_hits
+bl AS (SELECT COALESCE(list(g), []) AS l FROM bench),
 hits AS (
   SELECT doc_id, lang,
          CAST(len(gs) AS BIGINT) AS n_ngrams,
@@ -1602,7 +1604,7 @@ t2 AS (
   FROM t
 ),
 bench AS (SELECT DISTINCT g FROM t2, UNNEST(gs) u(g) WHERE is_bench),
-bl AS (SELECT list(g) AS l FROM bench),
+bl AS (SELECT COALESCE(list(g), []) AS l FROM bench),
 d AS (
   SELECT t2.*,
          CASE WHEN NOT is_bench AND len(list_intersect(gs, bl.l)) > 0 THEN 1 END AS hit,

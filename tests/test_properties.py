@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from collections import Counter
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from ds_mapreduce_spark.operators.mapreduce import (
@@ -202,14 +202,17 @@ def test_sequence_packing_conserves_tokens(spark, sf_dir):
 @SLOW
 @given(
     vals=st.lists(
-        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=40
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=40
     ),
     divisor=st.integers(min_value=1, max_value=10**7),
 )
+@example(vals=[-(2**63), -(2**63) + 999_999, 2**63 - 1], divisor=10**6)
 def test_idiv_floor_matches_python_floordiv(spark, vals, divisor):
     """idiv_floor (the ONE integer-division primitive every epoch/NTILE/
     shard computation routes through) against Python's // ground truth,
-    including negatives (floor, not truncate) and >2^53 magnitudes."""
+    including negatives (floor, not truncate), >2^53 magnitudes, and the
+    int64 boundaries (the DECIMAL-first pmod-subtract means inputs
+    within ``n`` of int64 min no longer wrap — ADVICE r4)."""
     from pyspark.sql import functions as F
 
     from ds_mapreduce_spark.functions.temporal import idiv_floor
