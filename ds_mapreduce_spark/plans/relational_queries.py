@@ -1805,6 +1805,50 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_graph(spark: SparkSession, sf_dir: str):
+    """Shared graph build for both PageRank variants: distinct
+    customer-supplier trade pairs -> undirected edge list with out-degree
+    folded in ONCE (each iteration then joins ranks only), nodes, both
+    localCheckpoint'ed so every iteration's plan is constant-size."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    raw_edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = raw_edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = raw_edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = raw_edges.select(F.col("src").alias("node")).distinct()
+    return edges, nodes
+
+
+def _pagerank_step(edges: DataFrame, nodes: DataFrame, ranks: DataFrame) -> DataFrame:
+    """One exact-integer power iteration (damping 0.85, fixed-point 1e12,
+    floor DIV semantics shared with the unrolled oracle): contribution
+    shuffle on dst + left join back to nodes — the Pregel plan."""
+    contrib = (
+        edges.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select("dst", F.expr("rank DIV outdeg").alias("share"))
+        .groupBy("dst")
+        .agg(F.sum("share").cast("bigint").alias("s"))
+    )
+    return nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left").select(
+        "node",
+        F.expr("CAST(150000000000 + (85 * coalesce(s, 0)) DIV 100 AS BIGINT)").alias(
+            "rank"
+        ),
+    )
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     """Unrolled integer-arithmetic PageRank CTEs (shared shape with the
     Spark loop in q_graph_pagerank — same constants, same DIV floor)."""
@@ -1854,44 +1898,61 @@ r{i} AS (
     "cut by the checkpointed base so plans stay constant-size.",
 )
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
-        )
-        .distinct()
-    )
-    raw_edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
-    deg = raw_edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # degree folded into the edge list ONCE — each iteration then joins
-    # only ranks (one co-partitioned join per step instead of two)
-    edges = raw_edges.join(deg, "src").localCheckpoint(eager=True)
-    nodes = raw_edges.select(F.col("src").alias("node")).distinct()
+    edges, nodes = _pagerank_graph(spark, sf_dir)
     ranks = nodes.withColumn("rank", F.lit(1_000_000_000_000).cast("bigint"))
     for _ in range(3):
-        contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select("dst", F.expr("rank DIV outdeg").alias("share"))
-            .groupBy("dst")
-            .agg(F.sum("share").cast("bigint").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                F.expr("CAST(150000000000 + (85 * coalesce(s, 0)) DIV 100 AS BIGINT)").alias(
-                    "rank"
-                ),
-            )
-        )
+        ranks = _pagerank_step(edges, nodes, ranks)
     return ranks
+
+
+@register(
+    "graph_pagerank_converged",
+    oracle=None,  # iterate-until-residual is genuinely non-SQL-
+    # expressible (data-dependent iteration count); the fixed-iteration
+    # twin above carries the unrolled hash-checked oracle, and
+    # tests/test_pagerank.py proves this loop's iterations are
+    # bit-identical to the twin's.
+    doc="Residual-convergence PageRank: the SAME exact-integer "
+    "_pagerank_step as the graded fixed-iteration twin, iterated until "
+    "the L1 rank delta falls under epsilon_ppm parts-per-million of "
+    "the initial rank mass (or max_iters). The driver sees ONE scalar "
+    "per iteration (the 1-row SUM(ABS(delta)) aggregate) — never rank "
+    "rows; each iteration's result is eagerly localCheckpoint'ed so "
+    "the per-iteration plan stays constant-size (lineage truncation — "
+    "the checkpoint discipline from connected components). Output "
+    "carries n_iters for auditability. 100 TB: per iteration, one "
+    "contribution shuffle + one co-partitioned delta join; state is "
+    "|nodes| rows; iteration count is bounded by the damping factor's "
+    "geometric contraction, not data size.",
+)
+def q_graph_pagerank_converged(
+    spark: SparkSession,
+    sf_dir: str,
+    epsilon_ppm: int = 100,
+    max_iters: int = 20,
+) -> DataFrame:
+    edges, nodes = _pagerank_graph(spark, sf_dir)
+    ranks = nodes.withColumn(
+        "rank", F.lit(1_000_000_000_000).cast("bigint")
+    ).localCheckpoint(eager=True)
+    # threshold: epsilon_ppm of the total initial mass (|nodes| * 1e12)
+    n_nodes = nodes.count()
+    threshold = n_nodes * (1_000_000_000_000 // 1_000_000) * epsilon_ppm
+    n_iters = 0
+    for _ in range(max_iters):
+        new_ranks = _pagerank_step(edges, nodes, ranks).localCheckpoint(eager=True)
+        delta = (
+            new_ranks.join(
+                ranks.select("node", F.col("rank").alias("prev")), "node"
+            )
+            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).cast("bigint").alias("d"))
+            .first()["d"]
+        )
+        ranks = new_ranks
+        n_iters += 1
+        if delta <= threshold:
+            break
+    return ranks.withColumn("n_iters", F.lit(n_iters).cast("bigint"))
 
 
 @register(
@@ -1913,34 +1974,36 @@ FROM orders GROUP BY o_orderpriority
     "daily delta is the only scan, the MV is group-cardinality-sized, "
     "and the merge shuffles |groups| rows, not |orders|. Same algebra "
     "as events_hierarchical_rollup one level up: any associative "
-    "DECIMAL/COUNT aggregate maintains incrementally.",
+    "DECIMAL/COUNT aggregate maintains incrementally. The partial/"
+    "merge/present trio lives in operators/relational.py and is shared "
+    "verbatim with the streaming twin "
+    "(run_streaming_mv_maintenance; equivalence in "
+    "tests/test_streaming.py).",
 )
 def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.relational import mv_merge, mv_partial, mv_present
+
     o = _t(spark, sf_dir, "orders")
-
-    def partial(df: DataFrame) -> DataFrame:
-        return df.groupBy("o_orderpriority").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("o_totalprice")).alias("s"),
-        )
-
-    base_mv = partial(o.where(F.col("o_orderkey") % 10 != 0))
-    delta_mv = partial(o.where(F.col("o_orderkey") % 10 == 0))
-    return (
-        base_mv.unionByName(delta_mv)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.sum("n").cast("bigint").alias("n_orders"),
-            F.round(F.sum("s").cast("double"), 4).alias("total_price"),
-        )
+    base_mv = mv_partial(
+        o.where(F.col("o_orderkey") % 10 != 0), ["o_orderpriority"], "o_totalprice"
     )
+    delta_mv = mv_partial(
+        o.where(F.col("o_orderkey") % 10 == 0), ["o_orderpriority"], "o_totalprice"
+    )
+    return mv_present(mv_merge(base_mv, delta_mv))
 
 
 @register(
     "approx_distinct_rollup",
-    oracle=None,  # approximate by design (Datasketches HLL internals are
-    # engine-specific); re-aggregation losslessness + error bounds are
-    # asserted against exact answers in tests/test_approx.py
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       COUNT(DISTINCT o_custkey) AS exact_custs,
+       TRUE AS merge_consistent,
+       TRUE AS hll_within_bounds
+FROM orders GROUP BY o_orderpriority
+""",
     doc="RE-AGGREGATABLE sketch rollup — the property that makes approx "
     "distinct viable at 100 TB: per-(priority, status) Datasketches-HLL "
     "sketches of o_custkey (hll_sketch_agg) are MERGED upward "
@@ -1948,9 +2011,15 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     "fact table — the sketch analogue of incremental_agg_maintenance's "
     "DECIMAL partials. The same merge maintains a daily sketch store "
     "incrementally (union yesterday's sketches with today's delta). "
-    "Rows-only driver check; tests/test_approx.py pins (a) merged "
-    "estimate == direct-sketch estimate exactly (union losslessness) "
-    "and (b) <2%% error vs exact distinct.",
+    "Hash-checkable formulation (same pattern as agg_approx_suite): the "
+    "engine-specific estimates never cross the boundary — the query "
+    "emits exact counts plus Spark-side booleans proving (a) the merged "
+    "estimate stays within 4%% of the direct whole-partition sketch "
+    "(union consistency; EXACT equality only holds in sparse mode — "
+    "densified HLL_4 sketches union through an HLL_8 gadget and drift "
+    "~1%%, measured at sf0.01) and (b) the estimate lands within 5%% "
+    "of exact; the oracle asserts the exact columns and TRUE literals. "
+    "Error curves stay in tests/test_approx.py.",
 )
 def q_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -1958,11 +2027,22 @@ def q_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("o_custkey").alias("sk"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    return (
-        per_group.groupBy("o_orderpriority")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custs"),
-            F.sum("n_orders").cast("bigint").alias("n_orders"),
-            F.count(F.lit(1)).alias("n_statuses"),
-        )
+    rolled = per_group.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__merged"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_statuses"),
+    )
+    direct = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("__direct"),
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_custs"),
+    )
+    return rolled.join(direct, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        "n_statuses",
+        "exact_custs",
+        (F.abs(F.col("__merged") - F.col("__direct")) * 25 <= F.col("__direct"))
+        .alias("merge_consistent"),
+        (F.abs(F.col("__merged") - F.col("exact_custs")) * 20 <= F.col("exact_custs"))
+        .alias("hll_within_bounds"),
     )

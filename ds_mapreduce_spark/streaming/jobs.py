@@ -510,3 +510,54 @@ def run_streaming_shard_plan(
     return spark.read.parquet(
         *[f"{state_dir}/assign_v{i}" for i in range(last[0] + 1)]
     )
+
+
+def run_streaming_mv_maintenance(
+    spark: SparkSession, orders_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming aggregate-MV maintenance: the orders feed arrives as
+    micro-batches and each batch's partials MERGE into the landed MV via
+    ``foreachBatch`` — the same ``mv_partial``/``mv_merge`` the batch
+    query (``incremental_agg_maintenance``) composes in one plan, so the
+    maintained state converges to the batch answer under ANY chunking of
+    the feed (associative DECIMAL partials).
+
+    State is chained through versioned parquet dirs (``v{batch_id}``
+    reads ``v{batch_id-1}``) exactly like ``run_streaming_cdc_merge``: a
+    retried batch id rewrites its own version from its predecessor, so
+    the sink is idempotent on top of at-least-once delivery. Returns the
+    final MV through the shared ``mv_present`` projection. 100 TB: each
+    micro-batch scans ONLY its delta and shuffles |groups| partial rows;
+    the state store is group-cardinality-sized — the continuous-
+    aggregate contract."""
+    from ds_mapreduce_spark.operators.relational import mv_merge, mv_partial, mv_present
+
+    schema = spark.read.parquet(orders_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if orders_dir.endswith(".parquet"):
+        base, _, fname = orders_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        orders_dir = base
+    stream = reader.parquet(orders_dir)
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        part = mv_partial(batch_df, ["o_orderpriority"], "o_totalprice")
+        if batch_id > 0:
+            prev = sess.read.parquet(f"{state_dir}/v{batch_id - 1}")
+            merged = mv_merge(prev, part)
+        else:
+            merged = mv_merge(part)
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return mv_present(spark.read.parquet(f"{state_dir}/v{last_version[0]}"))

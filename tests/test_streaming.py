@@ -417,3 +417,24 @@ def test_streaming_shard_plan_matches_batch(spark, sf_dir, tmp_path):
     b_census = sorted(map(tuple, batch.collect()))
     assert s_census == b_census
     assert len(s_census) > 1  # multiple shards actually produced
+
+
+def test_streaming_mv_maintenance_matches_batch(spark, sf_dir, tmp_path):
+    """The micro-batched MV merge must converge to exactly the batch
+    query's aggregate, however the feed is chunked: orders split into 4
+    files (4 micro-batches via maxFilesPerTrigger=1), partials merged
+    through the versioned state chain."""
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_mv_maintenance
+
+    batch = load_all()["incremental_agg_maintenance"].fn(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    feed_dir = str(tmp_path / "orders_feed")
+    orders.repartition(4).write.parquet(feed_dir)
+
+    streamed = run_streaming_mv_maintenance(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert srows == brows
