@@ -75,7 +75,7 @@ PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",         # join pipeline (E11)
     "dedup_exact",                  # exact dedup (E6)
     "decontamination",              # LLM-pipeline text op
-    "range_join_price_bands",       # temporal/range join
+    "pipeline_llm_training_prep",   # THE flagship end-to-end funnel
     # family breadth
     "knn_bruteforce",
     "events_tumbling_window",
@@ -83,57 +83,53 @@ PRIORITY: tuple[str, ...] = (
     "events_funnel",
     "events_rolling_1h_stats",
     "sessions_per_hour",
-    "tfidf_top_terms",
     "lang_id_heuristic",
-    # doc_winnowing_fingerprints sits just outside the window: its
-    # machinery (shared generated oracle) is graded via decontamination,
-    # freeing the slot for the R4 wholetext sub-mode
-    "wholetext_file_stats",
-    "dedup_ngram_jaccard",
+    "exact_ngram_decontamination",
+    "corpus_shard_plan",
     "dedup_minhash_verified",
-    "dedup_simhash",
     # dedup_connected_components moved out for the incremental-ingest
     # contract (its recursive-CTE oracle stays under the in-repo gate)
     "dedup_incremental",
     "mr_generic_wordcount",
-    "mr_secondary_sort",
     "mr_inverted_index",
     "multimodal_metadata_stats",
     "agg_suite",
     "agg_approx_suite",
-    "scalar_functions",
-    # regex_functions moved out in favor of runtime partition pruning
-    # (expressions stay covered by scalar_functions; regex machinery is
-    # graded via pii_redaction's regexp_count/replace chain)
     "dynamic_partition_pruning",
     # storage-layout + LLM-pipeline ops (round 3): the 100 TB cost
     # levers (partition pruning, shuffle-free bucketed joins) and the
     # training-prep passes (packing, PII scrubbing) graded by the
-    # driver. agg_percentiles / filter_project / date_functions /
-    # events_cohort_retention moved out (families still covered in the
-    # window; all four stay under the in-repo parity gate).
+    # driver.
     "partitioned_write_prune",
     "bucketed_join_no_shuffle",
     "sequence_packing",
     "pii_redaction",
     "q10_returned_item_customers",
-    "q15_top_supplier",
-    "q19_disjunctive_predicates",
-    "join_full_outer",
     "window_functions_suite",
-    # round-4 rotation (VERDICT r3 item 7): six long-stable entries
-    # (null_semantics, topk_orders, sql_grouping_sets,
-    # cdc_latest_wins_merge, stratified_sample, dedup_embedding_srp —
-    # each driver-green in r2 AND r3, each family still represented
-    # above) moved to the in-repo parity gate, freeing slots so the
-    # round-3 LLM-training-prep family gets driver-grade evidence.
-    # Every events query stays in-window to prove E13 green post-NTZ-fix.
+    # round-3 LLM-prep family, first graded in r4 — pinned for a second
+    # driver round
     "related_docs_topk",
     "contrastive_pairs",
     "mixture_rebalance",
     "doc_chunking",
     "span_corruption_plan",
     "multimodal_payload_dedup",
+    # round-5 rotation (VERDICT r4 item 1): the round-4 flagship family
+    # gets driver-grade evidence. Rotated out to the in-repo parity
+    # gate: mr_secondary_sort, dedup_simhash, dedup_ngram_jaccard,
+    # q15_top_supplier, q19_disjunctive_predicates, join_full_outer,
+    # scalar_functions, range_join_price_bands, wholetext_file_stats,
+    # tfidf_top_terms — each driver-green in r4 (most since r2), each
+    # family still represented above. Every events sub-family keeps a
+    # graded entry (sessionization x2 + native, tumbling, sliding,
+    # funnel, rolling x2).
+    "graph_pagerank",
+    "kmeans_lloyd_refine",
+    "events_native_session_window",
+    "incremental_agg_maintenance",
+    "zorder_write_prune",
+    "approx_distinct_rollup",
+    "events_rolling_anomaly_flags",
 )
 
 

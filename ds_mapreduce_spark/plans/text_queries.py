@@ -1709,6 +1709,12 @@ def q_pipeline_llm_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = d.withColumn("keeper", F.col("q") & (F.col("doc_id") == F.col("keep_id")))
     d = d.withColumn("clean", F.col("keeper") & F.col("__hit").isNull())
+    # doc-level flag rows (no text/gram columns — ~50 bytes/doc) are
+    # checkpointed ONCE so the rank branch + its count aggregation read
+    # the materialized rows instead of re-running the tokenize/gram-join
+    # pipeline per branch (without this the plan re-scans documents 12x;
+    # with it, 4 scans — same discipline as graph_pagerank's edge list).
+    d = d.localCheckpoint(eager=True)
     # per-language quota rank over CLEAN rows only (the only rows whose
     # rank the stage cascade ever reads), behind quota_rank's
     # hash-threshold pre-thin: a hot language's window partition stays
@@ -1722,7 +1728,10 @@ def q_pipeline_llm_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         prethin_factor=10,
         rank_col="rnk",
     ).select("doc_id", "rnk")
-    d = d.join(ranked, "doc_id", "left")
+    # the pre-thin BOUNDS the rank output (<= ~factor*quota rows per
+    # language at any corpus size), so broadcasting it back is safe by
+    # construction — the corpus never shuffles for the rank join.
+    d = d.join(F.broadcast(ranked), "doc_id", "left")
     stage = (
         F.when(F.col("is_bench"), "benchmark")
         .when(~F.col("q"), "quality_cut")
