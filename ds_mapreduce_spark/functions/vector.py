@@ -39,3 +39,17 @@ def l2_norm(a: Column) -> Column:
 def cosine_similarity(a: Column, b: Column) -> Column:
     """cos(a, b) in double; NULL-safe only as far as the inputs are."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_dist(a: Column, b: Column) -> Column:
+    """Euclidean distance of two array<numeric> columns in double —
+    oracle equivalence: DuckDB ``list_distance``."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )

@@ -146,3 +146,60 @@ def ivf_topk(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def _sub_slices(df: DataFrame, id_alias: str, n_sub: int, sub_dim: int) -> DataFrame:
+    """(id, sub_id, sv): each vector split into n_sub contiguous
+    sub_dim-length slices — a map-only explode (n_sub rows per vector)."""
+    return (
+        df.select(F.col("vec_id").alias(id_alias), "embedding")
+        .select(
+            id_alias,
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub_id"),
+            F.col("embedding"),
+        )
+        .select(
+            id_alias,
+            "sub_id",
+            F.slice(
+                "embedding", F.col("sub_id") * sub_dim + 1, F.lit(sub_dim)
+            ).alias("sv"),
+        )
+    )
+
+
+def pq_assign(
+    corpus: DataFrame, codebook_source: DataFrame, n_sub: int = 4, sub_dim: int = 16
+) -> DataFrame:
+    """Product-quantization code assignment: (vec_id, sub_id, code).
+
+    The embedding is split into ``n_sub`` subspaces; each sub-vector is
+    assigned its nearest codebook entry by Euclidean distance (rounded
+    6dp, ties to the lowest code — fully deterministic). Codebook
+    entries are the corresponding slices of ``codebook_source``'s
+    vectors (code = vec_id), taken deterministically from the corpus so
+    the operator stays oracle-checkable — the plumbing is identical to
+    a k-means-trained codebook.
+
+    100 TB story: PQ is THE memory-scale path for vector search — a
+    64-dim float vector (256 B) compresses to n_sub single-byte codes,
+    so a trillion-vector index fits where raw vectors can't. The
+    codebook (n_sub × |codes| rows) broadcasts; assignment is a
+    map-side join + a partial-aggregatable min_by argmin (the shuffle
+    carries one row per (vector, subspace) per task, never the
+    |corpus|×|codes| score matrix).
+    """
+    from ds_mapreduce_spark.functions.vector import l2_dist
+
+    v = _sub_slices(corpus, "vec_id", n_sub, sub_dim)
+    c = _sub_slices(codebook_source, "code", n_sub, sub_dim).withColumnRenamed(
+        "sv", "cv"
+    )
+    scored = v.join(F.broadcast(c), "sub_id").select(
+        "vec_id",
+        "sub_id",
+        "code",
+        F.round(l2_dist(F.col("sv"), F.col("cv")), 6).alias("d"),
+    )
+    best = F.min_by(F.col("code"), F.struct(F.col("d"), F.col("code")))
+    return scored.groupBy("vec_id", "sub_id").agg(best.alias("code"))

@@ -334,3 +334,56 @@ def q_kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vec_id").cast("bigint").alias("id_checksum"),
         F.sum("dist").cast("bigint").alias("inertia"),
     )
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+subs AS (
+  SELECT vec_id, i AS sub_id, emb[i*16+1:(i+1)*16] AS sv
+  FROM corpus CROSS JOIN (SELECT unnest(range(0, 4)) AS i) s
+),
+cent AS (SELECT vec_id AS code, sub_id, sv AS cv FROM subs WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT v.vec_id, v.sub_id, c.code, ROUND(list_distance(v.sv, c.cv), 6) AS d
+  FROM subs v JOIN cent c USING (sub_id)
+),
+assigned AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY d, code) AS r
+    FROM scored) WHERE r = 1
+)
+SELECT vec_id,
+       CAST(MAX(CASE WHEN sub_id = 0 THEN code END) AS BIGINT) AS code_0,
+       CAST(MAX(CASE WHEN sub_id = 1 THEN code END) AS BIGINT) AS code_1,
+       CAST(MAX(CASE WHEN sub_id = 2 THEN code END) AS BIGINT) AS code_2,
+       CAST(MAX(CASE WHEN sub_id = 3 THEN code END) AS BIGINT) AS code_3
+FROM assigned GROUP BY vec_id
+""",
+    doc="Product-quantization codes (r5): every 64-dim embedding "
+    "compresses to 4 one-byte codes — the nearest codebook entry per "
+    "16-dim subspace by Euclidean distance (ROUND 6dp, ties to the "
+    "lowest code; codebook = slices of the first 16 corpus vectors, "
+    "deterministic so DuckDB mirrors it; k-means-trained codebooks "
+    "plug into the identical plumbing). PQ is the memory-scale path "
+    "for vector search at 100 TB: 256 B/vector becomes 4 B, so the "
+    "index fits in RAM where raw vectors can't, and the asymmetric-"
+    "distance scan reads codes only. Plan: map-only sub-slicing, "
+    "broadcast codebook join, partial-aggregatable min_by argmin "
+    "(operators/similarity.py:pq_assign — the shuffle never carries "
+    "the |corpus|x|codes| score matrix), 4-way conditional-agg pivot.",
+)
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.similarity import pq_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = pq_assign(emb, emb.where(F.col("vec_id") < N_CENTROIDS), 4, 16)
+    return assigned.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("sub_id") == i, F.col("code")))
+            .cast("bigint")
+            .alias(f"code_{i}")
+            for i in range(4)
+        ]
+    )

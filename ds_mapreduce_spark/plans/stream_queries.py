@@ -742,3 +742,51 @@ def q_events_rolling_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_events"),
         F.sum("anom").cast("bigint").alias("n_anomalies"),
     )
+
+
+@register(
+    "events_heavy_hitter_profile",
+    oracle="""
+WITH pk AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS d
+        FROM pk)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_events * 10000 // t AS BIGINT) AS share_bp,
+       t AS n_total_events,
+       d AS n_distinct_users
+FROM pk CROSS JOIN tot
+ORDER BY n_events DESC, user_id LIMIT 10
+""",
+    doc="Key-skew diagnostics (r5) — the profile you run BEFORE choosing "
+    "a join/window strategy at 100 TB: exact top-10 heavy-hitter keys "
+    "with integer-bp traffic share, plus total/distinct context on every "
+    "row. The output decides between plain shuffle, AQE skew-split, "
+    "salting (operators/skew.py), or a quota_rank pre-thin — the "
+    "repo's skew playbook needs this measurement as its first step. "
+    "Plan: one partial-aggregatable user_id groupBy (shuffle carries "
+    "one row per key per task), a 1-row scalar branch (bounded "
+    "SinglePartition) broadcast back, and TakeOrderedAndProject for "
+    "the top-10 (per-partition heaps, no global sort). Deterministic: "
+    "ties break by user_id.",
+)
+def q_events_heavy_hitter_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pk = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = pk.agg(
+        F.sum("n_events").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+    )
+    return (
+        pk.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(10)
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.expr("CAST(n_events * 10000 DIV t AS BIGINT)").alias("share_bp"),
+            F.col("t").alias("n_total_events"),
+            F.col("d").alias("n_distinct_users"),
+        )
+    )

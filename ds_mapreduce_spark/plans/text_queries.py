@@ -1749,3 +1749,123 @@ def q_pipeline_llm_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((SUM(n_tok) + 511) DIV 512 AS BIGINT)").alias("n_sequences"),
         )
     )
+
+
+@register(
+    "leakage_safe_splits",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, source, n_chars, md5(text) AS fp,
+         CASE WHEN substr(md5(source), 1, 1) < 'c' THEN 'train'
+              WHEN substr(md5(source), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+leak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS leaked FROM (
+    SELECT fp FROM assigned GROUP BY fp HAVING COUNT(DISTINCT split) > 1)
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       (SELECT leaked FROM leak) AS cross_split_dup_fps
+FROM assigned GROUP BY split
+""",
+    doc="GROUP-level train/val/test split assignment (r5) — the "
+    "leakage-safe split discipline of an eval-honest training "
+    "pipeline: the split is md5(source) bucketed 12/2/2 sixteenths, so "
+    "EVERY doc of a domain lands in one split (near-duplicates cluster "
+    "within domains; doc-level hashing scatters them across the "
+    "boundary and inflates eval). Deterministic on every engine/rerun, "
+    "derivable from the group key alone — assignment is a map-only "
+    "projection, NO shuffle, and new docs of a known domain route "
+    "identically forever (stable under incremental ingest). The query "
+    "also MEASURES residual leakage: cross_split_dup_fps counts exact "
+    "text fingerprints that still straddle splits (cross-domain "
+    "copies — what dedup_exact must catch before training). Plan: one "
+    "scan, one split census shuffle + one fp-distinct branch; both "
+    "partial-aggregatable.",
+)
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("source")), 1, 1)
+    assigned = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5("text").alias("fp"),
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test").alias("split"),
+    )
+    leak = (
+        assigned.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaked"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .withColumnRenamed("leaked", "cross_split_dup_fps")
+    )
+
+
+@register(
+    "bpe_pair_merge_stats",
+    oracle=rf"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(text, '{_BPE_PATTERN}', 1)) AS w
+  FROM documents
+),
+vocab AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+  FROM vocab CROSS JOIN UNNEST(range(1, len(w))) t(i)
+  WHERE len(w) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair LIMIT 50
+""",
+    doc="BPE merge-candidate statistics (r5) — the first iteration of "
+    "byte-pair-encoding tokenizer TRAINING: adjacent-character pair "
+    "frequencies over the corpus, the argmax of which is the next BPE "
+    "merge rule. The 100 TB trick is in the shape: pairs are counted "
+    "on the DISTINCT-WORD table weighted by word frequency (the "
+    "classic BPE optimization), so the pair explosion runs over "
+    "|vocab| rows, not |corpus tokens| — the corpus is touched once "
+    "for the word census and never again across merge iterations. "
+    "Pre-tokenizer is the shared _BPE_PATTERN (letter runs / digit "
+    "runs / single symbols — GPT-2-style word boundaries, pairs never "
+    "cross them). Top-50 with deterministic tie-break; "
+    "TakeOrderedAndProject, no global sort.",
+)
+def q_bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 1)).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = (
+        vocab.where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(50)
+    )
