@@ -387,3 +387,91 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ]
     )
+
+
+@register(
+    "knn_pq_adc",
+    oracle=f"""
+WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+subs AS (
+  SELECT vec_id, i AS sub_id, emb[i*16+1:(i+1)*16] AS sv
+  FROM corpus CROSS JOIN (SELECT unnest(range(0, 4)) AS i) s
+),
+cent AS (SELECT vec_id AS code, sub_id, sv AS cv FROM subs WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT v.vec_id, v.sub_id, c.code, ROUND(list_distance(v.sv, c.cv), 6) AS d
+  FROM subs v JOIN cent c USING (sub_id)
+),
+assigned AS (
+  SELECT vec_id, sub_id, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id ORDER BY d, code) AS r
+    FROM scored) WHERE r = 1
+),
+qsubs AS (SELECT vec_id AS query_id, sub_id, sv FROM subs WHERE vec_id < {N_QUERIES}),
+dt AS (
+  SELECT q.query_id, c.sub_id, c.code,
+         CAST(floor(list_distance(q.sv, c.cv) * list_distance(q.sv, c.cv)
+                    * 1000000) AS BIGINT) AS dfx
+  FROM qsubs q JOIN cent c USING (sub_id)
+),
+adc AS (
+  SELECT dt.query_id, a.vec_id AS neighbor_id,
+         CAST(SUM(dt.dfx) AS BIGINT) AS approx_dist
+  FROM assigned a JOIN dt ON a.sub_id = dt.sub_id AND a.code = dt.code
+  WHERE dt.query_id <> a.vec_id
+  GROUP BY dt.query_id, a.vec_id
+)
+SELECT query_id, neighbor_id, approx_dist,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_dist, neighbor_id) AS BIGINT) AS rnk
+FROM adc QUALIFY rnk <= 5
+""",
+    doc="PQ asymmetric-distance (ADC) k-NN (r5) — the search half of "
+    "embedding_pq_codes: each query precomputes a distance TABLE "
+    "(squared L2 to every codebook entry per subspace; integer "
+    "fixed-point floor(d^2 * 1e6) so the 4-way sums are order-"
+    "independent BIGINTs on both engines), and a corpus vector's "
+    "approximate distance is 4 table lookups + adds over its CODES — "
+    "the raw embedding is never touched at query time. 100 TB: the "
+    "table (|queries| x 4 x 16 rows) broadcasts; scoring is a map-side "
+    "join over the 4-byte code store (64x smaller than the vectors, "
+    "16x fewer FLOPs than brute force) with partial-aggregatable "
+    "per-pair sums; two-stage top-k (no single-task rank); compose "
+    "with IVF bucketing for the scan-reduction multiplier. Exact "
+    "sqrt-then-square mirrored on both engines for bit parity.",
+)
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.functions.vector import l2_dist
+    from ds_mapreduce_spark.operators.similarity import (
+        _ranked_topk,
+        _sub_slices,
+        pq_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = emb.where(F.col("vec_id") < N_CENTROIDS)
+    assigned = pq_assign(emb, cb, 4, 16)
+    qsubs = _sub_slices(emb.where(F.col("vec_id") < N_QUERIES), "query_id", 4, 16)
+    cent = _sub_slices(cb, "code", 4, 16).withColumnRenamed("sv", "cv")
+    d = l2_dist(F.col("sv"), F.col("cv"))
+    dt = qsubs.join(F.broadcast(cent), "sub_id").select(
+        "query_id",
+        "sub_id",
+        "code",
+        F.floor(d * d * 1_000_000).cast("bigint").alias("dfx"),
+    )
+    adc = (
+        assigned.join(F.broadcast(dt), ["sub_id", "code"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dfx").cast("bigint").alias("approx_dist"))
+    )
+    ranked = _ranked_topk(
+        adc.withColumn("score", -F.col("approx_dist")), 5
+    )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        "approx_dist",
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )

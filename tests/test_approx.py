@@ -110,3 +110,41 @@ def test_hll_rollup_merge_is_consistent_and_bounded(spark, sf_dir):
     for k, est in merged.items():
         assert abs(est - direct[k]) / direct[k] < 0.02, (k, est, direct[k])
         assert abs(est - exact[k]) / exact[k] < 0.02, (k, est, exact[k])
+
+
+def test_pq_adc_recall_floor(spark, sf_dir):
+    """ADC ranking over 4-byte PQ codes must beat random by an order of
+    magnitude: recall@5 vs exact L2 top-5, averaged over queries. The
+    floor is deliberately conservative (random is ~0.01 at |corpus|=500;
+    measured 0.23 with the deterministic 16-entry codebook on the
+    synthetic no-cluster-structure embeddings — PQ's worst case; a real
+    k-means codebook on real embeddings lands far higher): the point is
+    catching a broken code/table join, not tuning."""
+    from pyspark.sql import Window
+
+    from ds_mapreduce_spark.functions.vector import l2_dist
+
+    adc = REGISTRY["knn_pq_adc"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("neighbor_id"))
+    ex5 = (
+        q.crossJoin(c)
+        .where("query_id != neighbor_id")
+        .select("query_id", "neighbor_id", l2_dist(F.col("qe"), F.col("ce")).alias("dist"))
+        .withColumn("r", F.row_number().over(w))
+        .where("r <= 5")
+        .collect()
+    )
+    exact: dict[int, set] = {}
+    for r in ex5:
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set] = {}
+    for r in adc:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert got.keys() == exact.keys()
+    recall = sum(len(exact[k] & got[k]) / 5 for k in exact) / len(exact)
+    assert recall >= 0.1, recall
