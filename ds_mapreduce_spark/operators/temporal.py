@@ -117,3 +117,59 @@ def make_intervals(
         (F.lit(lo) + F.col("id") * F.lit(width)).alias(lo_name),
         (F.lit(lo) + (F.col("id") + 1) * F.lit(width)).alias(hi_name),
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Inner-join interval sets where [a_lo, a_hi) OVERLAPS [b_lo, b_hi)
+    (integer bounds, half-open), as a bucketed equi-join.
+
+    Interval x interval overlap is the join shape Spark only plans as
+    BroadcastNestedLoop/cartesian + filter; this is the shuffle-scalable
+    form: BOTH sides explode to the fixed-width buckets they span, the
+    join key is the bucket id, and the exact overlap predicate filters
+    the residual. A pair overlapping k shared buckets would emit k
+    duplicates — instead of a distinct (extra shuffle), each pair is
+    kept only in its FIRST shared bucket, ``max(floor(a_lo/w),
+    floor(b_lo/w))``, which is always a shared bucket of a truly
+    overlapping pair, so the join is exactly-once by construction.
+
+    100 TB: blow-up per row is span/width + 1 (pick width ~ median
+    span); one shuffle of each side on bucket id, hot buckets split by
+    AQE; no cartesian anywhere. Returns all columns of both inputs.
+    """
+    from ds_mapreduce_spark.functions.temporal import idiv_floor
+
+    a_b = F.explode(
+        F.sequence(
+            idiv_floor(F.col(a_lo), bucket_width),
+            idiv_floor(F.col(a_hi) - 1, bucket_width),
+        )
+    )
+    b_b = F.explode(
+        F.sequence(
+            idiv_floor(F.col(b_lo), bucket_width),
+            idiv_floor(F.col(b_hi) - 1, bucket_width),
+        )
+    )
+    ae = a.withColumn("__b", a_b)
+    be = b.withColumn("__b", b_b)
+    first_shared = F.greatest(
+        idiv_floor(F.col(a_lo), bucket_width), idiv_floor(F.col(b_lo), bucket_width)
+    )
+    return (
+        ae.join(be, on="__b", how="inner")
+        .where(
+            (F.col("__b") == first_shared)
+            & (F.col(a_lo) < F.col(b_hi))
+            & (F.col(b_lo) < F.col(a_hi))
+        )
+        .drop("__b")
+    )

@@ -2046,3 +2046,200 @@ def q_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("__merged") - F.col("exact_custs")) * 20 <= F.col("exact_custs"))
         .alias("hll_within_bounds"),
     )
+
+
+# --- data-quality validation + profiling (round 5) ---------------------------
+
+
+@register(
+    "dq_validation_suite",
+    oracle="""
+WITH o AS (
+  SELECT COUNT(*) AS n,
+         COUNT(DISTINCT o_orderkey) AS k,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
+         SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                    OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS bad_status
+  FROM orders
+),
+j AS (
+  SELECT l.l_discount, l.l_shipdate, o.o_orderkey AS ok, o.o_orderdate
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+l AS (
+  SELECT SUM(CASE WHEN CAST(l_discount AS DECIMAL(4,2)) < CAST(0 AS DECIMAL(4,2))
+                    OR CAST(l_discount AS DECIMAL(4,2)) > CAST(0.10 AS DECIMAL(4,2))
+                  THEN 1 ELSE 0 END) AS bad_disc,
+         SUM(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS orphans,
+         SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS early_ship
+  FROM j
+),
+m AS (
+  SELECT 'orders_pk_unique' AS check_name, CAST(n - k AS BIGINT) AS metric FROM o
+  UNION ALL SELECT 'orders_custkey_complete', CAST(null_cust AS BIGINT) FROM o
+  UNION ALL SELECT 'orders_totalprice_positive', CAST(nonpos_price AS BIGINT) FROM o
+  UNION ALL SELECT 'orders_status_in_set', CAST(bad_status AS BIGINT) FROM o
+  UNION ALL SELECT 'lineitem_discount_in_range', CAST(bad_disc AS BIGINT) FROM l
+  UNION ALL SELECT 'lineitem_orderkey_referential', CAST(orphans AS BIGINT) FROM l
+  UNION ALL SELECT 'lineitem_ship_after_order', CAST(early_ship AS BIGINT) FROM l
+)
+SELECT check_name, metric, metric = 0 AS passed FROM m
+""",
+    doc="Declarative data-quality validation suite (r5) — the Deequ-"
+    "style contract gate a production pipeline runs before publishing a "
+    "table: primary-key uniqueness, completeness, value bounds, "
+    "accepted-set membership, cross-table referential integrity, and a "
+    "cross-table ordering invariant (ship date >= order date — the one "
+    "check this synthetic data actually fails, so the suite "
+    "demonstrably measures rather than rubber-stamps). Shape: every "
+    "single-table check folds into ONE partial-aggregatable pass over "
+    "its table; BOTH cross-table checks (orphans + early-ship) ride a "
+    "single shared left join — one shuffle, not one per check. The "
+    "per-check one-row aggregates broadcast-cross-join into the 7-row "
+    "report, so nothing but scalars moves after the scans. 100 TB: "
+    "cost = one scan of each fact table + one co-partitioned join; "
+    "adding checks to a table adds columns to its aggregate, not "
+    "passes. countDistinct on the key is the only expand; swap to "
+    "approx_count_distinct when an estimated uniqueness check "
+    "suffices.",
+)
+def q_dq_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _dec("l_discount", 4, 2)
+    o_agg = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("dup_keys"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_cust"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nonpos_price"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P")
+                | F.col("o_orderstatus").isNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_status"),
+    )
+    j = li.select("l_orderkey", "l_shipdate", disc.alias("disc")).join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == o.o_orderkey,
+        "left",
+    )
+    l_agg = j.agg(
+        F.sum(
+            F.when(
+                (F.col("disc") < F.lit(0).cast("decimal(4,2)"))
+                | (F.col("disc") > F.lit(0.10).cast("decimal(4,2)")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_disc"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orphans"),
+        F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("early_ship"),
+    )
+    checks = [
+        ("orders_pk_unique", "dup_keys"),
+        ("orders_custkey_complete", "null_cust"),
+        ("orders_totalprice_positive", "nonpos_price"),
+        ("orders_status_in_set", "bad_status"),
+        ("lineitem_discount_in_range", "bad_disc"),
+        ("lineitem_orderkey_referential", "orphans"),
+        ("lineitem_ship_after_order", "early_ship"),
+    ]
+    report = o_agg.crossJoin(F.broadcast(l_agg)).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check_name"), F.col(col).alias("metric")
+                    )
+                    for name, col in checks
+                ]
+            )
+        ).alias("c")
+    )
+    return report.select(
+        "c.check_name", "c.metric", (F.col("c.metric") == 0).alias("passed")
+    )
+
+
+_PROFILE_COLS_SQL = """
+  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL SELECT 'o_totalprice', CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderdate', CAST(epoch_us(o_orderdate) // 1000000 AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+"""
+
+
+@register(
+    "table_profile",
+    oracle=f"""
+SELECT col_name,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(*) - COUNT(val) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+       MIN(val) AS min_val,
+       MAX(val) AS max_val,
+       CAST(SUM(LENGTH(val)) AS BIGINT) AS sum_len
+FROM ({_PROFILE_COLS_SQL}) GROUP BY col_name
+""",
+    doc="One-pass per-column table profiler (r5) — the schema-drift / "
+    "data-discovery primitive every catalog needs: per column of "
+    "``orders``, null count, exact distinct count, lexicographic "
+    "min/max, and total value length, with every value canonicalized "
+    "to a portable string (BIGINT as digits, money via DECIMAL(12,2), "
+    "timestamps as epoch seconds) so both engines profile identical "
+    "bytes. Shape: ONE scan projects each row to an array of "
+    "(col_name, val) structs, a map-side explode widens it 6x, then "
+    "one groupBy(col_name) with partial aggregation — versus the naive "
+    "6-scans-of-the-table UNION the oracle spells out. 100 TB: scan "
+    "cost dominates, so the single-scan shape wins ~6x on IO; the "
+    "6x-row shuffle input is partial-aggregated down to "
+    "(cols x partitions) rows before it moves; per-column min/max/"
+    "distinct are partial-aggregatable so no key ever concentrates "
+    "(exactly 6 groups, each reduced tree-wise). Swap countDistinct "
+    "for approx_count_distinct when estimates suffice.",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cols = [
+        ("o_orderkey", F.col("o_orderkey").cast("string")),
+        ("o_custkey", F.col("o_custkey").cast("string")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_totalprice", _dec("o_totalprice").cast("string")),
+        ("o_orderdate", epoch_sec("o_orderdate").cast("string")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+    ]
+    exploded = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(n).alias("col_name"), c.alias("val"))
+                    for n, c in cols
+                ]
+            )
+        ).alias("e")
+    ).select("e.col_name", "e.val")
+    return exploded.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).cast("bigint").alias("n_nulls"),
+        F.countDistinct("val").cast("bigint").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.sum(F.length("val")).cast("bigint").alias("sum_len"),
+    )

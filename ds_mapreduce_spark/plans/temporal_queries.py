@@ -138,3 +138,177 @@ def q_sessions_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("h") * 3600).alias("hour_start"))
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
+
+
+@register(
+    "events_hourly_resample",
+    oracle="""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS s,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+hourly AS (
+  SELECT user_id, s // 3600 AS h,
+         COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM base GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, CAST(x AS BIGINT) AS h
+  FROM span, UNNEST(range(lo, hi + 1)) t(x)
+),
+g AS (
+  SELECT grid.user_id, grid.h, hourly.n, hourly.sum_cents
+  FROM grid LEFT JOIN hourly USING (user_id, h)
+)
+SELECT user_id, h * 3600 AS hour_start,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+       LAST_VALUE(sum_cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+       sum_cents IS NULL AS gap_filled
+FROM g
+""",
+    doc="Time-series resample to a regular hourly grid with forward "
+    "fill (r5) — the gap-filling operator every time-series store "
+    "(timescale hypertables, InfluxDB fill(previous)) ships and Spark "
+    "has no builtin for: per user, generate the dense hour grid over "
+    "the user's own active span, left-join the hourly aggregates, and "
+    "carry the last observed hourly cents-sum forward across empty "
+    "hours (gap_filled marks carried rows). Shape: one scan -> "
+    "partial-aggregated hourly rollup (|users| x |active hours| rows, "
+    "far smaller than events), a per-user span aggregate whose "
+    "sequence() explode materializes the grid map-side, an equi-join "
+    "back, and ONE per-user window for the fill. 100 TB: the window "
+    "partition is bounded by the calendar span in hours (720/month), "
+    "NOT by event volume — a billion-event user still resamples as "
+    "<=span rows because the fill runs on the rollup, never the raw "
+    "events; grid cardinality is users x span, the same as the "
+    "output. Exact integer cents throughout.",
+)
+def q_events_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ds_mapreduce_spark.functions.temporal import idiv_floor
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    base = ev.select("user_id", epoch_sec("ts").alias("s"), cents.alias("cents"))
+    hourly = (
+        base.select("user_id", idiv_floor(F.col("s"), 3600).alias("h"), "cents")
+        .groupBy("user_id", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    g = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "user_id",
+        (F.col("h") * 3600).alias("hour_start"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("sum_cents", ignorenulls=True).over(w).alias("filled_cents"),
+        F.col("sum_cents").isNull().alias("gap_filled"),
+    )
+
+
+@register(
+    "interval_overlap_join",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id,
+         epoch_us(MIN(ts)) // 1000000 AS lo_s,
+         epoch_us(MIN(ts)) // 1000000
+           + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 + 1 AS hi_s
+  FROM numbered GROUP BY user_id, session_id
+), hours AS (
+  SELECT epoch_us(ts) // 1000000 // 3600 AS h, COUNT(*) AS n
+  FROM events GROUP BY 1
+), top AS (
+  SELECT h * 3600 - 1800 AS window_start, h * 3600 + 5400 AS window_end
+  FROM hours ORDER BY n DESC, h LIMIT 5
+)
+SELECT window_start, window_end,
+       COUNT(*) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(LEAST(hi_s, window_end) - GREATEST(lo_s, window_start))
+            AS BIGINT) AS overlap_sec
+FROM sessions s JOIN top t
+  ON s.lo_s < t.window_end AND t.window_start < s.hi_s
+GROUP BY 1, 2
+""",
+    doc="Interval x interval OVERLAP join (r5) — user sessions against "
+    "the five busiest +/-(30m..90m) peak-traffic windows, reporting "
+    "per-window session count, distinct users, and total overlapped "
+    "seconds. Spark plans a raw overlap predicate as "
+    "BroadcastNestedLoop (a cartesian at scale); this goes through "
+    "operators/temporal.interval_overlap_join — both interval sets "
+    "explode to the 1h buckets they span, equi-join on bucket id, and "
+    "each pair survives only in its first shared bucket, so the join "
+    "is exactly-once WITHOUT a distinct. Here the 5-row window side "
+    "additionally broadcasts (zero shuffle for the join itself); with "
+    "two large sides the same operator is a single bucket-keyed "
+    "shuffle join, AQE-splittable. Session bounds are exact integer "
+    "seconds, half-open, derived with the same floor arithmetic as "
+    "the sessionizer so the oracle matches bit-for-bit.",
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.functions.temporal import idiv_floor
+    from ds_mapreduce_spark.operators.temporal import interval_overlap_join
+    from ds_mapreduce_spark.streaming.sessionize import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize_batch(ev).select(
+        "user_id",
+        F.col("session_start").alias("lo_s"),
+        (F.col("session_start") + F.col("span_sec") + 1).alias("hi_s"),
+    )
+    hours = (
+        ev.select(idiv_floor(epoch_sec("ts"), 3600).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = (
+        hours.orderBy(F.col("n").desc(), F.col("h"))
+        .limit(5)
+        .select(
+            (F.col("h") * 3600 - 1800).alias("window_start"),
+            (F.col("h") * 3600 + 5400).alias("window_end"),
+        )
+    )
+    j = interval_overlap_join(
+        sessions, top, "lo_s", "hi_s", "window_start", "window_end", 3600
+    )
+    return j.groupBy("window_start", "window_end").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(
+            F.least("hi_s", "window_end") - F.greatest("lo_s", "window_start")
+        )
+        .cast("bigint")
+        .alias("overlap_sec"),
+    )

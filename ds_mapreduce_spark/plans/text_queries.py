@@ -1869,3 +1869,84 @@ def q_bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
         .limit(50)
     )
+
+
+@register(
+    "epoch_shuffle_plan",
+    oracle="""
+WITH x AS (
+  SELECT CAST(e AS BIGINT) AS epoch, doc_id, n_chars,
+         md5(CAST(e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents, UNNEST([0, 1, 2]) t(e)
+),
+tot AS (SELECT COUNT(*) AS n FROM documents),
+c AS (
+  SELECT epoch,
+         CAST(('0x' || substr(k, 1, 1)) AS BIGINT) // 2 AS shard,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(CAST(('0x' || substr(k, 1, 8)) AS BIGINT)) AS BIGINT)
+           AS key_checksum,
+         MIN(k) AS first_key, MAX(k) AS last_key
+  FROM x GROUP BY 1, 2
+)
+SELECT epoch, shard, n_docs, sum_chars, key_checksum, first_key, last_key,
+       CAST((20000 * n_docs + (SELECT n FROM tot))
+            // (2 * (SELECT n FROM tot)) AS BIGINT) AS share_bp
+FROM c
+""",
+    doc="Deterministic multi-epoch training-shuffle plan (r5) — the "
+    "data-loading contract of an LLM training run: every epoch e "
+    "permutes the corpus by k = md5(e || ':' || doc_id), docs route to "
+    "8 shards by the key's first nibble, and within a shard the read "
+    "order is key order — a reproducible global shuffle with NO "
+    "sort and NO shuffle to ASSIGN (the route is a map-only "
+    "projection any reader recomputes from (epoch, doc_id) alone; "
+    "resumable mid-epoch for free). The census grades the plan: "
+    "per-(epoch, shard) doc counts and exact share_bp (half-up "
+    "integer bp) expose hash-shard imbalance, the order-independent "
+    "key checksum pins membership cross-engine, and first/last keys "
+    "are the shard's read-order boundaries. One groupBy over "
+    "|docs| x |epochs| rows is the only shuffle, partial-aggregated; "
+    "at 100 TB epochs are planned one at a time and equal-SIZE (not "
+    "equal-count) sharding swaps in the distributed prefix-sum "
+    "(corpus_shard_plan) over the same keys.",
+)
+def q_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.functions.temporal import idiv_floor
+
+    docs = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(3).select(F.col("id").alias("epoch"))
+    k = F.md5(
+        F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
+    )
+    x = docs.select("doc_id", "n_chars").crossJoin(F.broadcast(epochs)).select(
+        "epoch", "n_chars", k.alias("k")
+    )
+    census = x.groupBy(
+        "epoch",
+        idiv_floor(
+            F.conv(F.substring("k", 1, 1), 16, 10).cast("long"), 2
+        ).alias("shard"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.conv(F.substring("k", 1, 8), 16, 10).cast("long"))
+        .cast("bigint")
+        .alias("key_checksum"),
+        F.min("k").alias("first_key"),
+        F.max("k").alias("last_key"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("__n"))
+    return census.crossJoin(F.broadcast(total)).select(
+        "epoch",
+        "shard",
+        "n_docs",
+        "sum_chars",
+        "key_checksum",
+        "first_key",
+        "last_key",
+        idiv_floor(
+            20000 * F.col("n_docs") + F.col("__n"), 2 * F.col("__n")
+        ).alias("share_bp"),
+    )

@@ -72,7 +72,15 @@ BOUNDING_NODES = ("Aggregate", "GlobalLimit", "Deduplicate", "Sample")
 #: Queries whose hinted subtree scans a scaling table but is bounded by a
 #: CONSTANT literal predicate (vec_id < 20 query set / < 16 centroid set)
 #: — small at any SF by construction, invisible to the node-shape rule.
-LITERAL_BOUNDED = {"knn_bruteforce", "knn_ivf", "knn_quality_gated"}
+LITERAL_BOUNDED = {
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_quality_gated",
+    # PQ pair (r5): codebook = vec_id < 16 slice, distance tables =
+    # (queries × codes) ≤ 20·16 rows per subspace — literal-bounded.
+    "embedding_pq_codes",
+    "knn_pq_adc",
+}
 
 
 def test_q5_constant_dims_hinted_scaling_dims_not(spark, sf_dir):
