@@ -56,6 +56,10 @@ HEADLINE = [
     "events_native_session_window",
     "exact_ngram_decontamination",
     "pipeline_llm_training_prep",
+    # round 5: the data-quality contract gate (fact-fact shuffle join
+    # shared by two checks) and the bucketized interval-overlap join
+    "dq_validation_suite",
+    "interval_overlap_join",
 ]
 
 

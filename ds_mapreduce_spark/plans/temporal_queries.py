@@ -202,6 +202,10 @@ def q_events_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
+        # the rollup feeds BOTH the span branch and the grid join; without
+        # this the events scan runs twice — checkpointing |users × active
+        # hours| rows (tiny vs events) makes it one scan at any SF
+        .localCheckpoint(eager=True)
     )
     span = hourly.groupBy("user_id").agg(
         F.min("h").alias("lo"), F.max("h").alias("hi")
