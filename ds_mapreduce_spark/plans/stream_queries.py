@@ -790,3 +790,139 @@ def q_events_heavy_hitter_profile(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("d").alias("n_distinct_users"),
         )
     )
+
+
+@register(
+    "scd2_user_value_history",
+    oracle="""
+WITH src AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS s,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+dedup AS (  -- one state row per (user, instant): keep the max cents
+  SELECT user_id, s, MAX(cents) AS cents FROM src GROUP BY user_id, s
+),
+changes AS (  -- change compression: drop rows equal to the prior state
+  SELECT user_id, s, cents,
+         LAG(cents) OVER (PARTITION BY user_id ORDER BY s) AS prev
+  FROM dedup
+),
+versions AS (
+  SELECT user_id, s, cents FROM changes WHERE prev IS NULL OR cents <> prev
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       s AS valid_from_sec,
+       LEAD(s) OVER w AS valid_to_sec,
+       cents,
+       LEAD(s) OVER w IS NULL AS is_current
+FROM versions
+WINDOW w AS (PARTITION BY user_id ORDER BY s)
+""",
+    doc="SCD2 (type-2 slowly-changing dimension) history build (r5) — "
+    "the warehouse pattern cdc_latest_wins_merge deliberately discards: "
+    "instead of keeping only the latest state, every purchase-state "
+    "change becomes a VERSIONED row with [valid_from, valid_to) "
+    "validity and an is_current flag, after change compression (an "
+    "update equal to the prior state produces no version — the step "
+    "that keeps dimension tables from bloating under idempotent "
+    "upserts). Same-instant updates collapse deterministically "
+    "(max cents) before compression so versioning is total-ordered. "
+    "Shape: ONE user_id shuffle feeds the dedup groupBy and all three "
+    "windows (lag for compression, row_number + lead for versioning — "
+    "Catalyst reuses the partitioning). 100 TB: per-user partitions "
+    "are bounded by per-entity update counts (the SCD2 state key), "
+    "never global volume; incremental maintenance = re-version only "
+    "users present in the delta (the dedup_incremental pattern).",
+)
+def q_scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    src = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", epoch_sec("ts").alias("s"), cents.alias("cents")
+    )
+    dedup = src.groupBy("user_id", "s").agg(F.max("cents").alias("cents"))
+    wo = Window.partitionBy("user_id").orderBy("s")
+    versions = (
+        dedup.withColumn("prev", F.lag("cents").over(wo))
+        .where(F.col("prev").isNull() | (F.col("cents") != F.col("prev")))
+        .drop("prev")
+    )
+    return versions.select(
+        "user_id",
+        F.row_number().over(wo).cast("bigint").alias("version"),
+        F.col("s").alias("valid_from_sec"),
+        F.lead("s").over(wo).alias("valid_to_sec"),
+        "cents",
+        F.lead("s").over(wo).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "events_rolling_7d_active_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 86400 AS d FROM events
+),
+mx AS (SELECT MAX(d) AS m FROM ud),
+expl AS (
+  SELECT DISTINCT user_id, d + i AS w
+  FROM ud, UNNEST(range(0, 7)) t(i)
+),
+roll AS (
+  SELECT w, COUNT(*) AS rolling_7d_users
+  FROM expl WHERE w <= (SELECT m FROM mx) GROUP BY w
+),
+daily AS (SELECT d, COUNT(*) AS daily_users FROM ud GROUP BY d)
+SELECT w * 86400 AS day_start,
+       CAST(rolling_7d_users AS BIGINT) AS rolling_7d_users,
+       CAST(COALESCE(daily_users, 0) AS BIGINT) AS daily_users
+FROM roll LEFT JOIN daily ON daily.d = roll.w
+""",
+    doc="Exact trailing-7-day distinct active users per day (r5) — the "
+    "sliding COUNT(DISTINCT) every engagement dashboard needs and "
+    "naive plans get catastrophically wrong (a 7-way self-join, or a "
+    "RANGE window holding every user id in one frame). Scalable shape: "
+    "dedupe to (user, day) once — events collapse by ~events-per-user-"
+    "day before anything else moves — then each (user, day) CONTRIBUTES "
+    "itself to the 7 window-ends it affects (a bounded ×7 map-side "
+    "explode), a second dedup makes contribution exactly-once per "
+    "(user, window), and a plain count per window finishes. Every "
+    "shuffle carries user-day or user-window rows (partial-"
+    "aggregatable); no per-window distinct state, no self-join. "
+    "100 TB: cost is 7×|user-days|, independent of raw event volume; "
+    "window length generalizes by swapping the literal 7.",
+)
+def q_events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # the (user, day) dedup feeds THREE branches (max-day, explode,
+    # daily); checkpointing |user-days| rows keeps events at ONE scan
+    ud = (
+        ev.select("user_id", epoch_day("ts").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    mx = ud.agg(F.max("d").alias("m"))
+    expl = (
+        ud.select("user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("w"))
+        .distinct()
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("w") <= F.col("m"))
+    )
+    roll = expl.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rolling_7d_users")
+    )
+    daily = ud.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("daily_users")
+    )
+    return (
+        roll.join(daily, roll.w == daily.d, "left")
+        .select(
+            (F.col("w") * 86400).alias("day_start"),
+            "rolling_7d_users",
+            F.coalesce(F.col("daily_users"), F.lit(0)).cast("bigint").alias("daily_users"),
+        )
+    )
