@@ -270,3 +270,35 @@ def mv_present(state: DataFrame) -> DataFrame:
         F.col("n").alias("n_orders"),
         F.round(F.col("s").cast("double"), 4).alias("total_price"),
     )
+
+
+def scd2_versions(
+    df: DataFrame, key: str, ts: str, value: str
+) -> DataFrame:
+    """Type-2 SCD versioning of a (key, ts, value) change stream:
+    same-instant updates collapse deterministically (MAX), consecutive
+    equal states compress away, and each surviving change becomes a
+    versioned row (key, version, valid_from, valid_to, value,
+    is_current) with half-open validity.
+
+    ONE shuffle on ``key`` feeds the same-instant dedup and all three
+    windows; partitions are bounded by per-entity update counts (the
+    SCD2 state key), never global volume. Incremental maintenance
+    re-versions only keys present in a delta. Shared by the
+    ``scd2_user_value_history`` query and its tests.
+    """
+    wo = Window.partitionBy(key).orderBy(ts)
+    dedup = df.groupBy(key, ts).agg(F.max(value).alias(value))
+    versions = (
+        dedup.withColumn("__prev", F.lag(value).over(wo))
+        .where(F.col("__prev").isNull() | (F.col(value) != F.col("__prev")))
+        .drop("__prev")
+    )
+    return versions.select(
+        key,
+        F.row_number().over(wo).cast("bigint").alias("version"),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(wo).alias("valid_to"),
+        value,
+        F.lead(ts).over(wo).isNull().alias("is_current"),
+    )

@@ -837,27 +837,15 @@ WINDOW w AS (PARTITION BY user_id ORDER BY s)
     "users present in the delta (the dedup_incremental pattern).",
 )
 def q_scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ds_mapreduce_spark.operators.relational import scd2_versions
 
     ev = load_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
     src = ev.where(F.col("event_type") == "purchase").select(
         "user_id", epoch_sec("ts").alias("s"), cents.alias("cents")
     )
-    dedup = src.groupBy("user_id", "s").agg(F.max("cents").alias("cents"))
-    wo = Window.partitionBy("user_id").orderBy("s")
-    versions = (
-        dedup.withColumn("prev", F.lag("cents").over(wo))
-        .where(F.col("prev").isNull() | (F.col("cents") != F.col("prev")))
-        .drop("prev")
-    )
-    return versions.select(
-        "user_id",
-        F.row_number().over(wo).cast("bigint").alias("version"),
-        F.col("s").alias("valid_from_sec"),
-        F.lead("s").over(wo).alias("valid_to_sec"),
-        "cents",
-        F.lead("s").over(wo).isNull().alias("is_current"),
+    return scd2_versions(src, "user_id", "s", "cents").withColumnsRenamed(
+        {"valid_from": "valid_from_sec", "valid_to": "valid_to_sec"}
     )
 
 

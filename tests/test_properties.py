@@ -275,3 +275,70 @@ def test_prefix_sum_matches_python_cumsum(spark, vals):
         acc += v
         exp[i] = acc
     assert got == exp
+
+
+@SLOW
+@given(
+    a_iv=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(1, 40)), min_size=1, max_size=10
+    ),
+    b_iv=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(1, 40)), min_size=1, max_size=10
+    ),
+    width=st.sampled_from([1, 3, 7, 16]),
+)
+@example(a_iv=[(0, 16)], b_iv=[(15, 1)], width=16)  # touch at last bucket
+@example(a_iv=[(0, 1)], b_iv=[(0, 1)], width=7)  # point-vs-point
+@example(a_iv=[(-7, 14)], b_iv=[(-1, 2)], width=7)  # negative bounds
+def test_interval_overlap_join_matches_cross_join(spark, a_iv, b_iv, width):
+    """The bucketed overlap join equals the naive cross-join + overlap
+    filter on random integer intervals — exactly once per overlapping
+    pair (the first-shared-bucket rule must neither drop nor duplicate),
+    including negative bounds, touching endpoints, and width >> span."""
+    from ds_mapreduce_spark.operators.temporal import interval_overlap_join
+
+    a_rows = [(i, lo, lo + n) for i, (lo, n) in enumerate(a_iv)]
+    b_rows = [(j, lo, lo + n) for j, (lo, n) in enumerate(b_iv)]
+    expected = sorted(
+        (ia, jb)
+        for ia, alo, ahi in a_rows
+        for jb, blo, bhi in b_rows
+        if alo < bhi and blo < ahi
+    )
+    a = spark.createDataFrame(a_rows, "ia bigint, a_lo bigint, a_hi bigint")
+    b = spark.createDataFrame(b_rows, "jb bigint, b_lo bigint, b_hi bigint")
+    got = sorted(
+        (r.ia, r.jb)
+        for r in interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", width
+        ).collect()
+    )
+    assert got == expected
+
+
+def test_scd2_change_compression_edges(spark):
+    """SCD2 edge semantics: consecutive equal states collapse, same-
+    instant updates resolve deterministically (max), and re-emerging
+    values open a NEW version (no global dedup)."""
+    rows = [
+        # user 1: 100 -> 100 (compressed) -> 200 -> 100 again (new version)
+        (1, 10, 100),
+        (1, 20, 100),
+        (1, 30, 200),
+        (1, 40, 100),
+        # user 2: same-instant conflict (keep max), then a real change
+        (2, 10, 7),
+        (2, 10, 9),
+        (2, 50, 9),  # equal to resolved state -> compressed away
+    ]
+    from ds_mapreduce_spark.operators.relational import scd2_versions
+
+    src = spark.createDataFrame(rows, "user_id bigint, s bigint, cents bigint")
+    versions = scd2_versions(src, "user_id", "s", "cents").drop("is_current")
+    got = sorted(map(tuple, versions.collect()))
+    assert got == [
+        (1, 1, 10, 30, 100),
+        (1, 2, 30, 40, 200),
+        (1, 3, 40, None, 100),
+        (2, 1, 10, None, 9),
+    ]
