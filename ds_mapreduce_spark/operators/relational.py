@@ -302,3 +302,16 @@ def scd2_versions(
         value,
         F.lead(ts).over(wo).isNull().alias("is_current"),
     )
+
+
+def purchase_change_rows(events: DataFrame) -> DataFrame:
+    """Purchase events as an SCD2 change feed: (user_id, s epoch-sec,
+    cents BIGINT). Shared by the batch ``scd2_user_value_history`` query
+    and ``streaming.jobs.run_streaming_scd2`` so both version the exact
+    same state stream."""
+    from ds_mapreduce_spark.functions.temporal import epoch_sec
+
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    return events.where(F.col("event_type") == "purchase").select(
+        "user_id", epoch_sec("ts").alias("s"), cents.alias("cents")
+    )

@@ -837,13 +837,13 @@ WINDOW w AS (PARTITION BY user_id ORDER BY s)
     "users present in the delta (the dedup_incremental pattern).",
 )
 def q_scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ds_mapreduce_spark.operators.relational import scd2_versions
+    from ds_mapreduce_spark.operators.relational import (
+        purchase_change_rows,
+        scd2_versions,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
-    src = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", epoch_sec("ts").alias("s"), cents.alias("cents")
-    )
+    src = purchase_change_rows(ev)
     return scd2_versions(src, "user_id", "s", "cents").withColumnsRenamed(
         {"valid_from": "valid_from_sec", "valid_to": "valid_to_sec"}
     )

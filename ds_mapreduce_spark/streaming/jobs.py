@@ -561,3 +561,65 @@ def run_streaming_mv_maintenance(
     )
     q.awaitTermination()
     return mv_present(spark.read.parquet(f"{state_dir}/v{last_version[0]}"))
+
+
+def run_streaming_scd2(
+    spark: SparkSession, events_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """SCD2 dimension maintenance as a stream: the purchase change feed
+    arrives in micro-batches; each batch MERGES into a keyed state of
+    one row per (user, instant) via ``foreachBatch``, and the versioned
+    history is derived from that state with the SAME ``scd2_versions``
+    the batch query runs — so late-arriving changes (an earlier instant
+    landing in a later micro-batch) re-version exactly instead of
+    corrupting history, which a compressed-state design could not do
+    (dropping a compressed row is only safe if nothing ever lands
+    between it and its predecessor).
+
+    State is chained through versioned parquet dirs (``v{batch_id}``
+    reads ``v{batch_id-1}``) like the CDC twin, so a retried batch id
+    rewrites its own version — idempotent on at-least-once delivery.
+    The per-batch reduction (groupBy MAX per (user, s)) is associative
+    and commutative, so any micro-batching of the input converges to
+    the same state. 100 TB: each micro-batch shuffles |state ∩ batch
+    keys| + |batch| rows once bucketed by user_id; re-versioning
+    touches only keys present in the delta (join state on batch keys);
+    state size is |distinct change instants|, the minimum any exact
+    late-data-correct SCD2 can hold.
+    """
+    from ds_mapreduce_spark.operators.relational import (
+        purchase_change_rows,
+        scd2_versions,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if events_dir.endswith(".parquet"):
+        base, _, fname = events_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        events_dir = base
+    stream = normalize_events_ts(reader.parquet(events_dir))
+    feed = purchase_change_rows(stream)
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        rows = batch_df
+        if batch_id > 0:
+            rows = sess.read.parquet(f"{state_dir}/v{batch_id - 1}").unionByName(rows)
+        state = rows.groupBy("user_id", "s").agg(F.max("cents").alias("cents"))
+        state.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        feed.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    final_state = spark.read.parquet(f"{state_dir}/v{last_version[0]}")
+    return scd2_versions(final_state, "user_id", "s", "cents")

@@ -438,3 +438,37 @@ def test_streaming_mv_maintenance_matches_batch(spark, sf_dir, tmp_path):
     srows = sorted(map(tuple, streamed.collect()))
     brows = sorted(map(tuple, batch.collect()))
     assert srows == brows
+
+
+def test_streaming_scd2_matches_batch_with_late_data(spark, sf_dir, tmp_path):
+    """The micro-batched SCD2 maintenance must converge to exactly the
+    batch versioning, however the feed is chunked — INCLUDING when a
+    later micro-batch delivers earlier-instant changes. Events are split
+    into 3 files by a hash that interleaves time, so every batch after
+    the first carries late data that must re-version history, not
+    append to it."""
+    from ds_mapreduce_spark.operators.relational import (
+        purchase_change_rows,
+        scd2_versions,
+    )
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_scd2
+
+    ev = load_table(spark, sf_dir, "events")
+    feed_dir = str(tmp_path / "events_feed")
+    # event_id % 3 interleaves timestamps across files — out-of-order
+    # delivery by construction (file order != time order)
+    from pyspark.sql import functions as F
+
+    ev.withColumn("__f", F.col("event_id") % 3).repartition(3, "__f").drop(
+        "__f"
+    ).write.parquet(feed_dir)
+
+    streamed = run_streaming_scd2(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    batch = scd2_versions(purchase_change_rows(ev), "user_id", "s", "cents")
+
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert srows == brows
+    assert len(srows) > 0
