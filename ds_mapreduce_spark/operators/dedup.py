@@ -687,3 +687,25 @@ def incremental_dedup(
     return joined.select(
         "doc_id", "text_md5", verdict.alias("verdict"), "batch_keep"
     )
+
+
+def blocked_levenshtein_pairs(
+    names: DataFrame, name_col: str, block_col: str, max_dist: int
+) -> DataFrame:
+    """Candidate fuzzy-match pairs: block on ``block_col`` (the equi-join
+    key that keeps the pair space per-block instead of O(n²)), verify
+    with exact Levenshtein ≤ ``max_dist`` inside each block. Returns
+    (name_a, name_b, dist) with name_a < name_b. The blocking-then-
+    verify shape shared by every dedup operator here — edit distance is
+    just a different verifier. Shared by ``fuzzy_name_pairs`` and
+    ``entity_resolution_clusters``."""
+    a = names.select(F.col(name_col).alias("name_a"), F.col(block_col).alias("__blk"))
+    b = names.select(F.col(name_col).alias("name_b"), F.col(block_col).alias("__blk"))
+    return (
+        a.join(b, "__blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
+        )
+        .where(F.col("dist") <= max_dist)
+    )

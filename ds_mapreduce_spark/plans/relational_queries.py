@@ -2243,3 +2243,56 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("val").alias("max_val"),
         F.sum(F.length("val")).cast("bigint").alias("sum_len"),
     )
+
+
+@register(
+    "equi_depth_histogram",
+    oracle="""
+WITH base AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS price, l_orderkey, l_linenumber
+  FROM lineitem
+),
+t AS (
+  SELECT price,
+         NTILE(16) OVER (ORDER BY price, l_orderkey, l_linenumber) AS bucket
+  FROM base
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(MIN(price) AS DOUBLE), 4) AS lo_price,
+       ROUND(CAST(MAX(price) AS DOUBLE), 4) AS hi_price,
+       ROUND(CAST(SUM(price) AS DOUBLE), 4) AS sum_price
+FROM t GROUP BY bucket
+""",
+    doc="Equi-depth (equal-frequency) 16-bucket histogram of lineitem "
+    "prices (r5) — the statistics primitive behind optimizer NDV/"
+    "selectivity estimates and data-skew dashboards: bucket boundaries "
+    "adapt to the distribution so every bucket holds n/16 ± 1 rows, "
+    "unlike the fixed-width histogram (events_value_histogram). The "
+    "global NTILE runs through operators/relational."
+    "ntile_over_total_order — range exchange + zipWithIndex + "
+    "checkpointed per-partition offsets, ZERO SinglePartition — with "
+    "full tie-break (price, orderkey, linenumber) for cross-engine "
+    "determinism; a plain ntile().over(Window.orderBy(...)) would sort "
+    "600 M rows in one task at 100 TB. Bucket mins/maxes ARE the "
+    "quantile boundaries; aggregation is partial-aggregatable on the "
+    "16-value bucket key.",
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.relational import ntile_over_total_order
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        _dec("l_extendedprice").alias("price"), "l_orderkey", "l_linenumber"
+    )
+    d = ntile_over_total_order(
+        li,
+        16,
+        [F.col("price"), F.col("l_orderkey"), F.col("l_linenumber")],
+        "bucket",
+    )
+    return d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("price").cast("double"), 4).alias("lo_price"),
+        F.round(F.max("price").cast("double"), 4).alias("hi_price"),
+        F.round(F.sum("price").cast("double"), 4).alias("sum_price"),
+    )

@@ -914,3 +914,84 @@ def q_events_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFr
             F.coalesce(F.col("daily_users"), F.lit(0)).cast("bigint").alias("daily_users"),
         )
     )
+
+
+@register(
+    "twap_user_value",
+    oracle="""
+WITH src AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS s,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+hz AS (SELECT MAX(s) AS h FROM src),
+dedup AS (
+  SELECT user_id, s, MAX(cents) AS cents FROM src GROUP BY user_id, s
+),
+changes AS (
+  SELECT user_id, s, cents,
+         LAG(cents) OVER (PARTITION BY user_id ORDER BY s) AS prev
+  FROM dedup
+),
+versions AS (
+  SELECT user_id, s, cents,
+         LEAD(s) OVER (PARTITION BY user_id ORDER BY s) AS nxt
+  FROM changes WHERE prev IS NULL OR cents <> prev
+),
+weighted AS (
+  SELECT user_id, cents, s,
+         COALESCE(nxt, (SELECT h FROM hz)) - s AS span
+  FROM versions
+)
+SELECT user_id,
+       COUNT(*) AS n_versions,
+       CAST(SUM(span) AS BIGINT) AS observed_sec,
+       CAST(CASE WHEN SUM(span) = 0 THEN MAX(cents)
+                 ELSE (2 * SUM(cents * span) + SUM(span)) // (2 * SUM(span))
+            END AS BIGINT) AS twap_cents,
+       CAST(max_by(cents, s) AS BIGINT) AS last_cents
+FROM weighted GROUP BY user_id
+""",
+    doc="Time-weighted average price (TWAP) per user over the SCD2 "
+    "validity history (r5) — the canonical 'average STATE over time, "
+    "not average of events' aggregate (billing meters, position "
+    "marking, feature stores): each version contributes its cents "
+    "weighted by how long it was valid, open versions close at the "
+    "global observation horizon, and the mean is exact half-up integer "
+    "arithmetic (cents×seconds products stay far inside BIGINT). "
+    "Composes operators/relational.scd2_versions unchanged, so the "
+    "weighting is provably over the SAME history the SCD2 query "
+    "publishes. Shape: the versions' user_id shuffle is the only data "
+    "exchange (the horizon is a 1-row broadcast); the final per-user "
+    "agg is partial-aggregatable. 100 TB: identical to scd2 — bounded "
+    "by per-entity change counts, never event volume.",
+)
+def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.relational import (
+        purchase_change_rows,
+        scd2_versions,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = purchase_change_rows(ev)
+    horizon = src.agg(F.max("s").alias("h"))
+    v = scd2_versions(src, "user_id", "s", "cents")
+    weighted = v.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        "cents",
+        F.col("valid_from").alias("s"),
+        (F.coalesce(F.col("valid_to"), F.col("h")) - F.col("valid_from")).alias(
+            "span"
+        ),
+    )
+    num = F.sum(F.col("cents") * F.col("span"))
+    den = F.sum("span")
+    return weighted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        den.cast("bigint").alias("observed_sec"),
+        F.when(den == 0, F.max("cents"))
+        .otherwise(idiv_floor(2 * num + den, 2 * den))
+        .cast("bigint")
+        .alias("twap_cents"),
+        F.max_by("cents", "s").cast("bigint").alias("last_cents"),
+    )

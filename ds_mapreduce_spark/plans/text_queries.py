@@ -302,22 +302,13 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
     "here — edit distance is just a different verifier.",
 )
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import blocked_levenshtein_pairs
+
     part = load_table(spark, sf_dir, "part")
     names = part.select("p_name").distinct().select(
         "p_name", F.substring_index("p_name", " ", -1).alias("blk")
     )
-    a = names.select(F.col("p_name").alias("name_a"), "blk")
-    b = names.select(F.col("p_name").alias("name_b"), "blk")
-    return (
-        a.join(b, "blk")
-        .where(F.col("name_a") < F.col("name_b"))
-        .select(
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").alias("dist"),
-        )
-        .where(F.col("dist") <= 3)
-    )
+    return blocked_levenshtein_pairs(names, "p_name", "blk", 3)
 
 
 @register(
@@ -1949,4 +1940,75 @@ def q_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         idiv_floor(
             20000 * F.col("n_docs") + F.col("__n"), 2 * F.col("__n")
         ).alias("share_bp"),
+    )
+
+
+@register(
+    "entity_resolution_clusters",
+    oracle="""
+WITH RECURSIVE names AS (
+  SELECT DISTINCT p_name,
+         list_extract(string_split(p_name, ' '), -1) AS blk
+  FROM part
+),
+pairs AS (
+  SELECT a.p_name AS na, b.p_name AS nb
+  FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 3
+),
+edges AS (
+  SELECT na AS s, nb AS d FROM pairs
+  UNION ALL SELECT nb, na FROM pairs
+),
+reach(id, lab) AS (
+  SELECT p_name, p_name FROM names
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+),
+labels AS (SELECT id, MIN(lab) AS entity_id FROM reach GROUP BY id)
+SELECT l.entity_id,
+       CAST(COUNT(DISTINCT l.id) AS BIGINT) AS n_names,
+       COUNT(*) AS n_parts
+FROM part p JOIN labels l ON p.p_name = l.id
+GROUP BY l.entity_id
+""",
+    doc="Entity resolution end-to-end (r5): blocked-Levenshtein "
+    "candidate pairs (operators/dedup.blocked_levenshtein_pairs — the "
+    "same blocking-then-verify shape as every dedup operator) fed into "
+    "connected components (min-label propagation), then every part row "
+    "resolved to its canonical entity (min name of the cluster; "
+    "singletons resolve to themselves via the left join). This is the "
+    "composition the pairwise fuzzy matcher can't deliver alone — "
+    "A~B~C without A~C still lands in ONE entity. Census per entity: "
+    "distinct name variants + part-row volume. Scale: pair space is "
+    "per-block, the CC edge set is O(matches), per-round CC work is "
+    "join+groupBy on that edge set with checkpointed lineage, and the "
+    "final resolution join shuffles |part| rows once on the name key. "
+    "Oracle: recursive-CTE transitive closure seeded from ALL names.",
+)
+def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+        connected_components,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct().select(
+        "p_name", F.substring_index("p_name", " ", -1).alias("blk")
+    )
+    pairs = blocked_levenshtein_pairs(names, "p_name", "blk", 3)
+    labels = connected_components(pairs, src="name_a", dst="name_b")
+    resolved = names.join(
+        labels, names.p_name == labels.id, "left"
+    ).select(
+        "p_name", F.coalesce(F.col("comp"), F.col("p_name")).alias("entity_id")
+    )
+    return (
+        part.select("p_name")
+        .join(resolved, "p_name")
+        .groupBy("entity_id")
+        .agg(
+            F.countDistinct("p_name").cast("bigint").alias("n_names"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
     )
