@@ -582,3 +582,98 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", F.col("doc_b").cast("bigint").alias("doc_b"), F.lit(0).cast("bigint").alias("label")
         )
     )
+
+
+def _lsh_eval_oracle(threshold: float = 0.8, num_hashes: int = 8, band_size: int = 2) -> str:
+    sig_cols, band_rows = _band_parts(num_hashes, band_size)
+    thr = int(threshold * 10000)
+    return (
+        "WITH "
+        + _verified_pair_ctes(sig_cols, band_rows)
+        + f""",
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM profiles a JOIN profiles b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE (20000 * len(list_intersect(a.sh, b.sh))
+         + a.n_shingles + b.n_shingles - len(list_intersect(a.sh, b.sh)))
+        // (2 * (a.n_shingles + b.n_shingles - len(list_intersect(a.sh, b.sh))))
+        >= {thr}
+),
+m AS (
+  SELECT t.doc_a IS NOT NULL AS in_truth,
+         c.doc_a IS NOT NULL AS in_cand
+  FROM truth t FULL JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN in_cand AND NOT in_truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN in_truth AND NOT in_cand THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM m
+)
+SELECT tp, fp, fn,
+       CAST(CASE WHEN tp + fp = 0 THEN 10000
+                 ELSE (20000 * tp + tp + fp) // (2 * (tp + fp)) END AS BIGINT)
+         AS precision_bp,
+       CAST(CASE WHEN tp + fn = 0 THEN 10000
+                 ELSE (20000 * tp + tp + fn) // (2 * (tp + fn)) END AS BIGINT)
+         AS recall_bp
+FROM agg
+"""
+    )
+
+
+@register(
+    "dedup_lsh_eval",
+    oracle=_lsh_eval_oracle(0.8, 8, 2),
+    doc="LSH tuning evaluation (r5) — the measurement every banding "
+    "configuration decision should rest on: MinHash-LSH candidates "
+    "(8 hashes × 4 bands of 2) scored against the exact min-shingle-"
+    "blocked Jaccard≥0.8 truth set, reporting the confusion counts and "
+    "half-up integer-bp precision/recall. FP here is the verification "
+    "WORKLOAD the banding forwards (harmless, filtered by the verify "
+    "stage); FN is the recall lost to banding — the number that says "
+    "whether to add bands before scaling to 100 TB, measured instead "
+    "of taken from the (1-(1-s^r)^b) formula's assumptions. Shape: "
+    "signature pipeline runs once, both pair sets are O(n·bands)/"
+    "O(n·block_rate) rows, the full-outer confusion join touches only "
+    "pairs, and the report is one bounded scalar row.",
+)
+def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, k=3, threshold=0.8).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_truth")
+    )
+    cand = minhash_lsh_pairs(docs, num_hashes=8, band_size=2).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_cand")
+    )
+    m = truth.join(cand, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("in_truth", F.lit(False)).alias("in_truth"),
+        F.coalesce("in_cand", F.lit(False)).alias("in_cand"),
+    )
+    agg = m.agg(
+        F.sum(F.when(F.col("in_truth") & F.col("in_cand"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("in_cand") & ~F.col("in_truth"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(F.col("in_truth") & ~F.col("in_cand"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    from ds_mapreduce_spark.functions.temporal import idiv_floor
+
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.when(tp + fp == 0, F.lit(10000))
+        .otherwise(idiv_floor(20000 * tp + tp + fp, 2 * (tp + fp)))
+        .cast("bigint")
+        .alias("precision_bp"),
+        F.when(tp + fn == 0, F.lit(10000))
+        .otherwise(idiv_floor(20000 * tp + tp + fn, 2 * (tp + fn)))
+        .cast("bigint")
+        .alias("recall_bp"),
+    )
