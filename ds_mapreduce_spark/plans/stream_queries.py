@@ -995,3 +995,85 @@ def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("twap_cents"),
         F.max_by("cents", "s").cast("bigint").alias("last_cents"),
     )
+
+
+@register(
+    "multi_touch_attribution",
+    oracle="""
+WITH pairs AS (
+  SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+         epoch_us(c.ts) AS click_us
+  FROM events p
+  JOIN events c
+    ON c.user_id = p.user_id
+   AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL 2 HOUR
+  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+),
+sized AS (
+  SELECT user_id, purchase_id,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS n,
+         ROW_NUMBER() OVER (PARTITION BY purchase_id
+                            ORDER BY click_us, click_id) AS rn
+  FROM pairs
+),
+credits AS (
+  SELECT user_id, purchase_id,
+         10000 // n + CASE WHEN rn <= 10000 % n THEN 1 ELSE 0 END AS credit_bp
+  FROM sized
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_attributed_purchases,
+       COUNT(*) AS n_credited_clicks,
+       CAST(SUM(credit_bp) AS BIGINT) AS total_credit_bp,
+       SUM(credit_bp) = 10000 * COUNT(DISTINCT purchase_id) AS credit_conserved
+FROM credits GROUP BY user_id
+""",
+    doc="Linear multi-touch attribution (r5) — every click in the 2h "
+    "pre-purchase window shares the conversion credit equally, in "
+    "EXACT integer basis points: each click gets 10000 DIV n bp and "
+    "the remainder distributes to the earliest clicks (half-up-free, "
+    "deterministic tie-break on click id), so per-purchase credit sums "
+    "to exactly 10000 — the credit_conserved column PROVES conservation "
+    "in the result instead of asserting it in prose (float 1/n credit "
+    "leaks basis points on every ternary conversion). Builds on the "
+    "same attribution pair join as events_attribution_join (shared "
+    "streaming twin); the per-purchase window partition is bounded by "
+    "clicks-per-user-per-2h — a rate, not a volume. One user_id pair "
+    "shuffle + one purchase_id window shuffle + the final per-user agg.",
+)
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ds_mapreduce_spark.streaming.jobs import attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    wp = Window.partitionBy("purchase_id")
+    wo = wp.orderBy("click_us", "click_id")
+    sized = pairs.select(
+        "user_id",
+        "purchase_id",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    credits = sized.select(
+        "user_id",
+        "purchase_id",
+        (
+            idiv_floor(F.lit(10000), F.col("n"))
+            + F.when(F.col("rn") <= F.pmod(F.lit(10000), F.col("n")), 1).otherwise(0)
+        ).alias("credit_bp"),
+    )
+    return credits.groupBy("user_id").agg(
+        F.countDistinct("purchase_id").cast("bigint").alias("n_attributed_purchases"),
+        F.count(F.lit(1)).alias("n_credited_clicks"),
+        F.sum("credit_bp").cast("bigint").alias("total_credit_bp"),
+        (
+            F.sum("credit_bp")
+            == 10000 * F.countDistinct("purchase_id")
+        ).alias("credit_conserved"),
+    )
