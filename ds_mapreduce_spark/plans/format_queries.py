@@ -689,3 +689,42 @@ def q_table_antientropy_checksums(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "orc_roundtrip",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       {_CHECKSUM_SQL} AS text_checksum
+FROM documents
+GROUP BY lang
+""",
+    doc="ORC write→read round trip (r5): the third columnar/row format "
+    "the engine round-trips (parquet everywhere, CSV, JSONL, KV text, "
+    "whole-file). Same contract as csv_roundtrip: the oracle aggregates "
+    "the ORIGINAL table, so the comparison passes only if every row's "
+    "exact text survives the format round trip (order-independent md5 "
+    "checksum per lang) — a format that mangles unicode, truncates, or "
+    "drops rows fails loud. ORC is Spark-native (predicate pushdown, "
+    "column pruning, zlib) and the read side prunes to the 3 needed "
+    "columns; explicit schema on re-read, no inference pass.",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch_dir(spark, "orc_roundtrip", sf_dir)
+    key = (spark.sparkContext.applicationId, "orc_roundtrip", sf_dir)
+    if key not in _WRITTEN:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.select("doc_id", "text", "lang", "n_chars").write.mode(
+            "overwrite"
+        ).orc(out)
+        _WRITTEN[key] = out
+    back = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT"
+    ).orc(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        _text_checksum().alias("text_checksum"),
+    )
