@@ -2296,3 +2296,114 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("price").cast("double"), 4).alias("hi_price"),
         F.round(F.sum("price").cast("double"), 4).alias("sum_price"),
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+tri AS (  -- independent ground truth: the naive id-ordered 3-way join
+  SELECT COUNT(*) AS n
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
+       CAST((SELECT MAX(cnt) FROM (
+              SELECT COUNT(*) AS cnt FROM o GROUP BY src) t) AS BIGINT)
+         AS max_out_degree
+""",
+    doc="Distributed triangle counting with degree-ordered orientation "
+    "(r5) — the classic MapReduce graph algorithm (Suri & "
+    "Vassilvitskii's MR-B / Cohen): on the co-purchase graph (parts "
+    "sharing >= 2 orders), each edge orients from its lower-(degree, "
+    "id) endpoint to its higher one, wedges are pairs of out-neighbors "
+    "of one node, and a wedge closed by an oriented edge is a triangle "
+    "counted EXACTLY once. The orientation is the whole scale story: "
+    "out-degrees are bounded by O(sqrt(m)) so the wedge join's fan-out "
+    "is sum(out_deg^2) instead of sum(deg^2) — a celebrity node with "
+    "degree 10^6 generates ~0 wedges as a source instead of 10^12; "
+    "max_out_degree is emitted as in-result evidence of that bound. "
+    "The ORACLE counts triangles with the naive id-ordered 3-way "
+    "self-join instead — parity PROVES the oriented algorithm "
+    "equivalent to the definition. Edge list checkpointed once "
+    "(degrees, orientation, wedge and closing joins all reuse it).",
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    e = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .drop("__n")
+        .localCheckpoint(eager=True)  # reused by 4 branches below
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    )
+    x, y = o.alias("x"), o.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (
+            F.struct(F.col("x.ddeg"), F.col("x.dst"))
+            < F.struct(F.col("y.ddeg"), F.col("y.dst"))
+        ),
+    ).select(F.col("x.dst").alias("b"), F.col("y.dst").alias("c"))
+    closed = wedges.join(
+        o.select(F.col("src").alias("b"), F.col("dst").alias("c")), ["b", "c"]
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    max_out = o.groupBy("src").agg(F.count(F.lit(1)).alias("od")).agg(
+        F.max("od").cast("bigint").alias("max_out_degree")
+    )
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
+        .crossJoin(F.broadcast(max_out))
+    )
