@@ -677,3 +677,135 @@ def q_dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_bp"),
     )
+
+
+def _band_eval_select(band_size: int) -> str:
+    """One band-config evaluation as a scalar-row SELECT (shares the
+    profile/truth CTEs; sig/bands/cand CTEs are suffixed per config)."""
+    sfx = f"_{band_size}"
+    return f"""
+  SELECT CAST({band_size} AS BIGINT) AS band_size,
+         CAST(SUM(CASE WHEN in_truth AND in_cand THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN in_cand AND NOT in_truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN in_truth AND NOT in_cand THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM (
+    SELECT t.doc_a IS NOT NULL AS in_truth, c.doc_a IS NOT NULL AS in_cand
+    FROM truth t FULL JOIN cand{sfx} c
+      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  )"""
+
+
+def _lsh_band_sweep_oracle(threshold: float = 0.8, num_hashes: int = 8) -> str:
+    thr = int(threshold * 10000)
+    sig_cols, _ = _band_parts(num_hashes, 1)
+    config_ctes = []
+    for band_size in (1, 2, 4):
+        _, band_rows = _band_parts(num_hashes, band_size)
+        sfx = f"_{band_size}"
+        config_ctes.append(
+            f"""bands{sfx} AS (
+  {band_rows.replace('FROM sig', 'FROM sig')}
+),
+cand{sfx} AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands{sfx} x
+  JOIN bands{sfx} y ON x.band = y.band AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+)"""
+        )
+    evals = "\n  UNION ALL\n".join(_band_eval_select(b) for b in (1, 2, 4))
+    return (
+        "WITH "
+        + _PROFILE_CTE
+        + f""",
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM profiles
+),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM profiles a JOIN profiles b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE (20000 * len(list_intersect(a.sh, b.sh))
+         + a.n_shingles + b.n_shingles - len(list_intersect(a.sh, b.sh)))
+        // (2 * (a.n_shingles + b.n_shingles - len(list_intersect(a.sh, b.sh))))
+        >= {thr}
+),
+{",".join(config_ctes)},
+confusion AS (
+{evals}
+)
+SELECT band_size, tp, fp, fn,
+       CAST(CASE WHEN tp + fp = 0 THEN 10000
+                 ELSE (20000 * tp + tp + fp) // (2 * (tp + fp)) END AS BIGINT)
+         AS precision_bp,
+       CAST(CASE WHEN tp + fn = 0 THEN 10000
+                 ELSE (20000 * tp + tp + fn) // (2 * (tp + fn)) END AS BIGINT)
+         AS recall_bp
+FROM confusion
+"""
+    )
+
+
+@register(
+    "dedup_lsh_band_sweep",
+    oracle=_lsh_band_sweep_oracle(0.8, 8),
+    doc="LSH banding TUNING CURVE (r5): the single-config evaluation "
+    "(dedup_lsh_eval) swept across band sizes 1/2/4 over the same 8 "
+    "minhashes in ONE plan — 8 bands of 1 (max recall, max candidate "
+    "workload), 4×2, and 2 bands of 4 (min workload, recall risk) — "
+    "each scored against the shared exact truth set. This is the table "
+    "an engineer reads to pick the banding before a 100 TB run: "
+    "recall_bp is what the s-curve formula only predicts; fp is the "
+    "verification workload actually forwarded. Shape: ONE signature "
+    "pipeline feeds all three band explosions (the sig projection is "
+    "shared, band structs differ only in grouping), each config's "
+    "candidate set is O(n·bands), and the three confusion joins union "
+    "into a 3-row report.",
+)
+def q_dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.functions.temporal import idiv_floor
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (
+        ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+        .select("doc_a", "doc_b", F.lit(True).alias("in_truth"))
+        .localCheckpoint(eager=True)  # shared by all three confusion joins
+    )
+    out = None
+    for band_size in (1, 2, 4):
+        cand = minhash_lsh_pairs(docs, num_hashes=8, band_size=band_size).select(
+            "doc_a", "doc_b", F.lit(True).alias("in_cand")
+        )
+        m = truth.join(cand, ["doc_a", "doc_b"], "full").select(
+            F.coalesce("in_truth", F.lit(False)).alias("in_truth"),
+            F.coalesce("in_cand", F.lit(False)).alias("in_cand"),
+        )
+        agg = m.agg(
+            F.lit(band_size).cast("bigint").alias("band_size"),
+            F.sum(F.when(F.col("in_truth") & F.col("in_cand"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when(F.col("in_cand") & ~F.col("in_truth"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.when(F.col("in_truth") & ~F.col("in_cand"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fn"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return out.select(
+        "band_size",
+        "tp",
+        "fp",
+        "fn",
+        F.when(tp + fp == 0, F.lit(10000))
+        .otherwise(idiv_floor(20000 * tp + tp + fp, 2 * (tp + fp)))
+        .cast("bigint")
+        .alias("precision_bp"),
+        F.when(tp + fn == 0, F.lit(10000))
+        .otherwise(idiv_floor(20000 * tp + tp + fn, 2 * (tp + fn)))
+        .cast("bigint")
+        .alias("recall_bp"),
+    )

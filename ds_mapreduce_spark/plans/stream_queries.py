@@ -1077,3 +1077,88 @@ def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 10000 * F.countDistinct("purchase_id")
         ).alias("credit_conserved"),
     )
+
+
+@register(
+    "session_path_analysis",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), p AS (
+  SELECT user_id, session_id,
+         array_to_string(
+           (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20
+""",
+    doc="Session path analysis (r5) — the top-20 most common event-type "
+    "journeys (first 5 steps of each gap-30m session, '>'-joined): the "
+    "product-analytics 'user flows' report. Within-session step order "
+    "is total (event time, then event id at equal microseconds) so the "
+    "path strings are deterministic cross-engine. Shape: the same ONE "
+    "user_id shuffle as sessionization builds per-session ordered type "
+    "arrays (collect_list + sort_array fuse into the session groupBy — "
+    "per-group arrays bounded by the 5-step truncation consumer, "
+    "session sizes bounded by the gap), then a path-keyed count and "
+    "TakeOrdered(20) — no global sort. Path cardinality is bounded by "
+    "|event_types|^5, and the truncation keeps hot sessions from "
+    "building megabyte arrays.",
+)
+def q_session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = epoch_us("ts")
+    prev_us = epoch_us(F.lag("ts").over(w))
+    new_s = F.when(
+        prev_us.isNull() | ((us - prev_us) > 1800 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = ev.select(
+        "user_id",
+        us.alias("us"),
+        "event_id",
+        "event_type",
+        new_s.alias("new_s"),
+    ).select(
+        "user_id",
+        "us",
+        "event_id",
+        "event_type",
+        F.sum("new_s").over(Window.partitionBy("user_id").orderBy("us", "event_id")
+                            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    steps = F.transform(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct("us", "event_id", "event_type"))
+            ),
+            1,
+            5,
+        ),
+        lambda x: x.event_type,
+    )
+    p = numbered.groupBy("user_id", "session_id").agg(
+        F.array_join(steps, ">").alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
