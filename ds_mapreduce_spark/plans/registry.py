@@ -83,17 +83,16 @@ PRIORITY: tuple[str, ...] = (
     "events_funnel",
     "events_rolling_1h_stats",
     "sessions_per_hour",
-    "lang_id_heuristic",
+    "events_rolling_7d_active_users",  # r5: exact sliding distinct
     "exact_ngram_decontamination",
     "corpus_shard_plan",
-    "dedup_minhash_verified",
+    "dedup_lsh_eval",            # r5: banding precision/recall vs exact truth
     # dedup_connected_components moved out for the incremental-ingest
     # contract (its recursive-CTE oracle stays under the in-repo gate)
     "dedup_incremental",
+    "scd2_user_value_history",   # r5: SCD2 history build
     "mr_generic_wordcount",
-    "mr_inverted_index",
-    "multimodal_metadata_stats",
-    "agg_suite",
+    "dq_validation_suite",       # r5: Deequ-style contract gate
     "agg_approx_suite",
     "dynamic_partition_pruning",
     # storage-layout + LLM-pipeline ops (round 3): the 100 TB cost
@@ -104,7 +103,7 @@ PRIORITY: tuple[str, ...] = (
     "bucketed_join_no_shuffle",
     "sequence_packing",
     "pii_redaction",
-    "q10_returned_item_customers",
+    "interval_overlap_join",     # r5: bucketized interval-overlap join
     "window_functions_suite",
     # round-3 LLM-prep family, first graded in r4 — pinned for a second
     # driver round
@@ -123,6 +122,16 @@ PRIORITY: tuple[str, ...] = (
     # family still represented above. Every events sub-family keeps a
     # graded entry (sessionization x2 + native, tumbling, sliding,
     # funnel, rolling x2).
+    # Second r5 swap (this round's new surface gets driver evidence):
+    # OUT mr_inverted_index, multimodal_metadata_stats, agg_suite,
+    # lang_id_heuristic, dedup_minhash_verified,
+    # q10_returned_item_customers — each hash-green in r2 AND r3 AND
+    # r4 (no just-recovered entry rotates: sessions_per_hour /
+    # events_rolling_1h_stats stay pinned after their r4 re-green);
+    # every family keeps >=2 graded entries. IN: dq_validation_suite,
+    # scd2_user_value_history, interval_overlap_join,
+    # events_rolling_7d_active_users, dedup_lsh_eval,
+    # graph_triangle_count.
     "graph_pagerank",
     "kmeans_lloyd_refine",
     "events_native_session_window",
@@ -130,6 +139,7 @@ PRIORITY: tuple[str, ...] = (
     "zorder_write_prune",
     "approx_distinct_rollup",
     "events_rolling_anomaly_flags",
+    "graph_triangle_count",      # r5: degree-oriented wedge counting
 )
 
 
