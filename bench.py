@@ -57,9 +57,12 @@ HEADLINE = [
     "exact_ngram_decontamination",
     "pipeline_llm_training_prep",
     # round 5: the data-quality contract gate (fact-fact shuffle join
-    # shared by two checks) and the bucketized interval-overlap join
+    # shared by two checks), the bucketized interval-overlap join, the
+    # oriented triangle counter, and the 3-config LSH tuning sweep
     "dq_validation_suite",
     "interval_overlap_join",
+    "graph_triangle_count",
+    "dedup_lsh_band_sweep",
 ]
 
 

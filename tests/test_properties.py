@@ -342,3 +342,40 @@ def test_scd2_change_compression_edges(spark):
         (1, 3, 40, None, 100),
         (2, 1, 10, None, 9),
     ]
+
+
+@SLOW
+@given(
+    data=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 20)), min_size=1, max_size=40
+    )
+)
+@example(data=[(1, 0), (1, 7), (2, 7)])   # exact window-edge re-entry
+@example(data=[(1, 0), (1, 6)])           # same user twice inside one window
+def test_rolling_7d_distinct_matches_bruteforce(spark, data):
+    """The window-contribution explode equals the brute-force trailing
+    7-day distinct count on random (user, day) activity — exactly-once
+    contribution per (user, window), partial leading windows included,
+    windows past the last active day excluded."""
+    from pyspark.sql import functions as F
+
+    max_d = max(d for _, d in data)
+    expected = {}
+    for w in range(0, max_d + 1):
+        users = {u for u, d in data if w - 6 <= d <= w}
+        if users:
+            expected[w] = len(users)
+    df = spark.createDataFrame(data, "user_id bigint, d bigint")
+    ud = df.distinct()
+    mx = ud.agg(F.max("d").alias("m"))
+    expl = (
+        ud.select("user_id", F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("w"))
+        .distinct()
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("w") <= F.col("m"))
+    )
+    got = {
+        r.w: r.n
+        for r in expl.groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected
