@@ -326,6 +326,15 @@ def minhash_lsh_pairs(
     ``max_shingle_df`` (default off) is the 100 TB hot-bucket guard —
     see ``capped_shingle_profiles``."""
     sig = minhash_signatures(docs, k, num_hashes, max_shingle_df)
+    return lsh_band_pairs(sig, num_hashes, band_size)
+
+
+def lsh_band_pairs(sig: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """Banding + bucket-local pair expansion over an ALREADY-computed
+    signature table (doc_id, h0..h{n-1}) — split out so a band-size
+    sweep (``dedup_lsh_band_sweep``) pays the corpus-sized signature
+    pipeline ONCE (checkpoint it) and only the cheap band explosion
+    varies per configuration."""
     n_bands = num_hashes // band_size
     band_structs = F.array(
         *[

@@ -766,15 +766,23 @@ FROM confusion
 def q_dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_mapreduce_spark.functions.temporal import idiv_floor
 
+    from ds_mapreduce_spark.operators.dedup import (
+        lsh_band_pairs,
+        minhash_signatures,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     truth = (
         ngram_jaccard_pairs(docs, k=3, threshold=0.8)
         .select("doc_a", "doc_b", F.lit(True).alias("in_truth"))
         .localCheckpoint(eager=True)  # shared by all three confusion joins
     )
+    # the corpus-sized signature pipeline runs ONCE; each config below
+    # re-explodes the same 8 checkpointed minhashes into its banding
+    sig = minhash_signatures(docs, k=3, num_hashes=8).localCheckpoint(eager=True)
     out = None
     for band_size in (1, 2, 4):
-        cand = minhash_lsh_pairs(docs, num_hashes=8, band_size=band_size).select(
+        cand = lsh_band_pairs(sig, num_hashes=8, band_size=band_size).select(
             "doc_a", "doc_b", F.lit(True).alias("in_cand")
         )
         m = truth.join(cand, ["doc_a", "doc_b"], "full").select(
