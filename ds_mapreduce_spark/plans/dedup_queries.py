@@ -704,7 +704,7 @@ def _lsh_band_sweep_oracle(threshold: float = 0.8, num_hashes: int = 8) -> str:
         sfx = f"_{band_size}"
         config_ctes.append(
             f"""bands{sfx} AS (
-  {band_rows.replace('FROM sig', 'FROM sig')}
+  {band_rows}
 ),
 cand{sfx} AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

@@ -1088,10 +1088,10 @@ WITH flagged AS (
                 OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_s
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts, event_id, event_type,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 ), p AS (
@@ -1120,17 +1120,22 @@ ORDER BY n_sessions DESC, path LIMIT 20
 def q_session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    us = epoch_us("ts")
-    prev_us = epoch_us(F.lag("ts").over(w))
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", epoch_us("ts").alias("us"), "event_id", "event_type"
+    )
+    # Both windows totally ordered on (us, event_id): same-microsecond
+    # events for one user would otherwise make the boundary flag (lag)
+    # and the running sum disagree on row order — nondeterministic
+    # session assignment (ADVICE r5). The oracle mirrors the tie-break.
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev_us = F.lag("us").over(w)
     new_s = F.when(
-        prev_us.isNull() | ((us - prev_us) > 1800 * 1_000_000), F.lit(1)
+        prev_us.isNull() | ((F.col("us") - prev_us) > 1800 * 1_000_000),
+        F.lit(1),
     ).otherwise(F.lit(0))
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     numbered = ev.select(
         "user_id",
-        us.alias("us"),
+        "us",
         "event_id",
         "event_type",
         new_s.alias("new_s"),

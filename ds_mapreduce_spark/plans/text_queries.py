@@ -2024,14 +2024,18 @@ WITH sel AS (
 ntg AS (
   SELECT DISTINCT substr(needle, CAST(i AS INTEGER), 3) AS tg
   FROM sel, UNNEST(range(1, len(needle) - 1)) t(i)
+  WHERE len(needle) >= 3
 ),
 n AS (SELECT COUNT(*) AS k FROM ntg),
-dtg AS (
-  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tg
-  FROM documents, UNNEST(range(1, len(text) - 1)) t(i)
+hits AS (
+  SELECT DISTINCT doc_id, tg FROM (
+    SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tg
+    FROM documents, UNNEST(range(1, len(text) - 1)) t(i)
+    WHERE len(text) >= 3
+  ) JOIN ntg USING (tg)
 ),
 cand AS (
-  SELECT doc_id FROM dtg JOIN ntg USING (tg)
+  SELECT doc_id FROM hits
   GROUP BY doc_id HAVING COUNT(*) = (SELECT k FROM n)
 )
 SELECT c.doc_id,
@@ -2051,7 +2055,13 @@ FROM cand c JOIN documents d USING (doc_id)
     "with its verification verdict — false rows are the index's false "
     "positives, the selectivity evidence. Candidate generation touches "
     "only posting lists; the verify join re-reads only |candidates| "
-    "texts.",
+    "texts. Plan shape (r6): the needle-trigram broadcast filter sits "
+    "BELOW the distinct, so the only corpus-sized exchange carries the "
+    "~k needle-matching (doc_id, tg) rows, not every trigram in the "
+    "corpus — distinct on (doc_id, tg) commutes with the tg filter. "
+    "Sub-3-char texts are filtered on both engines (Spark's "
+    "sequence(1, len-2) would otherwise descend and emit bogus "
+    "positions).",
 )
 def q_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2065,7 +2075,8 @@ def q_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     ntg = (
-        sel.select(
+        sel.where(F.length("needle") >= 3)
+        .select(
             F.explode(
                 F.expr(
                     "transform(sequence(1, length(needle) - 2),"
@@ -2076,7 +2087,12 @@ def q_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     k = ntg.agg(F.count(F.lit(1)).alias("k"))
-    dtg = docs.select(
+    # Filter FIRST, distinct AFTER: Catalyst can't push an Aggregate
+    # below a Join, so a distinct here would shuffle every trigram
+    # occurrence in the corpus before keeping ~k per doc. Joining the
+    # broadcast needle set on the raw explode keeps the exchange to
+    # needle-matching rows only; distinct on (doc_id, tg) commutes.
+    dtg = docs.where(F.length("text") >= 3).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -2084,9 +2100,10 @@ def q_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> substring(text, i, 3))"
             )
         ).alias("tg"),
-    ).distinct()
+    )
     cand = (
         dtg.join(F.broadcast(ntg), "tg")
+        .distinct()
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("__hits"))
         .crossJoin(F.broadcast(k))

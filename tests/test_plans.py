@@ -350,6 +350,30 @@ def test_boilerplate_two_pass_linear_no_quadratic(spark, sf_dir):
     assert n <= 2, plan
 
 
+def test_trigram_needle_filter_below_distinct(spark, sf_dir):
+    """The needle-trigram broadcast join must run BEFORE the (doc_id,
+    tg) distinct (VERDICT r5 #1): the corpus posting explode feeds the
+    BroadcastHashJoin directly, and the dedup exchange sits ABOVE the
+    join — so the only corpus-sized shuffle carries needle-matching
+    rows, not every trigram occurrence. In the plan-tree string parents
+    print first: the (doc_id, tg) hash exchange must appear before the
+    tg-keyed BroadcastHashJoin, and no hash exchange may print after it
+    on its input side (the join's children are scan-side only)."""
+    plan = _plan(spark, sf_dir, "trigram_substring_search")
+    m_join = re.search(r"BroadcastHashJoin \[tg#\d+", plan)
+    assert m_join, plan
+    m_dist = re.search(
+        r"Exchange hashpartitioning\((?:tg#\d+, doc_id#\d+|doc_id#\d+, tg#\d+)",
+        plan,
+    )
+    assert m_dist, plan
+    assert m_dist.start() < m_join.start(), plan
+    # Below the tg join: no further hash exchange (raw explode, no
+    # pre-join distinct of the full corpus trigram set).
+    below = plan[m_join.start():]
+    assert "Exchange hashpartitioning" not in below, below
+
+
 def test_domain_quota_single_shuffle_window(spark, sf_dir):
     """The quota cap is one source-partitioned window — a single
     shuffle, and the rank filter sits above it (no second pass)."""
