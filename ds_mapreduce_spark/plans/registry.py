@@ -77,12 +77,8 @@ PRIORITY: tuple[str, ...] = (
     "decontamination",              # LLM-pipeline text op
     "pipeline_llm_training_prep",   # THE flagship end-to-end funnel
     # family breadth
-    "knn_bruteforce",
-    "events_tumbling_window",
-    "events_sliding_window",
     "events_funnel",
     "events_rolling_1h_stats",
-    "sessions_per_hour",
     "events_rolling_7d_active_users",  # r5: exact sliding distinct
     "exact_ngram_decontamination",
     "corpus_shard_plan",
@@ -91,27 +87,12 @@ PRIORITY: tuple[str, ...] = (
     # contract (its recursive-CTE oracle stays under the in-repo gate)
     "dedup_incremental",
     "scd2_user_value_history",   # r5: SCD2 history build
-    "mr_generic_wordcount",
     "dq_validation_suite",       # r5: Deequ-style contract gate
     "agg_approx_suite",
-    "dynamic_partition_pruning",
-    # storage-layout + LLM-pipeline ops (round 3): the 100 TB cost
-    # levers (partition pruning, shuffle-free bucketed joins) and the
-    # training-prep passes (packing, PII scrubbing) graded by the
-    # driver.
-    "partitioned_write_prune",
     "bucketed_join_no_shuffle",
     "sequence_packing",
-    "pii_redaction",
     "interval_overlap_join",     # r5: bucketized interval-overlap join
     "window_functions_suite",
-    # round-3 LLM-prep family, first graded in r4 — pinned for a second
-    # driver round
-    "related_docs_topk",
-    "contrastive_pairs",
-    "mixture_rebalance",
-    "doc_chunking",
-    "span_corruption_plan",
     "multimodal_payload_dedup",
     # round-5 rotation (VERDICT r4 item 1): the round-4 flagship family
     # gets driver-grade evidence. Rotated out to the in-repo parity
@@ -140,6 +121,27 @@ PRIORITY: tuple[str, ...] = (
     "approx_distinct_rollup",
     "events_rolling_anomaly_flags",
     "graph_triangle_count",      # r5: degree-oriented wedge counting
+    # Round-6 rotation (VERDICT r5 item 1): the round-5 surface gets
+    # driver-grade evidence. OUT (each hash-green >=2 consecutive driver
+    # rounds; every family keeps >=2 graded rows): knn_bruteforce,
+    # events_tumbling_window, events_sliding_window, sessions_per_hour,
+    # mr_generic_wordcount, dynamic_partition_pruning,
+    # partitioned_write_prune, related_docs_topk, contrastive_pairs,
+    # mixture_rebalance, doc_chunking, span_corruption_plan,
+    # pii_redaction. IN:
+    "knn_pq_adc",                # r5: PQ/ADC two-stage ANN
+    "embedding_pq_codes",        # r5: product-quantization encode
+    "dedup_lsh_band_sweep",      # r5: banding tuning curve
+    "entity_resolution_clusters",  # r5: blocked fuzzy-match + CC
+    "epoch_shuffle_plan",        # r5: reproducible dataloader shuffle
+    "leakage_safe_splits",       # r5: md5-routed train/val/test splits
+    "bpe_pair_merge_stats",      # r5: vocab-weighted BPE pair counts
+    "twap_user_value",           # r5: time-weighted average value
+    "multi_touch_attribution",   # r5: position-based credit split
+    "events_hourly_resample",    # r5: forward-fill gap resample
+    "equi_depth_histogram",      # r5: distributed-NTILE histogram
+    "table_profile",             # r5: per-column profiler
+    "trigram_substring_search",  # r5, plan fixed r6: pg_trgm lookup
 )
 
 

@@ -88,22 +88,25 @@ def test_check_window_covers_the_round1_dark_families():
     test_check_window_spans_every_family); entries graded for the FIRST
     time last round stay pinned one more round."""
     must_grade = {
-        "knn_bruteforce", "knn_ivf",                      # E8
+        "knn_ivf",                                        # E8
         "text_stats", "decontamination",                  # E9
-        "events_tumbling_window", "events_sliding_window",
         "events_sessionization", "events_json_extract",
         "events_funnel",                                  # E13/E14
         "asof_join_click_purchase",                       # temporal
         "kv_text_roundtrip",                              # R1/R4-R6
-        # r3 LLM-prep family: first graded r4 — pinned one more round
-        "related_docs_topk", "contrastive_pairs",
-        "mixture_rebalance", "doc_chunking",
-        "span_corruption_plan", "multimodal_payload_dedup",
-        # r4 flagship family: rotated in for round 5 (VERDICT r4 #1)
+        "multimodal_payload_dedup",                       # multimodal x2
+        # r4 flagship family: first graded r5 — pinned one more round
         "pipeline_llm_training_prep", "exact_ngram_decontamination",
         "corpus_shard_plan", "graph_pagerank", "kmeans_lloyd_refine",
         "events_native_session_window", "incremental_agg_maintenance",
         "zorder_write_prune", "approx_distinct_rollup",
         "events_rolling_anomaly_flags",
+        # r5 surface: rotated in for round 6 (VERDICT r5 #1)
+        "knn_pq_adc", "embedding_pq_codes", "dedup_lsh_band_sweep",
+        "entity_resolution_clusters", "epoch_shuffle_plan",
+        "leakage_safe_splits", "bpe_pair_merge_stats", "twap_user_value",
+        "multi_touch_attribution", "events_hourly_resample",
+        "equi_depth_histogram", "table_profile",
+        "trigram_substring_search",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))
