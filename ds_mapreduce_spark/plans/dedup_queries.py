@@ -629,7 +629,13 @@ FROM agg
     "configuration decision should rest on: MinHash-LSH candidates "
     "(8 hashes × 4 bands of 2) scored against the exact min-shingle-"
     "blocked Jaccard≥0.8 truth set, reporting the confusion counts and "
-    "half-up integer-bp precision/recall. FP here is the verification "
+    "half-up integer-bp precision/recall. recall_bp is recall vs the "
+    "BLOCKED truth: a pair the min-shingle blocking itself misses is "
+    "invisible to both sides (the oracle mirrors the block, so parity "
+    "is honest); the block-share probability for Jaccard-τ pairs is "
+    "≥ τ/(1+τ) and tests/test_dedup_truth_bound.py measures the actual "
+    "block-miss rate against unblocked all-pairs truth at sf0.001. FP "
+    "here is the verification "
     "WORKLOAD the banding forwards (harmless, filtered by the verify "
     "stage); FN is the recall lost to banding — the number that says "
     "whether to add bands before scaling to 100 TB, measured instead "
@@ -756,8 +762,10 @@ FROM confusion
     "workload), 4×2, and 2 bands of 4 (min workload, recall risk) — "
     "each scored against the shared exact truth set. This is the table "
     "an engineer reads to pick the banding before a 100 TB run: "
-    "recall_bp is what the s-curve formula only predicts; fp is the "
-    "verification workload actually forwarded. Shape: ONE signature "
+    "recall_bp is what the s-curve formula only predicts — measured vs "
+    "the BLOCKED truth (truth within the min-shingle blocking key; "
+    "block-miss rate bounded by tests/test_dedup_truth_bound.py); fp "
+    "is the verification workload actually forwarded. Shape: ONE signature "
     "pipeline feeds all three band explosions (the sig projection is "
     "shared, band structs differ only in grouping), each config's "
     "candidate set is O(n·bands), and the three confusion joins union "
