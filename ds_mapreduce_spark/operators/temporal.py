@@ -173,3 +173,56 @@ def interval_overlap_join(
         )
         .drop("__b")
     )
+
+
+def hourly_cents_rollup(ev: DataFrame) -> DataFrame:
+    """Per-(user, hour) event count + exact integer cents sum — the
+    associative partial state both the batch resample
+    (``events_hourly_resample``) and its streaming twin
+    (``run_streaming_hourly_resample``) maintain: (n, sum_cents) merge
+    by summation under ANY chunking of the feed, so a micro-batched
+    rollup converges to the batch rollup. |users × active hours| rows,
+    far smaller than events; one partial-aggregated shuffle."""
+    from ds_mapreduce_spark.functions.temporal import epoch_sec, idiv_floor
+
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    return (
+        ev.select(
+            "user_id",
+            idiv_floor(epoch_sec("ts"), 3600).alias("h"),
+            cents.alias("cents"),
+        )
+        .groupBy("user_id", "h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+def resample_forward_fill(hourly: DataFrame) -> DataFrame:
+    """Dense hourly grid + forward fill over a (user_id, h, n,
+    sum_cents) rollup — the presentation half of the resample, shared
+    verbatim by the batch query and the streaming twin (which applies
+    it to its maintained rollup state). Grid = each user's own
+    [min(h), max(h)] span via a map-side sequence() explode; ONE
+    per-user window carries the last observed sum forward; window
+    partitions are bounded by the calendar span in hours, never event
+    volume."""
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = span.select("user_id", F.explode(F.sequence("lo", "hi")).alias("h"))
+    g = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "user_id",
+        (F.col("h") * 3600).alias("hour_start"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("sum_cents", ignorenulls=True).over(w).alias("filled_cents"),
+        F.col("sum_cents").isNull().alias("gap_filled"),
+    )

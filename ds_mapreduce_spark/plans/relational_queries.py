@@ -1849,11 +1849,10 @@ def _pagerank_step(edges: DataFrame, nodes: DataFrame, ranks: DataFrame) -> Data
     )
 
 
-def _pagerank_oracle(iters: int = 3) -> str:
-    """Unrolled integer-arithmetic PageRank CTEs (shared shape with the
-    Spark loop in q_graph_pagerank — same constants, same DIV floor)."""
-    ctes = [
-        """edges0 AS (
+#: Shared base CTEs for both PageRank oracles: edge build, out-degrees,
+#: node set, initial rank mass — same constants as _pagerank_graph /
+#: _pagerank_step (fixed-point 1e12, floor DIV), change in one place.
+_PAGERANK_BASE = """edges0 AS (
   SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
@@ -1861,7 +1860,13 @@ edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FR
 deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
 r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes)"""
-    ]
+
+
+def _pagerank_iter_ctes(iters: int, with_deltas: bool = False) -> list[str]:
+    """CTE chain r1..r{iters} of exact-integer power iterations (shared
+    shape with the Spark loop in _pagerank_step — same constants, same
+    DIV floor); optionally d1..d{iters} L1-delta scalars per step."""
+    ctes = []
     for i in range(1, iters + 1):
         ctes.append(
             f"""c{i} AS (
@@ -1875,7 +1880,50 @@ r{i} AS (
   FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
 )"""
         )
+        if with_deltas:
+            ctes.append(
+                f"""d{i} AS (
+  SELECT CAST(SUM(ABS(a.rank - b.rank)) AS BIGINT) AS d
+  FROM r{i} a JOIN r{i-1} b ON a.node = b.node
+)"""
+            )
+    return ctes
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    ctes = [_PAGERANK_BASE] + _pagerank_iter_ctes(iters)
     return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iters}"
+
+
+def _pagerank_converged_oracle(epsilon_ppm: int = 100, max_iters: int = 20) -> str:
+    """Unrolled-to-max_iters chain with the Spark loop's stop rule: the
+    converged iteration is the FIRST whose L1 delta falls under
+    epsilon_ppm parts-per-million of the initial mass (|nodes| * 1e12),
+    else max_iters — `n_iters = COALESCE(MIN(it | d_it <= thr), max)`.
+    The selected iteration's ranks are emitted with n_iters, exactly the
+    driver-side break in q_graph_pagerank_converged."""
+    per_ppm = 1_000_000_000_000 // 1_000_000
+    ctes = [_PAGERANK_BASE] + _pagerank_iter_ctes(max_iters, with_deltas=True)
+    deltas = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS it, d FROM d{i}" for i in range(1, max_iters + 1)
+    )
+    ranks = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS it, node, rank FROM r{i}" for i in range(1, max_iters + 1)
+    )
+    ctes.append(f"deltas AS (\n{deltas}\n)")
+    ctes.append(
+        f"""stop AS (
+  SELECT CAST(COALESCE(MIN(it), {max_iters}) AS BIGINT) AS n_iters
+  FROM deltas, (SELECT COUNT(*) AS n FROM nodes) nn
+  WHERE d <= CAST(nn.n AS BIGINT) * {per_ppm} * {epsilon_ppm}
+)"""
+    )
+    ctes.append(f"allr AS (\n{ranks}\n)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT a.node, a.rank, s.n_iters FROM allr a, stop s WHERE a.it = s.n_iters"
+    )
 
 
 @register(
@@ -1907,11 +1955,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_pagerank_converged",
-    oracle=None,  # iterate-until-residual is genuinely non-SQL-
-    # expressible (data-dependent iteration count); the fixed-iteration
-    # twin above carries the unrolled hash-checked oracle, and
-    # tests/test_pagerank.py proves this loop's iterations are
-    # bit-identical to the twin's.
+    oracle=_pagerank_converged_oracle(),  # unrolled to max_iters with
+    # the same first-delta-under-threshold stop rule the Spark loop
+    # applies — the data-dependent iteration count is reproduced by
+    # selecting MIN(it | L1-delta <= threshold) over the chain (r5
+    # VERDICT #3); tests/test_pagerank.py additionally proves the loop's
+    # iterations are bit-identical to the fixed-iteration twin's.
     doc="Residual-convergence PageRank: the SAME exact-integer "
     "_pagerank_step as the graded fixed-iteration twin, iterated until "
     "the L1 rank delta falls under epsilon_ppm parts-per-million of "

@@ -185,47 +185,24 @@ FROM g
     "NOT by event volume — a billion-event user still resamples as "
     "<=span rows because the fill runs on the rollup, never the raw "
     "events; grid cardinality is users x span, the same as the "
-    "output. Exact integer cents throughout.",
+    "output. Exact integer cents throughout. Rollup + fill live in "
+    "operators/temporal.py (hourly_cents_rollup / "
+    "resample_forward_fill) shared verbatim with the streaming twin "
+    "run_streaming_hourly_resample (equivalence incl. late data in "
+    "tests/test_streaming.py).",
 )
 def q_events_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ds_mapreduce_spark.functions.temporal import idiv_floor
+    from ds_mapreduce_spark.operators.temporal import (
+        hourly_cents_rollup,
+        resample_forward_fill,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
-    base = ev.select("user_id", epoch_sec("ts").alias("s"), cents.alias("cents"))
-    hourly = (
-        base.select("user_id", idiv_floor(F.col("s"), 3600).alias("h"), "cents")
-        .groupBy("user_id", "h")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("cents").cast("bigint").alias("sum_cents"),
-        )
-        # the rollup feeds BOTH the span branch and the grid join; without
-        # this the events scan runs twice — checkpointing |users × active
-        # hours| rows (tiny vs events) makes it one scan at any SF
-        .localCheckpoint(eager=True)
-    )
-    span = hourly.groupBy("user_id").agg(
-        F.min("h").alias("lo"), F.max("h").alias("hi")
-    )
-    grid = span.select(
-        "user_id", F.explode(F.sequence("lo", "hi")).alias("h")
-    )
-    g = grid.join(hourly, ["user_id", "h"], "left")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return g.select(
-        "user_id",
-        (F.col("h") * 3600).alias("hour_start"),
-        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
-        F.last("sum_cents", ignorenulls=True).over(w).alias("filled_cents"),
-        F.col("sum_cents").isNull().alias("gap_filled"),
-    )
+    # the rollup feeds BOTH the span branch and the grid join; without
+    # this the events scan runs twice — checkpointing |users × active
+    # hours| rows (tiny vs events) makes it one scan at any SF
+    hourly = hourly_cents_rollup(ev).localCheckpoint(eager=True)
+    return resample_forward_fill(hourly)
 
 
 @register(

@@ -623,3 +623,70 @@ def run_streaming_scd2(
     q.awaitTermination()
     final_state = spark.read.parquet(f"{state_dir}/v{last_version[0]}")
     return scd2_versions(final_state, "user_id", "s", "cents")
+
+
+def run_streaming_hourly_resample(
+    spark: SparkSession, events_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming forward-fill resample: the events feed arrives as
+    micro-batches; each batch's per-(user, hour) partials (count +
+    exact cents sum — ``hourly_cents_rollup``, shared with the batch
+    query ``events_hourly_resample``) MERGE into a keyed rollup state
+    by summation, and the dense-grid forward fill
+    (``resample_forward_fill``, also shared) derives the presentation
+    from the final state. Because the fill runs on the maintained
+    rollup — never on raw events — a late event for an hour already
+    emitted simply adjusts that hour's partials and the re-derived fill
+    is exact, which an emit-as-you-go design could not do (a carried-
+    forward value may change retroactively).
+
+    State is chained through versioned parquet dirs (``v{batch_id}``
+    reads ``v{batch_id-1}``) like the MV/SCD2 twins, so a retried batch
+    id rewrites its own version — idempotent on at-least-once delivery;
+    (n, sum_cents) merge is associative+commutative, so any chunking of
+    the feed converges to the batch rollup. 100 TB: each micro-batch
+    shuffles |batch| rows into |users × active hours| state — the
+    continuous-aggregate contract; the fill's window partitions stay
+    bounded by span hours, never event volume."""
+    from ds_mapreduce_spark.operators.temporal import (
+        hourly_cents_rollup,
+        resample_forward_fill,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if events_dir.endswith(".parquet"):
+        base, _, fname = events_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        events_dir = base
+    stream = normalize_events_ts(reader.parquet(events_dir))
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        part = hourly_cents_rollup(batch_df)
+        if batch_id > 0:
+            prev = sess.read.parquet(f"{state_dir}/v{batch_id - 1}")
+            part = (
+                prev.unionByName(part)
+                .groupBy("user_id", "h")
+                .agg(
+                    F.sum("n").cast("bigint").alias("n"),
+                    F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+                )
+            )
+        part.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    final_state = spark.read.parquet(f"{state_dir}/v{last_version[0]}")
+    return resample_forward_fill(final_state)

@@ -472,3 +472,34 @@ def test_streaming_scd2_matches_batch_with_late_data(spark, sf_dir, tmp_path):
     brows = sorted(map(tuple, batch.collect()))
     assert srows == brows
     assert len(srows) > 0
+
+
+def test_streaming_hourly_resample_matches_batch_with_late_data(
+    spark, sf_dir, tmp_path
+):
+    """The micro-batched rollup maintenance must converge to exactly the
+    batch resample, however the feed is chunked — INCLUDING when a later
+    micro-batch delivers events for hours already forward-filled (the
+    event_id % 3 split interleaves time, so every batch after the first
+    carries late data that must adjust earlier hours' partials and
+    re-derive the fill, not append)."""
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_hourly_resample
+
+    ev = load_table(spark, sf_dir, "events")
+    feed_dir = str(tmp_path / "events_feed")
+    from pyspark.sql import functions as F
+
+    ev.withColumn("__f", F.col("event_id") % 3).repartition(3, "__f").drop(
+        "__f"
+    ).write.parquet(feed_dir)
+
+    streamed = run_streaming_hourly_resample(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    batch = load_all()["events_hourly_resample"].fn(spark, sf_dir)
+
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert srows == brows
+    assert len(srows) > 0
