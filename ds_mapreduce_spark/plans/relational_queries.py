@@ -1865,7 +1865,12 @@ r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes)"""
 def _pagerank_iter_ctes(iters: int, with_deltas: bool = False) -> list[str]:
     """CTE chain r1..r{iters} of exact-integer power iterations (shared
     shape with the Spark loop in _pagerank_step — same constants, same
-    DIV floor); optionally d1..d{iters} L1-delta scalars per step."""
+    DIV floor); optionally d1..d{iters} L1-delta scalars per step. Each
+    r{i} is AS MATERIALIZED: every rank level is referenced 2-4 times
+    (next iteration, both delta sides, the final union), and a deep
+    chain inlined per-reference re-evaluates its whole prefix —
+    exponential in iters. Materialization makes the unrolled oracle
+    linear, mirroring the Spark loop's per-iteration localCheckpoint."""
     ctes = []
     for i in range(1, iters + 1):
         ctes.append(
@@ -1874,7 +1879,7 @@ def _pagerank_iter_ctes(iters: int, with_deltas: bool = False) -> list[str]:
   FROM edges e JOIN r{i-1} r ON e.src = r.node JOIN deg d ON e.src = d.src
   GROUP BY e.dst
 ),
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT n.node,
          CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
   FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
