@@ -203,3 +203,112 @@ def pq_assign(
     )
     best = F.min_by(F.col("code"), F.struct(F.col("d"), F.col("code")))
     return scored.groupBy("vec_id", "sub_id").agg(best.alias("code"))
+
+
+def quantized_sub_slices(
+    emb: DataFrame, id_alias: str, n_sub: int, sub_dim: int
+) -> DataFrame:
+    """(id, sub_id, sv): integer-quantized sub-vectors — components
+    floor(x·1e4) BIGINT (the embedding_norm_stats / kmeans convention,
+    so distances and means stay exact integers that hash identically
+    cross-engine), then split into n_sub contiguous sub_dim slices.
+    Map-only, n_sub rows per vector."""
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 10000).cast("bigint"),
+    )
+    return (
+        emb.select(F.col("vec_id").alias(id_alias), qv.alias("qv"))
+        .select(
+            id_alias,
+            F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub_id"),
+            F.col("qv"),
+        )
+        .select(
+            id_alias,
+            "sub_id",
+            F.slice("qv", F.col("sub_id") * sub_dim + 1, F.lit(sub_dim)).alias("sv"),
+        )
+    )
+
+
+def _int_sq_dist(a, b):
+    zero = F.lit(0).cast("bigint")
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), zero, lambda acc, v: acc + v
+    )
+
+
+def pq_train_codebook(subs: DataFrame, k: int, iters: int) -> DataFrame:
+    """Per-subspace Lloyd k-means codebook training, integer-exact —
+    the training half of product quantization (the OPQ/IVFPQ codebook
+    step), reusing kmeans_lloyd_refine's arithmetic with sub_id as an
+    extra key so ALL subspaces train in one plan: exact integer squared
+    L2 on quantized components, argmin via a (vec_id, sub_id) window
+    tie-broken by code id, per-dim centroid means floor(double-div) —
+    bit-identical in DuckDB, so an unrolled oracle hash-checks it.
+
+    Seeds: each subspace's first k vec_id slices (code = seed vec_id).
+    Per iteration: broadcast the (n_sub·k)-row codebook × one pass over
+    the sub-sliced corpus, one |corpus·n_sub|-key window shuffle for
+    the argmin, one (n_sub·k·sub_dim)-row mean agg; new centroids are
+    localCheckpoint'ed so iteration plans stay constant-size. 100 TB:
+    scan-dominated with tiny broadcasts — in practice codebooks train
+    on a sample, then ``pq_assign``-style encoding streams the full
+    corpus; both halves share this plumbing. Returns (sub_id, cid, cv).
+    """
+    from pyspark.sql import Window
+
+    cent = subs.where(F.col("vec_id") < k).select(
+        "sub_id", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy("dist", "cid")
+    for _ in range(iters):
+        assigned = (
+            subs.join(F.broadcast(cent), "sub_id")
+            .select(
+                "vec_id",
+                "sub_id",
+                "sv",
+                "cid",
+                _int_sq_dist(F.col("sv"), F.col("cv")).alias("dist"),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+        )
+        cent = (
+            assigned.select("sub_id", "cid", F.posexplode("sv").alias("i", "val"))
+            .groupBy("sub_id", "cid", "i")
+            .agg(
+                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("m")
+            )
+            .groupBy("sub_id", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def pq_encode_with_codebook(subs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, sub_id, code, dist): nearest trained-codebook entry per
+    sub-vector — exact integer squared L2, ties to the lowest code; the
+    broadcast-join + partial-aggregatable min_by shape of pq_assign.
+    ``dist`` is the chosen entry's distance (= MIN(d), since the
+    tie-break only discriminates equal distances) — the per-subspace
+    quantization error."""
+    scored = subs.join(F.broadcast(cent), "sub_id").select(
+        "vec_id",
+        "sub_id",
+        F.col("cid").alias("code"),
+        _int_sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+    )
+    best = F.min_by(F.col("code"), F.struct(F.col("d"), F.col("code")))
+    return scored.groupBy("vec_id", "sub_id").agg(
+        best.alias("code"), F.min("d").alias("dist")
+    )

@@ -475,3 +475,118 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_dist",
         F.col("rnk").cast("bigint").alias("rnk"),
     )
+
+
+N_PQ_CODES = 8
+PQ_TRAIN_ITERS = 2
+
+
+def _pq_train_oracle(
+    iters: int = PQ_TRAIN_ITERS, k: int = N_PQ_CODES, n_sub: int = 4, sub_dim: int = 16
+) -> str:
+    """Unrolled per-subspace Lloyd training + encode (same constants and
+    floor arithmetic as pq_train_codebook / pq_encode_with_codebook;
+    CTE levels MATERIALIZED — each is referenced by the next iteration
+    AND the encode, and inlining re-evaluates the whole prefix per
+    reference)."""
+    dist = (
+        "list_aggregate(list_transform(range(1, len(s.sv) + 1), "
+        "i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])), 'sum')"
+    )
+    ctes = [
+        f"""v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+subs AS MATERIALIZED (
+  SELECT vec_id, i AS sub_id, qv[i*{sub_dim}+1:(i+1)*{sub_dim}] AS sv
+  FROM v CROSS JOIN (SELECT unnest(range(0, {n_sub})) AS i) u
+),
+c0 AS (SELECT sub_id, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < {k})"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, sub_id, sv, cid FROM (
+    SELECT s.vec_id, s.sub_id, s.sv, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                              ORDER BY {dist}, c.cid) AS r
+    FROM subs s JOIN c{i-1} c USING (sub_id)
+  ) WHERE r = 1
+),
+c{i} AS MATERIALIZED (
+  SELECT sub_id, cid, list(m ORDER BY i) AS cv FROM (
+    SELECT sub_id, cid, i,
+           CAST(floor(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+    FROM a{i}, UNNEST(range(1, len(sv) + 1)) u(i)
+    GROUP BY sub_id, cid, i
+  ) GROUP BY sub_id, cid
+)"""
+        )
+    codes = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN sub_id = {j} THEN cid END) AS BIGINT) AS code_{j}"
+        for j in range(n_sub)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+enc AS (
+  SELECT vec_id, sub_id, cid, dist FROM (
+    SELECT s.vec_id, s.sub_id, c.cid, {dist} AS dist,
+           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                              ORDER BY {dist}, c.cid) AS r
+    FROM subs s JOIN c{iters} c USING (sub_id)
+  ) WHERE r = 1
+)
+SELECT vec_id,
+       {codes},
+       CAST(SUM(dist) AS BIGINT) AS quant_err
+FROM enc GROUP BY vec_id"""
+    )
+
+
+@register(
+    "pq_trained_codebook_encode",
+    oracle=_pq_train_oracle(),
+    doc="PQ with a TRAINED codebook (r6) — closes the product-"
+    "quantization family to train+encode+search end-to-end "
+    "(embedding_pq_codes encodes against a data-slice codebook; "
+    "knn_pq_adc searches): per-subspace Lloyd k-means (k=8, 2 "
+    "iterations, seeded by each subspace's first-k vec_id slices) in "
+    "the SAME exact integer arithmetic as kmeans_lloyd_refine — "
+    "quantized floor(x*1e4) components, exact integer squared-L2, "
+    "floor-of-double per-dim means — generalized with sub_id as an "
+    "extra grouping key so all 4 subspaces train in ONE plan, then the "
+    "corpus encodes against the trained entries (ties to lowest code). "
+    "Output per vector: the 4 codes + exact integer quantization error "
+    "(the number that says whether the trained codebook beats the "
+    "slice codebook). Shape per iteration: one (n_sub*k)-row broadcast "
+    "x sub-sliced corpus scan, one argmin window shuffle keyed "
+    "(vec_id, sub_id), one (n_sub*k*sub_dim)-row mean agg, "
+    "localCheckpoint'ed centroids (constant-size iteration plans). "
+    "100 TB: train on a sample, stream-encode the corpus — both "
+    "halves are this plumbing; the oracle unrolls both iterations "
+    "with MATERIALIZED CTE levels (inlining is exponential in depth).",
+)
+def q_pq_trained_codebook_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.similarity import (
+        pq_encode_with_codebook,
+        pq_train_codebook,
+        quantized_sub_slices,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = quantized_sub_slices(emb, "vec_id", 4, 16)
+    cent = pq_train_codebook(subs, k=N_PQ_CODES, iters=PQ_TRAIN_ITERS)
+    enc = pq_encode_with_codebook(subs, cent)
+    return enc.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("sub_id") == j, F.col("code")))
+            .cast("bigint")
+            .alias(f"code_{j}")
+            for j in range(4)
+        ],
+        F.sum("dist").cast("bigint").alias("quant_err"),
+    )

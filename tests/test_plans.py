@@ -80,6 +80,12 @@ LITERAL_BOUNDED = {
     # (queries × codes) ≤ 20·16 rows per subspace — literal-bounded.
     "embedding_pq_codes",
     "knn_pq_adc",
+    # PQ training (r6): the iteration-0 seed broadcast is the vec_id < 8
+    # sub-slice (literal-bounded); later iterations broadcast
+    # Aggregate-bounded k-row checkpointed centroids. (The intra-loop
+    # hints execute inside localCheckpoint actions, so the analyzed-plan
+    # sweep can't see them — listed here for the record.)
+    "pq_trained_codebook_encode",
 }
 
 
