@@ -718,3 +718,76 @@ def blocked_levenshtein_pairs(
         )
         .where(F.col("dist") <= max_dist)
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """EXACT token-set similarity join via prefix filtering — the
+    PPJoin/AllPairs candidate-generation strategy (Bayardo et al.
+    WWW'07; Xiao et al. WWW'08), the third blocking family here beside
+    min-shingle blocking and MinHash-LSH, and the only one with a
+    completeness THEOREM instead of a probability: J(a,b) ≥ τ implies
+    |a∩b| ≥ ceil(τ·max(n_a, n_b)), so under any fixed global token
+    order, a's prefix (its first n_a − ceil(τ·n_a) + 1 tokens) and b's
+    prefix must share a token. Posting ONLY prefix tokens therefore
+    generates a candidate superset — zero false negatives — and the
+    exact verify makes the join exact. The global order is ascending
+    document frequency (ties by token), which is also the performance
+    lever: prefixes consist of each doc's RAREST tokens, so posting
+    lists stay short and no boilerplate token ever becomes a hot key.
+
+    Shape: one explode for the df table (vocab-sized), a df join + one
+    (doc_id)-window for prefix positions, a prefix-postings self-join
+    (carries ~(1−τ)·|tokens| rows per doc), and a verify join on the
+    candidate ids only. 100 TB: every stage is keyed and partial-
+    aggregatable; candidate volume is bounded by posting-list lengths,
+    which the rare-first order minimizes — the df-cap knob LSH needs
+    (max_shingle_df) is built into the ordering itself.
+
+    Same half-up integer acceptance as ngram_jaccard_pairs; returns
+    (doc_a, doc_b, jaccard).
+    """
+    from pyspark.sql import Window
+
+    from ds_mapreduce_spark.functions.text import tokens
+
+    t4 = int(threshold * 10000)
+    tt = (
+        docs.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("ts"))
+        .select("doc_id", "ts", F.size("ts").alias("n"))
+        .where(F.col("n") > 0)
+        # the token-set table feeds the df pass, the prefix pass, and
+        # BOTH verify sides: checkpoint so the documents scan runs once
+        .localCheckpoint(eager=True)
+    )
+    ex = tt.select("doc_id", "n", F.explode("ts").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
+    pos_w = Window.partitionBy("doc_id").orderBy("dft", "tok")
+    # prefix length n − ceil(τ·n) + 1, ceil in exact integer arithmetic
+    prefix = (
+        ex.join(dfreq, "tok")
+        .withColumn("pos", F.row_number().over(pos_w))
+        .where(F.col("pos") <= F.expr(f"n - (({t4} * n + 9999) DIV 10000) + 1"))
+        .select("doc_id", "tok")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "tok"), "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = tt.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"), F.col("n").alias("n_a"))
+    b = tt.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"), F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("long")
+    union = (F.col("n_a") + F.col("n_b")).cast("long") - inter
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", inter.alias("__i"), union.alias("__u"))
+        .withColumn("__jacc", F.expr("(20000 * __i + __u) DIV (2 * __u)"))
+    )
+    return scored.where(F.col("__jacc") >= t4).select(
+        "doc_a", "doc_b", (F.col("__jacc") / 10000.0).alias("jaccard")
+    )

@@ -315,3 +315,60 @@ def purchase_change_rows(events: DataFrame) -> DataFrame:
     return events.where(F.col("event_type") == "purchase").select(
         "user_id", epoch_sec("ts").alias("s"), cents.alias("cents")
     )
+
+
+def skyline_2d_min(
+    df: DataFrame, x_col: str, y_col: str, bucket_width: int
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, minimize both): rows no other row
+    dominates, where q dominates p iff q.x <= p.x AND q.y <= p.y AND
+    strictly better on at least one — the SKYLINE operator of
+    Börzsönyi/Kossmann/Stocker (ICDE'01), which naive SQL states as a
+    NOT EXISTS self-join (the oracle does exactly that, independently).
+
+    Distributed shape — NO O(n²) pair space and NO global-sort window
+    (a plain `ORDER BY x` running min is a SinglePartition at scale):
+    for the 2-D minimize/minimize case, p is dominated iff
+      (a) some strictly-cheaper-x row has y <= p.y, or
+      (b) some equal-x row has y < p.y.
+    Bucket x into fixed-width ranges; then "strictly cheaper x" splits
+    into strictly-lower BUCKETS (a per-bucket min-y aggregate — bounded
+    by x-range/width rows — whose prefix-min over bucket order is a
+    bounded-table window, broadcast back) and same-bucket cheaper rows
+    (a per-BUCKET window, RANGE UNBOUNDED PRECEDING TO 1 PRECEDING on
+    x, so partitions are bucket-sized, never corpus-sized). Same-x min
+    comes from a (bucket, x)-keyed window. One data shuffle on bucket
+    keys + one broadcast; AQE splits hot buckets. Generalizes to the
+    BNL/grid skyline for d>2 by treating (all-but-one dims) as the
+    bucket key.
+    """
+    b = (F.col(x_col) / F.lit(bucket_width)).cast("bigint")
+    rows = df.withColumn("__b", b)
+    # bounded per-bucket minima -> prefix min over STRICTLY lower buckets
+    per_bucket = rows.groupBy("__b").agg(F.min(y_col).alias("__bmin"))
+    wb = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # bounded table (x-range/width rows): SinglePartition tail is fine
+    lower = per_bucket.select(
+        "__b", F.min("__bmin").over(wb).alias("__lower_min")
+    )
+    wx = (
+        Window.partitionBy("__b")
+        .orderBy(x_col)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    weq = Window.partitionBy("__b", x_col)
+    flagged = (
+        rows.join(F.broadcast(lower), "__b")
+        .withColumn("__same_bucket_min", F.min(y_col).over(wx))
+        .withColumn("__eq_x_min", F.min(y_col).over(weq))
+    )
+    dominated = (
+        (F.col("__lower_min") <= F.col(y_col))
+        | (F.col("__same_bucket_min") <= F.col(y_col))
+        | (F.col("__eq_x_min") < F.col(y_col))
+    )
+    return flagged.where(~F.coalesce(dominated, F.lit(False))).drop(
+        "__b", "__lower_min", "__same_bucket_min", "__eq_x_min"
+    )

@@ -825,3 +825,58 @@ def q_dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_bp"),
     )
+
+
+@register(
+    "dedup_prefix_filter",
+    oracle=r"""
+WITH tt AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ts
+  FROM documents
+),
+tn AS (SELECT doc_id, ts, len(ts) AS n FROM tt WHERE len(ts) > 0),
+ex AS (SELECT doc_id, n, unnest(ts) AS tok FROM tn),
+dfreq AS (SELECT tok, COUNT(*) AS dft FROM ex GROUP BY tok),
+pfx AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, n, tok,
+           row_number() OVER (PARTITION BY doc_id ORDER BY dft, tok) AS pos
+    FROM ex JOIN dfreq USING (tok)
+  ) WHERE pos <= n - ((8000 * n + 9999) // 10000) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST((20000 * len(list_intersect(x.ts, y.ts))
+               + x.n + y.n - len(list_intersect(x.ts, y.ts)))
+              // (2 * (x.n + y.n - len(list_intersect(x.ts, y.ts)))) AS BIGINT)
+           AS jacc_scaled
+  FROM cand JOIN tn x ON cand.doc_a = x.doc_id JOIN tn y ON cand.doc_b = y.doc_id
+)
+SELECT doc_a, doc_b, jacc_scaled / 10000.0 AS jaccard
+FROM scored WHERE jacc_scaled >= 8000
+""",
+    doc="EXACT set-similarity self-join via prefix filtering (r6) — "
+    "the PPJoin/AllPairs strategy: under a global rarest-first token "
+    "order, any Jaccard>=0.8 pair must share one of each doc's first "
+    "n - ceil(0.8n) + 1 tokens, so posting only those prefix tokens "
+    "generates a provably complete candidate set (a completeness "
+    "THEOREM — the recall guarantee LSH only gives probabilistically, "
+    "and min-shingle blocking only in expectation) and the exact "
+    "verify makes the whole join exact. The hash is an independent "
+    "cross-engine check of that completeness: both engines emit only "
+    "verified pairs, so any candidate miss shows up as a missing row. "
+    "See operators/dedup.py:prefix_filter_jaccard_pairs for the "
+    "100 TB shape (rare-first prefixes = short posting lists, no hot "
+    "keys, everything partial-aggregatable).",
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )

@@ -2461,3 +2461,52 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_tri))
         .crossJoin(F.broadcast(max_out))
     )
+
+
+@register(
+    "skyline_price_size",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey,
+         CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+)
+SELECT p_partkey, price_cents, p_size
+FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.price_cents <= p.price_cents AND q.p_size <= p.p_size
+    AND (q.price_cents < p.price_cents OR q.p_size < p.p_size)
+)
+""",
+    doc="SKYLINE / Pareto frontier (r6): the parts no other part beats "
+    "on BOTH price and size (minimize/minimize) — the multi-criteria "
+    "shortlist operator (Borzsonyi et al., ICDE'01) that SQL can only "
+    "state as an O(n^2) NOT-EXISTS self-join, which is exactly what "
+    "the oracle does, making the hash a genuine independent check of "
+    "the distributed algorithm. Spark shape "
+    "(operators/relational.py:skyline_2d_min): price buckets make "
+    "'some strictly cheaper row with size <= mine' decomposable into "
+    "a BOUNDED per-bucket min-size table (prefix-min over bucket "
+    "order, broadcast back) plus a per-bucket RANGE window — so the "
+    "only corpus shuffle is bucket-keyed, windows are bucket-sized, "
+    "and nothing is O(n^2) or SinglePartition. Exact integer cents. "
+    "100 TB: the same decomposition holds at any row count — bucket "
+    "count is fixed by the value range, AQE splits hot buckets.",
+)
+def q_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.relational import skyline_2d_min
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    # ~2000-cent buckets over the ~[90000, 200000] retail price range:
+    # a few dozen buckets at any SF (range is data-, not volume-, bound)
+    return skyline_2d_min(p, "price_cents", "p_size", bucket_width=2000).select(
+        "p_partkey", "price_cents", "p_size"
+    )

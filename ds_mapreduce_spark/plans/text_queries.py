@@ -2115,3 +2115,129 @@ def q_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(sel))
         .select("doc_id", F.expr("contains(text, needle)").alias("verified"))
     )
+
+
+@register(
+    "bm25_search",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks WHERE len(t) > 0),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+dfreq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dft FROM ex GROUP BY tok),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS d, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+needle AS (
+  SELECT tok, dft FROM (
+    SELECT DISTINCT e.tok, f.dft
+    FROM ex e JOIN dfreq f USING (tok)
+    WHERE e.doc_id = (SELECT MIN(doc_id) FROM documents)
+  ) ORDER BY dft, tok LIMIT 5
+),
+idf AS (
+  SELECT tok, ((2 * (g.d - dft) + 1) * 1000000) // (2 * dft + 1) AS idf_int
+  FROM needle, g
+),
+tf AS (
+  SELECT e.doc_id, e.tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ex e JOIN needle n USING (tok)
+  GROUP BY e.doc_id, e.tok
+),
+scored AS (
+  SELECT tf.doc_id,
+         (i.idf_int * tf.tf * 220)
+           // (tf.tf * 100 + (120 * (25 + (75 * dl.dl * g.d) // g.sum_dl)) // 100)
+           AS score_t
+  FROM tf JOIN idf i USING (tok) JOIN dl USING (doc_id), g
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(score_t) AS BIGINT) AS bm25_scaled,
+         CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, bm25_scaled, n_hit_terms,
+       CAST(row_number() OVER (ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS rnk
+FROM agg QUALIFY rnk <= 20
+""",
+    doc="BM25 ranked retrieval (r6) — the Okapi scoring every search "
+    "engine (Lucene/ES default) runs, in EXACT integer arithmetic so "
+    "the ranking hashes identically cross-engine: per-term weight = "
+    "idf_int * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with k1=1.2 "
+    "b=0.75 at x100 fixed-point, where idf_int is the exact-rational "
+    "surrogate (2(N-df)+1)*1e6 DIV (2df+1) of the BM25 idf argument "
+    "(monotone in it — the tfidf_top_terms convention: no float ln "
+    "crosses the engine boundary) and every DIV is mirrored floor "
+    "division, so the per-doc score is an order-independent BIGINT "
+    "sum. Query = the 5 globally rarest tokens of the min-doc_id "
+    "document (deterministic, provably matches its source). Shape: "
+    "the needle set (5 rows, from the df table) broadcasts; tf "
+    "counting joins the broadcast needle BEFORE any aggregation (the "
+    "trigram lesson — the only token-scale shuffle carries needle-"
+    "matching rows); dl/N/sum_dl are map-only projections + one "
+    "1-row broadcast; final ranking is TakeOrdered(20). 100 TB: this "
+    "is an inverted-index probe — per query, work is proportional to "
+    "the needle terms' posting lists, never the corpus.",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    dl = toks.where(F.size("t") > 0).select(
+        "doc_id", F.size("t").cast("bigint").alias("dl")
+    )
+    ex = toks.select("doc_id", F.explode("t").alias("tok"))
+    g = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    ).localCheckpoint(eager=True)
+    # document frequency over distinct (doc, tok) — vocab-sized output
+    dfreq = (
+        ex.distinct().groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("dft"))
+    )
+    min_doc = docs.agg(F.min("doc_id").alias("mid"))
+    needle = (
+        ex.join(F.broadcast(min_doc), ex.doc_id == F.col("mid"))
+        .select("tok")
+        .distinct()
+        .join(dfreq, "tok")
+        .orderBy("dft", "tok")
+        .limit(5)
+        .localCheckpoint(eager=True)  # 5 rows feed idf + the tf semijoin
+    )
+    idf = needle.crossJoin(F.broadcast(g)).select(
+        "tok",
+        F.expr("((2 * (d - dft) + 1) * 1000000) DIV (2 * dft + 1)").alias("idf_int"),
+    )
+    # needle filter BEFORE the tf aggregation: the only token-scale
+    # shuffle carries needle-matching (doc, tok) rows
+    tf = (
+        ex.join(F.broadcast(needle.select("tok")), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.expr(
+                "(idf_int * tf * 220) DIV "
+                "(tf * 100 + (120 * (25 + (75 * dl * d) DIV sum_dl)) DIV 100)"
+            ).alias("score_t"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("score_t").cast("bigint").alias("bm25_scaled"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
+    )
+    from pyspark.sql import Window
+
+    # TakeOrdered(20) first, THEN rank: the global row_number window
+    # runs on <=20 rows (bounded SinglePartition tail), never on the
+    # full candidate set — candidate-doc top-k stays distributed.
+    top = agg.orderBy(F.col("bm25_scaled").desc(), "doc_id").limit(20)
+    w = Window.orderBy(F.col("bm25_scaled").desc(), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))

@@ -380,6 +380,49 @@ def test_trigram_needle_filter_below_distinct(spark, sf_dir):
     assert "Exchange hashpartitioning" not in below, below
 
 
+def test_bm25_needle_filter_before_tf_agg_takeordered(spark, sf_dir):
+    """BM25's tf count must join the broadcast needle set BELOW its
+    aggregation (posting-list probe, not corpus agg), and the top-20
+    must be TakeOrdered with the rank window running on the bounded
+    limit output — zero SinglePartition exchanges."""
+    plan = _plan(spark, sf_dir, "bm25_search")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange SinglePartition") == 0, plan
+    tok_joins = [m.start() for m in re.finditer(r"BroadcastHashJoin \[tok#\d+", plan)]
+    assert tok_joins, plan
+    # the (doc_id, tok) tf exchange must be the PARENT of a tok-keyed
+    # broadcast join (the needle semijoin feeds the aggregation, not
+    # vice versa); the idf join legitimately sits above the exchange.
+    m_tf = re.search(
+        r"Exchange hashpartitioning\((?:tok#\d+, doc_id#\d+L?|doc_id#\d+L?, tok#\d+)",
+        plan,
+    )
+    assert m_tf and any(j > m_tf.start() for j in tok_joins), plan
+
+
+def test_prefix_filter_no_cartesian_bounded_shuffles(spark, sf_dir):
+    """The prefix-filter join must stay keyed end-to-end: no cartesian
+    or nested-loop join anywhere (the naive all-pairs shape), and the
+    candidate self-join runs on the posted prefix tokens."""
+    plan = _plan(spark, sf_dir, "dedup_prefix_filter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_skyline_no_global_sort_no_quadratic(spark, sf_dir):
+    """The skyline must NOT be the naive O(n²) self-join nor a global-
+    sort running min: no cartesian/nested-loop join, data windows
+    partitioned by bucket (the only SinglePartition is the bounded
+    per-bucket-minima table), ≤3 hash exchanges."""
+    plan = _plan(spark, sf_dir, "skyline_price_size")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 3, plan
+
+
 def test_domain_quota_single_shuffle_window(spark, sf_dir):
     """The quota cap is one source-partitioned window — a single
     shuffle, and the rank filter sits above it (no second pass)."""
