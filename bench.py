@@ -63,6 +63,13 @@ HEADLINE = [
     "interval_overlap_join",
     "graph_triangle_count",
     "dedup_lsh_band_sweep",
+    # round 6: the reordered trigram index probe, the exact prefix-
+    # filter similarity join, the BM25 inverted-index probe, and the
+    # per-subspace PQ codebook trainer
+    "trigram_substring_search",
+    "dedup_prefix_filter",
+    "bm25_search",
+    "pq_trained_codebook_encode",
 ]
 
 

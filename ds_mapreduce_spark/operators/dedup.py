@@ -721,43 +721,51 @@ def blocked_levenshtein_pairs(
 
 
 def prefix_filter_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.8
+    docs: DataFrame, k: int = 3, threshold: float = 0.8
 ) -> DataFrame:
-    """EXACT token-set similarity join via prefix filtering — the
-    PPJoin/AllPairs candidate-generation strategy (Bayardo et al.
-    WWW'07; Xiao et al. WWW'08), the third blocking family here beside
-    min-shingle blocking and MinHash-LSH, and the only one with a
-    completeness THEOREM instead of a probability: J(a,b) ≥ τ implies
-    |a∩b| ≥ ceil(τ·max(n_a, n_b)), so under any fixed global token
-    order, a's prefix (its first n_a − ceil(τ·n_a) + 1 tokens) and b's
-    prefix must share a token. Posting ONLY prefix tokens therefore
-    generates a candidate superset — zero false negatives — and the
-    exact verify makes the join exact. The global order is ascending
-    document frequency (ties by token), which is also the performance
-    lever: prefixes consist of each doc's RAREST tokens, so posting
-    lists stay short and no boilerplate token ever becomes a hot key.
+    """EXACT k-gram-shingle Jaccard self-join via prefix filtering —
+    the PPJoin/AllPairs candidate-generation strategy (Bayardo et al.
+    WWW'07; Xiao et al. WWW'08), the third candidate family here
+    beside min-shingle blocking and MinHash-LSH, and the only one with
+    a completeness THEOREM instead of a probability: J(a,b) ≥ τ
+    implies |a∩b| ≥ ceil(τ·max(n_a, n_b)), so under any fixed global
+    element order, a's prefix (its first n_a − ceil(τ·n_a) + 1
+    shingles) and b's prefix must share a shingle. Posting ONLY prefix
+    shingles therefore generates a candidate superset — zero false
+    negatives — and the exact verify makes the join exact: the result
+    is a provable SUPERSET of ngram_jaccard_pairs' (same similarity,
+    same acceptance; the blocked variant loses block-missed pairs —
+    tests/test_dedup_truth_bound.py asserts the containment). The
+    global order is ascending document frequency (ties by shingle id),
+    which is also the performance lever: prefixes consist of each
+    doc's RAREST shingles, so posting lists stay short and no
+    boilerplate shingle ever becomes a hot key.
 
-    Shape: one explode for the df table (vocab-sized), a df join + one
-    (doc_id)-window for prefix positions, a prefix-postings self-join
-    (carries ~(1−τ)·|tokens| rows per doc), and a verify join on the
-    candidate ids only. 100 TB: every stage is keyed and partial-
-    aggregatable; candidate volume is bounded by posting-list lengths,
-    which the rare-first order minimizes — the df-cap knob LSH needs
-    (max_shingle_df) is built into the ordering itself.
+    The similarity domain is k-gram SHINGLES, not unigram token sets,
+    deliberately: order-encoding shingles are discriminative enough
+    that τ-similar pairs are genuinely rare, whereas unigram sets on
+    short template-heavy docs make the TRUE result itself quadratic
+    (measured at sf0.1: 3M token-set pairs vs 256 shingle pairs) — no
+    candidate strategy can fix an output that big.
+
+    Shape: one explode for the df table (shingle-vocab-sized), a df
+    join + one (doc_id)-window for prefix positions, a prefix-postings
+    self-join, and a verify join on the candidate ids only. 100 TB:
+    every stage is keyed and partial-aggregatable; candidate volume is
+    bounded by posting-list lengths, which the rare-first order
+    minimizes — the df-cap knob LSH needs (max_shingle_df) is built
+    into the ordering itself.
 
     Same half-up integer acceptance as ngram_jaccard_pairs; returns
     (doc_a, doc_b, jaccard).
     """
     from pyspark.sql import Window
 
-    from ds_mapreduce_spark.functions.text import tokens
-
     t4 = int(threshold * 10000)
     tt = (
-        docs.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("ts"))
-        .select("doc_id", "ts", F.size("ts").alias("n"))
-        .where(F.col("n") > 0)
-        # the token-set table feeds the df pass, the prefix pass, and
+        shingle_profiles(docs, k)
+        .select("doc_id", F.col("sh").alias("ts"), F.col("n_shingles").alias("n"))
+        # the shingle-set table feeds the df pass, the prefix pass, and
         # BOTH verify sides: checkpoint so the documents scan runs once
         .localCheckpoint(eager=True)
     )

@@ -829,13 +829,10 @@ def q_dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_prefix_filter",
-    oracle=r"""
-WITH tt AS (
-  SELECT doc_id,
-         list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ts
-  FROM documents
-),
-tn AS (SELECT doc_id, ts, len(ts) AS n FROM tt WHERE len(ts) > 0),
+    oracle="WITH "
+    + _PROFILE_CTE
+    + """,
+tn AS (SELECT doc_id, sh AS ts, n_shingles AS n FROM profiles),
 ex AS (SELECT doc_id, n, unnest(ts) AS tok FROM tn),
 dfreq AS (SELECT tok, COUNT(*) AS dft FROM ex GROUP BY tok),
 pfx AS (
@@ -860,23 +857,27 @@ scored AS (
 SELECT doc_a, doc_b, jacc_scaled / 10000.0 AS jaccard
 FROM scored WHERE jacc_scaled >= 8000
 """,
-    doc="EXACT set-similarity self-join via prefix filtering (r6) — "
-    "the PPJoin/AllPairs strategy: under a global rarest-first token "
-    "order, any Jaccard>=0.8 pair must share one of each doc's first "
-    "n - ceil(0.8n) + 1 tokens, so posting only those prefix tokens "
-    "generates a provably complete candidate set (a completeness "
-    "THEOREM — the recall guarantee LSH only gives probabilistically, "
-    "and min-shingle blocking only in expectation) and the exact "
-    "verify makes the whole join exact. The hash is an independent "
+    doc="EXACT 3-gram-shingle Jaccard self-join via prefix filtering "
+    "(r6) — the PPJoin/AllPairs strategy: under a global rarest-first "
+    "shingle order, any Jaccard>=0.8 pair must share one of each "
+    "doc's first n - ceil(0.8n) + 1 shingles, so posting only those "
+    "prefix shingles generates a provably complete candidate set (a "
+    "completeness THEOREM — the recall guarantee LSH only gives "
+    "probabilistically, and min-shingle blocking only in expectation) "
+    "and the exact verify makes the whole join exact: the result is a "
+    "provable SUPERSET of dedup_ngram_jaccard's (same similarity and "
+    "acceptance, no block-missed pairs — containment asserted by "
+    "tests/test_dedup_truth_bound.py). The hash is an independent "
     "cross-engine check of that completeness: both engines emit only "
     "verified pairs, so any candidate miss shows up as a missing row. "
     "See operators/dedup.py:prefix_filter_jaccard_pairs for the "
     "100 TB shape (rare-first prefixes = short posting lists, no hot "
-    "keys, everything partial-aggregatable).",
+    "keys, everything partial-aggregatable) and for why the domain is "
+    "shingles, not unigram token sets.",
 )
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_mapreduce_spark.operators.dedup import prefix_filter_jaccard_pairs
 
     return prefix_filter_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.8
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.8
     )

@@ -2117,10 +2117,10 @@ def q_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bm25_search",
-    oracle=r"""
-WITH toks AS (
+#: BM25 CTE chain through ``agg`` (doc_id, bm25_scaled, n_hit_terms) —
+#: shared by bm25_search and hybrid_search_rerank; mirrors
+#: _bm25_doc_scores 1:1 (same constants, same floor divisions).
+_BM25_CTE = r"""toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
   FROM documents
 ),
@@ -2155,31 +2155,15 @@ agg AS (
   SELECT doc_id, CAST(SUM(score_t) AS BIGINT) AS bm25_scaled,
          CAST(COUNT(*) AS BIGINT) AS n_hit_terms
   FROM scored GROUP BY doc_id
-)
-SELECT doc_id, bm25_scaled, n_hit_terms,
-       CAST(row_number() OVER (ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS rnk
-FROM agg QUALIFY rnk <= 20
-""",
-    doc="BM25 ranked retrieval (r6) — the Okapi scoring every search "
-    "engine (Lucene/ES default) runs, in EXACT integer arithmetic so "
-    "the ranking hashes identically cross-engine: per-term weight = "
-    "idf_int * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with k1=1.2 "
-    "b=0.75 at x100 fixed-point, where idf_int is the exact-rational "
-    "surrogate (2(N-df)+1)*1e6 DIV (2df+1) of the BM25 idf argument "
-    "(monotone in it — the tfidf_top_terms convention: no float ln "
-    "crosses the engine boundary) and every DIV is mirrored floor "
-    "division, so the per-doc score is an order-independent BIGINT "
-    "sum. Query = the 5 globally rarest tokens of the min-doc_id "
-    "document (deterministic, provably matches its source). Shape: "
-    "the needle set (5 rows, from the df table) broadcasts; tf "
-    "counting joins the broadcast needle BEFORE any aggregation (the "
-    "trigram lesson — the only token-scale shuffle carries needle-"
-    "matching rows); dl/N/sum_dl are map-only projections + one "
-    "1-row broadcast; final ranking is TakeOrdered(20). 100 TB: this "
-    "is an inverted-index probe — per query, work is proportional to "
-    "the needle terms' posting lists, never the corpus.",
-)
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+)"""
+
+
+def _bm25_doc_scores(spark: SparkSession, sf_dir: str):
+    """(doc_id, bm25_scaled, n_hit_terms) for every doc matching >=1 of
+    the 5 globally rarest tokens of the min-doc_id document — the
+    integer-exact Okapi scorer shared by bm25_search and
+    hybrid_search_rerank (see bm25_search's doc for the arithmetic and
+    the 100 TB inverted-index shape)."""
     from ds_mapreduce_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2229,15 +2213,120 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score_t"),
         )
     )
-    agg = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.sum("score_t").cast("bigint").alias("bm25_scaled"),
         F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
     )
+
+
+@register(
+    "bm25_search",
+    oracle="WITH "
+    + _BM25_CTE
+    + """
+SELECT doc_id, bm25_scaled, n_hit_terms,
+       CAST(row_number() OVER (ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS rnk
+FROM agg QUALIFY rnk <= 20
+""",
+    doc="BM25 ranked retrieval (r6) — the Okapi scoring every search "
+    "engine (Lucene/ES default) runs, in EXACT integer arithmetic so "
+    "the ranking hashes identically cross-engine: per-term weight = "
+    "idf_int * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with k1=1.2 "
+    "b=0.75 at x100 fixed-point, where idf_int is the exact-rational "
+    "surrogate (2(N-df)+1)*1e6 DIV (2df+1) of the BM25 idf argument "
+    "(monotone in it — the tfidf_top_terms convention: no float ln "
+    "crosses the engine boundary) and every DIV is mirrored floor "
+    "division, so the per-doc score is an order-independent BIGINT "
+    "sum. Query = the 5 globally rarest tokens of the min-doc_id "
+    "document (deterministic, provably matches its source). Shape: "
+    "the needle set (5 rows, from the df table) broadcasts; tf "
+    "counting joins the broadcast needle BEFORE any aggregation (the "
+    "trigram lesson — the only token-scale shuffle carries needle-"
+    "matching rows); dl/N/sum_dl are map-only projections + one "
+    "1-row broadcast; final ranking is TakeOrdered(20). 100 TB: this "
+    "is an inverted-index probe — per query, work is proportional to "
+    "the needle terms' posting lists, never the corpus.",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    agg = _bm25_doc_scores(spark, sf_dir)
     # TakeOrdered(20) first, THEN rank: the global row_number window
     # runs on <=20 rows (bounded SinglePartition tail), never on the
     # full candidate set — candidate-doc top-k stays distributed.
     top = agg.orderBy(F.col("bm25_scaled").desc(), "doc_id").limit(20)
     w = Window.orderBy(F.col("bm25_scaled").desc(), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+@register(
+    "hybrid_search_rerank",
+    oracle="WITH "
+    + _BM25_CTE
+    + """,
+cand AS (
+  SELECT doc_id, bm25_scaled FROM agg
+  ORDER BY bm25_scaled DESC, doc_id LIMIT 50
+),
+qe AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings
+  WHERE vec_id = (SELECT MIN(doc_id) FROM documents)
+),
+rr AS (
+  SELECT c.doc_id, c.bm25_scaled,
+         ROUND(list_cosine_similarity(qe.q_emb, CAST(e.embedding AS DOUBLE[])), 6)
+           AS dense_score
+  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, qe
+)
+SELECT doc_id, bm25_scaled, dense_score,
+       CAST(row_number() OVER (ORDER BY dense_score DESC, doc_id) AS BIGINT) AS rnk
+FROM rr QUALIFY rnk <= 10
+""",
+    doc="Hybrid retrieval (r6) — the modern RAG search stack in one "
+    "plan: sparse BM25 retrieval proposes top-50 candidates (shared "
+    "scorer _bm25_doc_scores — cheap, inverted-index-shaped, high "
+    "recall), then a dense embedding re-rank scores ONLY those 50 "
+    "against the query document's vector (cosine, 6dp, knn "
+    "conventions) and keeps the top 10 — the retrieve-then-rerank "
+    "pattern that makes semantic search affordable: the expensive "
+    "dense scoring touches |candidates| vectors, never the corpus "
+    "(at 100 TB the re-rank is 50 rows against a broadcast query "
+    "vector regardless of corpus size; swap the cosine for a "
+    "cross-encoder UDF and the plumbing is unchanged). doc_id is the "
+    "embeddings join key (vec_id aligns 1:1 in the test tables — the "
+    "doc-to-vector mapping every real corpus maintains).",
+)
+def q_hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ds_mapreduce_spark.functions.vector import cosine_similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = (
+        _bm25_doc_scores(spark, sf_dir)
+        .orderBy(F.col("bm25_scaled").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "bm25_scaled")
+    )
+    qe = (
+        emb.join(
+            F.broadcast(docs.agg(F.min("doc_id").alias("mid"))),
+            F.col("vec_id") == F.col("mid"),
+        )
+        .select(F.col("embedding").alias("q_emb"))
+    )
+    rr = (
+        cand.join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+        .crossJoin(F.broadcast(qe))
+        .select(
+            "doc_id",
+            "bm25_scaled",
+            F.round(cosine_similarity(F.col("q_emb"), F.col("embedding")), 6).alias(
+                "dense_score"
+            ),
+        )
+    )
+    top = rr.orderBy(F.col("dense_score").desc(), "doc_id").limit(10)
+    w = Window.orderBy(F.col("dense_score").desc(), "doc_id")
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))

@@ -72,3 +72,21 @@ def test_blocked_truth_recall_meets_tau_bound(spark, sf_dir):
         f"block recall {n_blocked}/{n_unblocked} below tau/(1+tau) "
         f"= {T4}/{10000 + T4}"
     )
+
+
+def test_prefix_filter_result_contains_blocked_result(spark, sf_dir):
+    """prefix_filter_jaccard_pairs and ngram_jaccard_pairs compute the
+    SAME similarity with the same acceptance; the prefix-filter variant
+    has a completeness theorem while min-shingle blocking can miss
+    pairs — so the prefix-filter result must be a superset of the
+    blocked result."""
+    from ds_mapreduce_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    complete = prefix_filter_jaccard_pairs(docs, k=3, threshold=TAU).select(
+        "doc_a", "doc_b"
+    )
+    blocked = ngram_jaccard_pairs(docs, k=3, threshold=TAU).select("doc_a", "doc_b")
+    missing = blocked.join(complete, ["doc_a", "doc_b"], "left_anti").count()
+    assert missing == 0
+    assert complete.count() >= blocked.count() > 0
