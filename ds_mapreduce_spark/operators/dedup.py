@@ -799,3 +799,140 @@ def prefix_filter_jaccard_pairs(
     return scored.where(F.col("__jacc") >= t4).select(
         "doc_a", "doc_b", (F.col("__jacc") / 10000.0).alias("jaccard")
     )
+
+
+def duplicate_span_excision(
+    docs: DataFrame, n: int = 5, min_count: int = 2
+) -> DataFrame:
+    """Corpus-level duplicate-SPAN removal (the ExactSubstr dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", at n-gram granularity): any n-token sequence that
+    occurs >= ``min_count`` times ANYWHERE in the corpus (other docs
+    or the same doc) marks its token interval for excision; per doc,
+    overlapping/adjacent marked intervals merge into maximal spans
+    (gaps-and-islands) and the retained text is reconstructed from the
+    surviving token positions. Unlike whole-doc near-dedup this keeps
+    the unique remainder of a partially-duplicated document instead of
+    dropping or keeping it wholesale — the difference between losing a
+    page because it embeds a boilerplate footer and just cutting the
+    footer.
+
+    Returns one row per document:
+      (doc_id, n_tokens, n_spans, n_tokens_removed, n_tokens_kept,
+       removed_bp, retained_md5)
+    where removed_bp is half-up integer basis points and retained_md5
+    is md5 of the space-joined retained tokens (clean docs get the
+    md5 of their space-joined full token stream, so the column is
+    defined — and whitespace-normalized — for every row).
+
+    Plan shape (the classic count-then-filter two-pass, like C4
+    boilerplate): pass 1 explodes positional n-grams once, counts
+    occurrences (one linear shuffle, partial agg absorbs hot
+    boilerplate grams map-side), keeps the >= min_count tail; hits
+    join back on the gram string; ONE bounded per-doc window pair does
+    the interval merge (partition size = per-doc hit count <= token
+    count). Reconstruction deliberately runs ONLY on docs that have
+    spans (semi-join): at 100 TB the overwhelmingly common clean doc
+    pays one map-side md5 and never re-explodes. The three consumers
+    of the merged span table (stats, covered-position explode, dirty
+    semi-join) share one localCheckpoint so the gram pipeline runs
+    once.
+    """
+    from pyspark.sql import Window
+
+    from ds_mapreduce_spark.functions.text import tokens
+
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
+    )
+    occ = (
+        base.where(F.size("toks") >= n)
+        .select("doc_id", F.posexplode(grams).alias("p0", "g"))
+        .select("doc_id", (F.col("p0") + 1).alias("s"), "g")
+    )
+    dup = (
+        occ.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("g")
+    )
+    hits = occ.join(dup, "g").select("doc_id", "s", (F.col("s") + (n - 1)).alias("e"))
+    w_prev = Window.partitionBy("doc_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # new island iff this hit starts past every previous end + 1
+    # (adjacent spans merge: contiguous removed text is ONE cut)
+    isl = hits.withColumn(
+        "__ni",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1, 1
+        ).otherwise(0),
+    ).withColumn("__island", F.sum("__ni").over(w_run))
+    spans = (
+        isl.groupBy("doc_id", "__island")
+        .agg(F.min("s").alias("ss"), F.max("e").alias("se"))
+        .localCheckpoint(eager=True)
+    )
+    per = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("se") - F.col("ss") + 1).cast("bigint").alias("n_tokens_removed"),
+    )
+    covered = spans.select("doc_id", F.explode(F.sequence("ss", "se")).alias("p"))
+    tokpos = (
+        base.join(per.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", F.posexplode("toks").alias("p0", "tok"))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    )
+    rebuilt = (
+        tokpos.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                        lambda x: x["tok"],
+                    ),
+                )
+            ).alias("retained_md5")
+        )
+    )
+    lens = base.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "toks")).alias("__clean_md5"),
+    )
+    out = (
+        lens.join(per, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_tokens_removed", F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+            (
+                F.col("n_tokens") - F.coalesce("n_tokens_removed", F.lit(0))
+            ).cast("bigint").alias("n_tokens_kept"),
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.expr(
+                    "(20000 * coalesce(n_tokens_removed, 0) + n_tokens)"
+                    " DIV (2 * n_tokens)"
+                )
+            )
+            .alias("removed_bp"),
+            # a fully-covered doc has no kept rows -> md5 of ''
+            F.when(F.col("n_spans").isNull(), F.col("__clean_md5"))
+            .otherwise(F.coalesce("retained_md5", F.md5(F.lit(""))))
+            .alias("retained_md5"),
+        )
+    )
+    return out

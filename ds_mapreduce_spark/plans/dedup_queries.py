@@ -881,3 +881,98 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), k=3, threshold=0.8
     )
+
+
+@register(
+    "dedup_span_excision",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS s, array_to_string(t[i:i+4], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - 3)) u(i)
+  WHERE len(t) >= 5
+),
+dup AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 2),
+hits AS (SELECT o.doc_id, o.s, o.s + 4 AS e FROM occ o JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, s, e,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, MIN(s) AS ss, MAX(e) AS se
+  FROM isl2 GROUP BY doc_id, island
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(se - ss + 1) AS BIGINT) AS n_tokens_removed
+  FROM spans GROUP BY doc_id
+),
+covered AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p
+  FROM spans, UNNEST(range(ss, se + 1)) v(p)
+),
+tokpos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS tok
+  FROM toks, UNNEST(range(1, len(t) + 1)) w(i)
+  WHERE doc_id IN (SELECT doc_id FROM per)
+),
+kept AS (
+  SELECT tp.doc_id, tp.p, tp.tok
+  FROM tokpos tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.p = c.p
+  WHERE c.p IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY p)) AS retained_md5
+  FROM kept GROUP BY doc_id
+),
+lens AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         md5(array_to_string(t, ' ')) AS clean_md5
+  FROM toks
+)
+SELECT l.doc_id, l.n_tokens,
+       COALESCE(per.n_spans, 0) AS n_spans,
+       COALESCE(per.n_tokens_removed, 0) AS n_tokens_removed,
+       l.n_tokens - COALESCE(per.n_tokens_removed, 0) AS n_tokens_kept,
+       CASE WHEN l.n_tokens = 0 THEN 0
+            ELSE (20000 * COALESCE(per.n_tokens_removed, 0) + l.n_tokens)
+                 // (2 * l.n_tokens) END AS removed_bp,
+       CASE WHEN per.doc_id IS NULL THEN l.clean_md5
+            ELSE COALESCE(rebuilt.retained_md5, md5('')) END AS retained_md5
+FROM lens l
+LEFT JOIN per ON l.doc_id = per.doc_id
+LEFT JOIN rebuilt ON l.doc_id = rebuilt.doc_id
+""",
+    doc="Duplicate-SPAN excision (r6) — the ExactSubstr dedup of Lee "
+    "et al. 2022 at 5-gram granularity: any 5-token sequence occurring "
+    ">= 2 times corpus-wide marks its interval; per-doc overlapping/"
+    "adjacent intervals merge (gaps-and-islands) and the retained text "
+    "is rebuilt from surviving positions — keeping the unique remainder "
+    "of a partially-duplicated doc instead of keeping/dropping it "
+    "wholesale. The retained_md5 column proves the reconstruction "
+    "cross-engine, not just the span arithmetic. Plan: count-then-"
+    "filter two-pass (hot boilerplate grams absorbed map-side by "
+    "partial agg), ONE bounded per-doc window pair for the merge, "
+    "reconstruction semi-joined to span-bearing docs only — at 100 TB "
+    "the common clean doc pays one map-side md5 and never re-explodes. "
+    "See operators/dedup.py:duplicate_span_excision.",
+)
+def q_dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import duplicate_span_excision
+
+    return duplicate_span_excision(
+        load_table(spark, sf_dir, "documents"), n=5, min_count=2
+    )

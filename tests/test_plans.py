@@ -169,6 +169,10 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         ("q13_order_count_distribution", 2),  # custkey join+agg share one shuffle
         ("kv_text_roundtrip", 1),         # line re-scan + one aggregation shuffle
         ("wholetext_file_stats", 1),      # whole-file re-scan + one aggregation shuffle
+        # post-checkpoint plan: rebuilt groupBy + anti-join side + final
+        # assembly; the gram count-then-filter pipeline runs inside the
+        # eager span checkpoint (its own 1 gram-count shuffle)
+        ("dedup_span_excision", 3),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):

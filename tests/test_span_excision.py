@@ -1,0 +1,79 @@
+"""Edge semantics of duplicate_span_excision (Lee et al. ExactSubstr
+at 5-gram granularity): adjacent-hit merging, within-doc repetition,
+full-coverage reconstruction, and sub-n docs. The corpus-level parity
+gate covers the driver tables; this pins the hand-checkable cases."""
+
+from __future__ import annotations
+
+import hashlib
+
+from ds_mapreduce_spark.operators.dedup import duplicate_span_excision
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _run(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = duplicate_span_excision(docs, n=5, min_count=2)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_shared_span_merges_overlapping_hits(spark):
+    # docs 1 and 2 share a 6-token run -> two overlapping 5-gram hits
+    # -> ONE merged span of 6 tokens in each
+    shared = "a b c d e f"
+    rows = [
+        (1, f"u1 u2 u3 {shared} v1 v2 v3"),
+        (2, f"w1 w2 {shared} x1 x2 x3 x4"),
+        (3, "y1 y2 y3 y4 y5 y6 y7 y8 y9"),
+    ]
+    got = _run(spark, rows)
+    for d, pre in ((1, "u1 u2 u3"), (2, "w1 w2")):
+        assert got[d]["n_spans"] == 1
+        assert got[d]["n_tokens_removed"] == 6
+        assert got[d]["n_tokens_kept"] == got[d]["n_tokens"] - 6
+    assert got[1]["retained_md5"] == _md5("u1 u2 u3 v1 v2 v3")
+    assert got[2]["retained_md5"] == _md5("w1 w2 x1 x2 x3 x4")
+    # clean doc keeps everything, md5 of the full token stream
+    assert got[3]["n_spans"] == 0 and got[3]["n_tokens_removed"] == 0
+    assert got[3]["retained_md5"] == _md5(rows[2][1])
+
+
+def test_exact_duplicate_docs_fully_covered(spark):
+    text = "t1 t2 t3 t4 t5 t6 t7"
+    got = _run(spark, [(1, text), (2, text)])
+    for d in (1, 2):
+        assert got[d]["n_spans"] == 1
+        assert got[d]["n_tokens_removed"] == 7
+        assert got[d]["n_tokens_kept"] == 0
+        assert got[d]["removed_bp"] == 10000
+        assert got[d]["retained_md5"] == _md5("")
+
+
+def test_within_doc_repetition_counts(spark):
+    # the 5-gram 'r1..r5' occurs twice INSIDE one doc -> both
+    # occurrences excised (min_count counts occurrences, not docs)
+    rep = "r1 r2 r3 r4 r5"
+    got = _run(spark, [(1, f"{rep} z1 z2 z3 z4 z5 {rep}")])
+    assert got[1]["n_spans"] == 2
+    assert got[1]["n_tokens_removed"] == 10
+    assert got[1]["retained_md5"] == _md5("z1 z2 z3 z4 z5")
+
+
+def test_adjacent_spans_merge(spark):
+    # two dup 5-grams ending/starting back-to-back (positions 1-5 and
+    # 6-10): contiguous removed text is ONE cut
+    a, b = "a1 a2 a3 a4 a5", "b1 b2 b3 b4 b5"
+    got = _run(spark, [(1, f"{a} {b} tail1"), (2, f"{a} q1 q2 {b}")])
+    assert got[1]["n_spans"] == 1
+    assert got[1]["n_tokens_removed"] == 10
+    assert got[1]["retained_md5"] == _md5("tail1")
+
+
+def test_sub_n_docs_pass_through(spark):
+    got = _run(spark, [(1, "a b c"), (2, "a b c")])
+    assert got[1]["n_spans"] == 0
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["retained_md5"] == _md5("a b c")
