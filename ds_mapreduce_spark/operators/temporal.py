@@ -226,3 +226,59 @@ def resample_forward_fill(hourly: DataFrame) -> DataFrame:
         F.last("sum_cents", ignorenulls=True).over(w).alias("filled_cents"),
         F.col("sum_cents").isNull().alias("gap_filled"),
     )
+
+
+def resample_linear_interp(hourly: DataFrame) -> DataFrame:
+    """Dense hourly grid + LINEAR interpolation over a (user_id, h, n,
+    sum_cents) rollup — the fill(linear) of InfluxDB / timescale
+    ``interpolate()``, complementing ``resample_forward_fill``: a gap
+    hour gets the straight-line value between its two observed
+    neighbors instead of carrying the previous value. Exact integer
+    arithmetic: interp = pv + (nv - pv) * (h - ph) DIV (nh - ph) with
+    truncating DIV (Spark DIV = DuckDB // — both truncate toward
+    zero), so the hash is engine-independent; interior gaps ALWAYS
+    have both neighbors because the grid spans each user's observed
+    [min(h), max(h)].
+
+    Deliberately batch-only: linear interpolation is non-causal (a gap
+    needs the NEXT observation), so the streaming twin of this family
+    is forward fill — the causal fill — and that asymmetry is the
+    point, not an omission. Same plan bounds as the forward fill: ONE
+    per-user window pair, partitions bounded by the calendar span in
+    hours, never event volume."""
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = span.select("user_id", F.explode(F.sequence("lo", "hi")).alias("h"))
+    g = grid.join(hourly, ["user_id", "h"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("sum_cents").isNotNull(), F.col("h"))
+    neighbors = g.select(
+        "user_id",
+        "h",
+        "n",
+        "sum_cents",
+        F.last("sum_cents", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wb).alias("ph"),
+        F.first("sum_cents", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("nh"),
+    )
+    return neighbors.select(
+        "user_id",
+        (F.col("h") * 3600).alias("hour_start"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.when(F.col("sum_cents").isNotNull(), F.col("sum_cents"))
+        .otherwise(F.expr("pv + (nv - pv) * (h - ph) DIV (nh - ph)"))
+        .cast("bigint")
+        .alias("filled_cents"),
+        F.col("sum_cents").isNull().alias("gap_filled"),
+    )

@@ -293,3 +293,77 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overlap_sec"),
     )
+
+
+@register(
+    "events_gapfill_interpolate",
+    oracle="""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS s,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+hourly AS (
+  SELECT user_id, s // 3600 AS h,
+         COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM base GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, CAST(x AS BIGINT) AS h
+  FROM span, UNNEST(range(lo, hi + 1)) t(x)
+),
+g AS (
+  SELECT grid.user_id, grid.h, hourly.n, hourly.sum_cents
+  FROM grid LEFT JOIN hourly USING (user_id, h)
+),
+nb AS (
+  SELECT user_id, h, n, sum_cents,
+         LAST_VALUE(sum_cents IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN sum_cents IS NOT NULL THEN h END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         FIRST_VALUE(sum_cents IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN sum_cents IS NOT NULL THEN h END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM g
+)
+SELECT user_id, h * 3600 AS hour_start,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+       CAST(CASE WHEN sum_cents IS NOT NULL THEN sum_cents
+                 ELSE pv + (nv - pv) * (h - ph) // (nh - ph) END AS BIGINT)
+         AS filled_cents,
+       sum_cents IS NULL AS gap_filled
+FROM nb
+""",
+    doc="Time-series resample with LINEAR interpolation (r6) — the "
+    "fill(linear) every time-series store pairs with fill(previous), "
+    "completing the resample family: a gap hour gets the straight-line "
+    "value between its observed neighbors, pv + (nv-pv)*(h-ph) DIV "
+    "(nh-ph) in exact integer cents (Spark DIV = DuckDB // — both "
+    "truncate toward zero, so the hash is engine-independent; "
+    "multiplication before division keeps it exact). Interior gaps "
+    "always have both neighbors because the grid spans each user's own "
+    "observed [min, max] hour. Deliberately batch-only: interpolation "
+    "is NON-CAUSAL (a gap needs the next observation), so this "
+    "family's streaming twin is the forward fill — that asymmetry is "
+    "documented operator semantics, not an omission. Same 100 TB "
+    "bounds as events_hourly_resample: the fill windows run on the "
+    "|users × span-hours| rollup, never raw events; the rollup is "
+    "checkpointed so the events scan runs once across the span/grid "
+    "branches. See operators/temporal.py:resample_linear_interp.",
+)
+def q_events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.temporal import (
+        hourly_cents_rollup,
+        resample_linear_interp,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = hourly_cents_rollup(ev).localCheckpoint(eager=True)
+    return resample_linear_interp(hourly)

@@ -53,3 +53,34 @@ def test_range_join_point_on_upper_edge_excluded(spark):
     intervals = make_intervals(spark, 0.0, 10.0, 5.0)
     out = range_join_points_intervals(points, intervals, "x", "lo", "hi", bucket_width=3.0)
     assert out.count() == 0  # [5,10) is half-open
+
+
+def test_linear_interp_exact_slopes(spark):
+    """Gap rows get pv + (nv-pv)*(h-ph) DIV (nh-ph) with truncating
+    DIV — checked against hand values for rising, falling (negative
+    delta), and non-divisible slopes; observed rows pass through."""
+    from ds_mapreduce_spark.operators.temporal import resample_linear_interp
+
+    hourly = spark.createDataFrame(
+        [
+            # user 1: 100 @h0, 400 @h3 -> gaps at h1,h2: 100+300*k DIV 3
+            (1, 0, 2, 100),
+            (1, 3, 1, 400),
+            # user 2: falling, non-divisible: 10 @h0, 3 @h2 -> h1:
+            # 10 + (-7)*1 DIV 2 = 10 + (-3) = 7  (truncation, not floor)
+            (2, 0, 1, 10),
+            (2, 2, 1, 3),
+        ],
+        "user_id bigint, h bigint, n bigint, sum_cents bigint",
+    )
+    out = {
+        (r["user_id"], r["hour_start"]): r.asDict()
+        for r in resample_linear_interp(hourly).collect()
+    }
+    assert out[(1, 0)]["filled_cents"] == 100 and not out[(1, 0)]["gap_filled"]
+    assert out[(1, 3600)]["filled_cents"] == 200 and out[(1, 3600)]["gap_filled"]
+    assert out[(1, 7200)]["filled_cents"] == 300
+    assert out[(1, 10800)]["filled_cents"] == 400
+    assert out[(2, 3600)]["filled_cents"] == 7  # truncating DIV on negative delta
+    assert out[(2, 7200)]["filled_cents"] == 3 and not out[(2, 7200)]["gap_filled"]
+    assert len(out) == 7
