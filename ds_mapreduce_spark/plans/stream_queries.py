@@ -1167,3 +1167,115 @@ def q_session_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+@register(
+    "events_robust_outliers",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT user_id, cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM base
+),
+med AS (
+  SELECT user_id, cents AS med_cents, n
+  FROM ranked WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT b.user_id, ABS(b.cents - m.med_cents) AS d, m.med_cents, m.n
+  FROM base b JOIN med m USING (user_id)
+),
+dranked AS (
+  SELECT user_id, d, med_cents, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM dev
+),
+mad AS (
+  SELECT user_id, d AS mad_cents
+  FROM dranked WHERE rn = (n + 1) // 2
+)
+SELECT dev.user_id,
+       CAST(dev.n AS BIGINT) AS n_events,
+       CAST(dev.med_cents AS BIGINT) AS median_cents,
+       CAST(mad.mad_cents AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN dev.d > 3 * mad.mad_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(MAX(dev.d) AS BIGINT) AS max_abs_dev_cents
+FROM dev JOIN mad USING (user_id)
+GROUP BY dev.user_id, dev.n, dev.med_cents, mad.mad_cents
+""",
+    doc="Robust per-user outlier census via median absolute deviation "
+    "(r6) — the robust-statistics alternative to the mean/stddev "
+    "z-score of events_rolling_anomaly_flags, immune to the very "
+    "outliers it hunts (mean/std have breakdown point 0; median/MAD "
+    "break down at 50%): per user, EXACT lower median of integer "
+    "cents (value at sorted position (n+1) DIV 2 — no float "
+    "interpolation, engine-independent under ties because the "
+    "selected VALUE at a fixed rank is order-independent), MAD = "
+    "exact lower median of |x - median|, and an outlier is "
+    "|x - median| > 3·MAD — comparison entirely in int64, no "
+    "division anywhere. mad_cents = 0 (over half the values at the "
+    "median) correctly flags every deviating point. Plan: the "
+    "standard two-pass exact-median shape — one per-user sort window "
+    "for the median, a join-back, one per-user sort window for the "
+    "MAD, final per-user agg; both window partitions are per-user "
+    "event counts (the same bound every per-key exact quantile "
+    "pays; the global-quantile variant is equi_depth_histogram's "
+    "distributed NTILE). 100 TB: joins are |users|-sized on the "
+    "build side (AQE broadcasts), events shuffle twice on user_id "
+    "and nothing else moves.",
+)
+def q_events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+    )
+    wu = Window.partitionBy("user_id")
+    ranked = base.select(
+        "user_id",
+        "cents",
+        F.row_number().over(wu.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+    )
+    med = ranked.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "user_id", F.col("cents").alias("med_cents"), "n"
+    )
+    dev = base.join(med, "user_id").select(
+        "user_id",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("d"),
+        "med_cents",
+        "n",
+    )
+    dranked = dev.select(
+        "user_id", "d", F.row_number().over(wu.orderBy("d")).alias("rn"), "n"
+    )
+    mad = dranked.where(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "user_id", F.col("d").alias("mad_cents")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id", "n", "med_cents", "mad_cents")
+        .agg(
+            F.sum(F.when(F.col("d") > 3 * F.col("mad_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max("d").cast("bigint").alias("max_abs_dev_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("med_cents").cast("bigint").alias("median_cents"),
+            F.col("mad_cents").cast("bigint").alias("mad_cents"),
+            "n_outliers",
+            "max_abs_dev_cents",
+        )
+    )

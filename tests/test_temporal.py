@@ -84,3 +84,36 @@ def test_linear_interp_exact_slopes(spark):
     assert out[(2, 3600)]["filled_cents"] == 7  # truncating DIV on negative delta
     assert out[(2, 7200)]["filled_cents"] == 3 and not out[(2, 7200)]["gap_filled"]
     assert len(out) == 7
+
+
+def test_mad_outliers_lower_median_and_zero_mad(spark, sf_dir):
+    """Even-n picks the LOWER median ((n+1) DIV 2); a user with >half
+    identical values has MAD 0, so every deviating point flags."""
+    from ds_mapreduce_spark.plans.registry import REGISTRY, load_all
+
+    load_all()
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM VALUES "
+        # user 1: cents 100,200,300,400 -> lower median 200; devs
+        # 100,0,100,200 -> MAD (n=4, rank 2) = 100; outlier iff d>300: none
+        "(1, 1, TIMESTAMP '2024-01-01 00:00:00', 1.00),"
+        "(1, 2, TIMESTAMP '2024-01-01 00:01:00', 2.00),"
+        "(1, 3, TIMESTAMP '2024-01-01 00:02:00', 3.00),"
+        "(1, 4, TIMESTAMP '2024-01-01 00:03:00', 4.00),"
+        # user 2: 5,5,5,99 -> median 5, devs 0,0,0,94 -> MAD 0 -> the 94 flags
+        "(2, 5, TIMESTAMP '2024-01-01 00:00:00', 0.05),"
+        "(2, 6, TIMESTAMP '2024-01-01 00:01:00', 0.05),"
+        "(2, 7, TIMESTAMP '2024-01-01 00:02:00', 0.05),"
+        "(2, 8, TIMESTAMP '2024-01-01 00:03:00', 0.99)"
+        " t(user_id, event_id, ts, value)"
+    )
+    got = {
+        r[0]: r
+        for r in con.sql(REGISTRY["events_robust_outliers"].oracle).fetchall()
+    }
+    # oracle semantics pinned here; Spark==oracle pinned by the parity gate
+    assert got[1][2] == 200 and got[1][3] == 100 and got[1][4] == 0
+    assert got[2][2] == 5 and got[2][3] == 0 and got[2][4] == 1
