@@ -70,6 +70,11 @@ HEADLINE = [
     "dedup_prefix_filter",
     "bm25_search",
     "pq_trained_codebook_encode",
+    # late round 6: duplicate-span excision (count-then-filter + per-doc
+    # interval merge + selective reconstruction — the heaviest new text
+    # shape) and the linear-interp resample twin
+    "dedup_span_excision",
+    "events_gapfill_interpolate",
 ]
 
 

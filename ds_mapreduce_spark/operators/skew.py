@@ -47,3 +47,46 @@ def salted_join(
     )
     out = l_salted.join(r_salted, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def keycount_partial(ev: DataFrame, key: str = "user_id") -> DataFrame:
+    """(key, n_events) partial counts — the associative state both the
+    batch heavy-hitter profile and its streaming twin maintain: counts
+    merge by summation under ANY chunking of the feed, so micro-batched
+    maintenance converges to the batch profile."""
+    return ev.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+
+
+def keycount_merge(*parts: DataFrame) -> DataFrame:
+    """Merge partial (key, n_events) tables by summation."""
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    key = [c for c in merged.columns if c != "n_events"]
+    return merged.groupBy(*key).agg(
+        F.sum("n_events").cast("bigint").alias("n_events")
+    )
+
+
+def heavy_hitter_present(pk: DataFrame, topk: int = 10) -> DataFrame:
+    """Presentation half of the heavy-hitter profile, shared verbatim
+    by the batch query and the streaming twin: integer-bp traffic
+    share + total/distinct context, exact top-``topk`` by count with
+    deterministic user_id tie-break (TakeOrderedAndProject — per-
+    partition heaps, no global sort)."""
+    tot = pk.agg(
+        F.sum("n_events").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+    )
+    return (
+        pk.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(topk)
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.expr("CAST(n_events * 10000 DIV t AS BIGINT)").alias("share_bp"),
+            F.col("t").alias("n_total_events"),
+            F.col("d").alias("n_distinct_users"),
+        )
+    )

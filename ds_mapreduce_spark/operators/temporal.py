@@ -256,10 +256,17 @@ def resample_linear_interp(hourly: DataFrame) -> DataFrame:
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wf = (
+    # "next observed" via a DESCENDING running frame, NOT
+    # (currentRow, unboundedFollowing): Spark's UnboundedFollowing
+    # window frame re-aggregates the partition tail for EVERY row —
+    # O(span²) per user, measured 14.7 s vs 0.9 s at sf0.1. A running
+    # last() over h DESC is the O(span) incremental frame and
+    # identical semantics (first non-null at h' >= h); it costs one
+    # extra in-partition sort on the SAME exchange, no new shuffle.
+    wfd = (
         Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("h").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_h = F.when(F.col("sum_cents").isNotNull(), F.col("h"))
     neighbors = g.select(
@@ -269,8 +276,8 @@ def resample_linear_interp(hourly: DataFrame) -> DataFrame:
         "sum_cents",
         F.last("sum_cents", ignorenulls=True).over(wb).alias("pv"),
         F.last(obs_h, ignorenulls=True).over(wb).alias("ph"),
-        F.first("sum_cents", ignorenulls=True).over(wf).alias("nv"),
-        F.first(obs_h, ignorenulls=True).over(wf).alias("nh"),
+        F.last("sum_cents", ignorenulls=True).over(wfd).alias("nv"),
+        F.last(obs_h, ignorenulls=True).over(wfd).alias("nh"),
     )
     return neighbors.select(
         "user_id",

@@ -772,24 +772,14 @@ ORDER BY n_events DESC, user_id LIMIT 10
     "ties break by user_id.",
 )
 def q_events_heavy_hitter_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.skew import (
+        heavy_hitter_present,
+        keycount_partial,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    pk = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    tot = pk.agg(
-        F.sum("n_events").cast("bigint").alias("t"),
-        F.count(F.lit(1)).cast("bigint").alias("d"),
-    )
-    return (
-        pk.crossJoin(F.broadcast(tot))
-        .orderBy(F.col("n_events").desc(), F.col("user_id"))
-        .limit(10)
-        .select(
-            "user_id",
-            F.col("n_events").cast("bigint").alias("n_events"),
-            F.expr("CAST(n_events * 10000 DIV t AS BIGINT)").alias("share_bp"),
-            F.col("t").alias("n_total_events"),
-            F.col("d").alias("n_distinct_users"),
-        )
-    )
+    # partial + present shared verbatim with run_streaming_heavy_hitters
+    return heavy_hitter_present(keycount_partial(ev))
 
 
 @register(

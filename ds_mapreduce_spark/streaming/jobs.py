@@ -690,3 +690,59 @@ def run_streaming_hourly_resample(
     q.awaitTermination()
     final_state = spark.read.parquet(f"{state_dir}/v{last_version[0]}")
     return resample_forward_fill(final_state)
+
+
+def run_streaming_heavy_hitters(
+    spark: SparkSession, events_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming heavy-hitter maintenance: the events feed arrives as
+    micro-batches and each batch's per-key partial counts MERGE into a
+    landed (key, n_events) state table via ``foreachBatch`` — the same
+    ``keycount_partial``/``keycount_merge`` the batch profile
+    (``events_heavy_hitter_profile``) composes in one plan, so the
+    maintained state converges to the batch answer under ANY chunking
+    of the feed (counts are associative). State is chained through
+    versioned parquet dirs (``v{batch_id}`` reads ``v{batch_id-1}``)
+    like ``run_streaming_mv_maintenance``: a retried batch id rewrites
+    its own version from its predecessor — idempotent on top of
+    at-least-once delivery. Returns the final top-10 through the
+    shared ``heavy_hitter_present`` projection. 100 TB: each
+    micro-batch scans only its delta and shuffles |keys-in-batch|
+    partial rows; the state store is key-cardinality-sized — the skew
+    monitor you leave running NEXT to the pipeline it tunes."""
+    from ds_mapreduce_spark.operators.skew import (
+        heavy_hitter_present,
+        keycount_merge,
+        keycount_partial,
+    )
+    from ds_mapreduce_spark.sources.catalog import normalize_events_ts
+
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if events_dir.endswith(".parquet"):
+        base, _, fname = events_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        events_dir = base
+    stream = normalize_events_ts(reader.parquet(events_dir))
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        part = keycount_partial(batch_df)
+        if batch_id > 0:
+            prev = sess.read.parquet(f"{state_dir}/v{batch_id - 1}")
+            merged = keycount_merge(prev, part)
+        else:
+            merged = keycount_merge(part)
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return heavy_hitter_present(spark.read.parquet(f"{state_dir}/v{last_version[0]}"))

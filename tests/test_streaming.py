@@ -503,3 +503,25 @@ def test_streaming_hourly_resample_matches_batch_with_late_data(
     brows = sorted(map(tuple, batch.collect()))
     assert srows == brows
     assert len(srows) > 0
+
+
+def test_streaming_heavy_hitters_matches_batch(spark, sf_dir, tmp_path):
+    """The micro-batched per-key count merge must converge to exactly
+    the batch heavy-hitter profile, however the feed is chunked: events
+    split into 4 files (4 micro-batches via maxFilesPerTrigger=1), the
+    same keycount partial/merge/present as the batch query."""
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.sources.catalog import load_table
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_heavy_hitters
+
+    batch = load_all()["events_heavy_hitter_profile"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    feed_dir = str(tmp_path / "events_feed")
+    ev.repartition(4).write.parquet(feed_dir)
+
+    streamed = run_streaming_heavy_hitters(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert srows == brows
