@@ -70,24 +70,14 @@ PRIORITY: tuple[str, ...] = (
     "text_stats",                   # text analysis (E9)
     "asof_join_click_purchase",     # temporal join
     "kv_text_roundtrip",            # text source/sink (R1/R4-R6)
-    "multimodal_features",          # multimodal plumbing
     "events_json_extract",          # JSON extraction (E14/X2)
     "q3_shipping_priority",         # join pipeline (E11)
     "dedup_exact",                  # exact dedup (E6)
     "decontamination",              # LLM-pipeline text op
     "pipeline_llm_training_prep",   # THE flagship end-to-end funnel
     # family breadth
-    "events_rolling_1h_stats",
-    "events_rolling_7d_active_users",  # r5: exact sliding distinct
-    "exact_ngram_decontamination",
-    "corpus_shard_plan",
-    "dedup_lsh_eval",            # r5: banding precision/recall vs exact truth
-    # dedup_connected_components moved out for the incremental-ingest
-    # contract (its recursive-CTE oracle stays under the in-repo gate)
     "dedup_incremental",
-    "scd2_user_value_history",   # r5: SCD2 history build
     "dq_validation_suite",       # r5: Deequ-style contract gate
-    "agg_approx_suite",
     "interval_overlap_join",     # r5: bucketized interval-overlap join
     "multimodal_payload_dedup",
     # round-5 rotation (VERDICT r4 item 1): the round-4 flagship family
@@ -109,13 +99,6 @@ PRIORITY: tuple[str, ...] = (
     # scd2_user_value_history, interval_overlap_join,
     # events_rolling_7d_active_users, dedup_lsh_eval,
     # graph_triangle_count.
-    "graph_pagerank",
-    "kmeans_lloyd_refine",
-    "events_native_session_window",
-    "incremental_agg_maintenance",
-    "zorder_write_prune",
-    "approx_distinct_rollup",
-    "events_rolling_anomaly_flags",
     "graph_triangle_count",      # r5: degree-oriented wedge counting
     # Round-6 rotation (VERDICT r5 item 1): the round-5 surface gets
     # driver-grade evidence. OUT (each hash-green >=2 consecutive driver
@@ -152,6 +135,33 @@ PRIORITY: tuple[str, ...] = (
     "pq_trained_codebook_encode",  # r6: PQ train+encode end-to-end
     "bm25_search",                # r6: sparse retrieval (BM25 exact)
     "dedup_prefix_filter",        # r6: provably-complete set-sim join
+    # Round-7 rotation (VERDICT r6 #1): burn the never-graded backlog
+    # below 35. OUT — each hash-green in r5 AND r6 (>=2 consecutive
+    # driver rounds), every family keeps graded rows in the window:
+    # graph_pagerank, kmeans_lloyd_refine, zorder_write_prune,
+    # approx_distinct_rollup, events_rolling_anomaly_flags,
+    # incremental_agg_maintenance, multimodal_features, agg_approx_suite,
+    # dedup_lsh_eval, events_rolling_1h_stats,
+    # events_rolling_7d_active_users, scd2_user_value_history,
+    # corpus_shard_plan, events_native_session_window,
+    # exact_ngram_decontamination. IN — never driver-graded in any
+    # CORRECTNESS round (the five r6-new operators + the oldest backlog
+    # residents):
+    "dedup_span_excision",        # r6: ExactSubstr duplicate-span cut
+    "events_gapfill_interpolate",  # r6: linear-interp gap fill
+    "events_robust_outliers",     # r6: exact median/MAD census
+    "hybrid_search_rerank",       # r6: BM25 retrieve + dense rerank
+    "skyline_price_size",         # r6: 2-D Pareto skyline
+    "session_path_analysis",      # never graded: top transition paths
+    "mr_inverted_index_capped",   # never graded: df-capped postings
+    "orc_roundtrip",              # never graded: ORC source/sink
+    "customer_rfm_segments",      # never graded: RFM quintile segments
+    "market_basket_pairs",        # never graded: co-occurrence lift
+    "q2_min_cost_supplier",       # never graded: TPC-H correlated min
+    "q7_volume_shipping",         # never graded: TPC-H bi-nation flow
+    "q9_product_type_profit",     # never graded: TPC-H profit rollup
+    "events_heavy_hitter_profile",  # never graded: has streaming twin
+    "text_quality_score",         # never graded: doc quality heuristics
 )
 
 

@@ -91,26 +91,30 @@ def test_check_window_covers_the_round1_dark_families():
         "knn_ivf",                                        # E8
         "text_stats", "decontamination",                  # E9
         "events_sessionization", "events_json_extract",   # E13/E14
-        # events_funnel rotated out late-r6: hash-green r2-r5 (4 driver
-        # rounds); stream family keeps 7 graded rows
         "asof_join_click_purchase",                       # temporal
         "kv_text_roundtrip",                              # R1/R4-R6
-        "multimodal_payload_dedup",                       # multimodal x2
-        # r4 flagship family: first graded r5 — pinned one more round
-        "pipeline_llm_training_prep", "exact_ngram_decontamination",
-        "corpus_shard_plan", "graph_pagerank", "kmeans_lloyd_refine",
-        "events_native_session_window", "incremental_agg_maintenance",
-        "zorder_write_prune", "approx_distinct_rollup",
-        "events_rolling_anomaly_flags",
-        # r5 surface: rotated in for round 6 (VERDICT r5 #1)
+        "multimodal_payload_dedup",                       # multimodal
+        "pipeline_llm_training_prep",                     # flagship funnel
+        # r4/r5-era entries hash-green >=2 driver rounds rotated out in
+        # r7 (VERDICT r6 #1); their families keep graded rows. Entries
+        # first graded in r6 stay pinned one more round:
+        "graph_pagerank_converged", "pq_trained_codebook_encode",
+        "bm25_search", "dedup_prefix_filter",
+        # r5 surface graded r6 only once so far — pinned:
         "knn_pq_adc", "embedding_pq_codes", "dedup_lsh_band_sweep",
         "entity_resolution_clusters", "epoch_shuffle_plan",
         "leakage_safe_splits", "bpe_pair_merge_stats", "twap_user_value",
         "multi_touch_attribution", "events_hourly_resample",
         "equi_depth_histogram", "table_profile",
         "trigram_substring_search",
-        # r6 surface: swapped in late-r6 for same-round driver evidence
-        "graph_pagerank_converged", "pq_trained_codebook_encode",
-        "bm25_search", "dedup_prefix_filter",
+        # r7 rotation: never-driver-graded backlog burn (VERDICT r6 #1)
+        "dedup_span_excision", "events_gapfill_interpolate",
+        "events_robust_outliers", "hybrid_search_rerank",
+        "skyline_price_size", "session_path_analysis",
+        "mr_inverted_index_capped", "orc_roundtrip",
+        "customer_rfm_segments", "market_basket_pairs",
+        "q2_min_cost_supplier", "q7_volume_shipping",
+        "q9_product_type_profit", "events_heavy_hitter_profile",
+        "text_quality_score",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))
