@@ -802,7 +802,7 @@ def prefix_filter_jaccard_pairs(
 
 
 def duplicate_span_excision(
-    docs: DataFrame, n: int = 5, min_count: int = 2
+    docs: DataFrame, n: int = 5, min_count: int = 2, min_span_tokens: int = 0
 ) -> DataFrame:
     """Corpus-level duplicate-SPAN removal (the ExactSubstr dedup of
     Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -825,18 +825,41 @@ def duplicate_span_excision(
     md5 of their space-joined full token stream, so the column is
     defined — and whitespace-normalized — for every row).
 
+    ``min_span_tokens`` > 0 restores Lee et al.'s length floor
+    (they excise duplicated substrings of >= 50 tokens): marked n-gram
+    hits merge into maximal islands FIRST, then islands shorter than
+    the floor are dropped (one filter on the merged span table), so a
+    lone boilerplate n-gram survives but a long duplicated passage is
+    cut. Approximation vs the paper: two distinct short duplicated
+    substrings that overlap or touch merge into one island and are
+    length-tested TOGETHER — the granularity cost of marking via
+    n-grams rather than a suffix array.
+
     Plan shape (the classic count-then-filter two-pass, like C4
-    boilerplate): pass 1 explodes positional n-grams once, counts
-    occurrences (one linear shuffle, partial agg absorbs hot
-    boilerplate grams map-side), keeps the >= min_count tail; hits
-    join back on the gram string; ONE bounded per-doc window pair does
-    the interval merge (partition size = per-doc hit count <= token
+    boilerplate): pass 1 counts positional n-gram occurrences (one
+    linear shuffle, partial agg absorbs hot boilerplate grams
+    map-side); pass 2 joins the gram stream back against the
+    >= min_count tail. Honest accounting (ADVICE r6): the gram
+    posexplode subtree evaluates TWICE inside the span-checkpoint
+    action — once under the count aggregate and once as the join
+    probe (inherent to count-then-filter; the exchanges differ, so
+    Catalyst cannot reuse them) — and ``documents`` is additionally
+    scanned by the tokpos and lens map-only projections, ~3 fact
+    scans total. Both are deliberate: checkpointing the corpus-sized
+    gram or token stream to avoid a rescan would write more bytes
+    than the scan reads, and materializing the (smaller) duplicated-
+    gram set was tried and REJECTED — a LogicalRDD checkpoint drops
+    the aggregate's distinct-key statistics, inflating the merged-
+    span size estimate ~10^4x (24.6 KiB -> 272.9 MiB at sf0.001) and
+    flipping the three downstream per/rebuilt/semi joins from
+    broadcast to sort-merge. ONE bounded per-doc window pair does the
+    interval merge (partition size = per-doc hit count <= token
     count). Reconstruction deliberately runs ONLY on docs that have
-    spans (semi-join): at 100 TB the overwhelmingly common clean doc
-    pays one map-side md5 and never re-explodes. The three consumers
-    of the merged span table (stats, covered-position explode, dirty
-    semi-join) share one localCheckpoint so the gram pipeline runs
-    once.
+    surviving spans (semi-join): at 100 TB the overwhelmingly common
+    clean doc pays one map-side md5 and never re-explodes. The three
+    consumers of the merged span table (stats, covered-position
+    explode, dirty semi-join) share one localCheckpoint so the gram
+    pipeline runs once per pass, not once per consumer.
     """
     from pyspark.sql import Window
 
@@ -873,11 +896,17 @@ def duplicate_span_excision(
             F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1, 1
         ).otherwise(0),
     ).withColumn("__island", F.sum("__ni").over(w_run))
-    spans = (
-        isl.groupBy("doc_id", "__island")
-        .agg(F.min("s").alias("ss"), F.max("e").alias("se"))
-        .localCheckpoint(eager=True)
+    spans = isl.groupBy("doc_id", "__island").agg(
+        F.min("s").alias("ss"), F.max("e").alias("se")
     )
+    if min_span_tokens > 0:
+        # length floor AFTER the merge (Lee et al.'s >=50-token rule):
+        # tested on maximal islands, so overlapping short hits that
+        # chain into a long duplicated passage still get excised
+        spans = spans.where(
+            F.col("se") - F.col("ss") + 1 >= F.lit(min_span_tokens)
+        )
+    spans = spans.localCheckpoint(eager=True)
     per = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.sum(F.col("se") - F.col("ss") + 1).cast("bigint").alias("n_tokens_removed"),

@@ -883,9 +883,18 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_span_excision",
-    oracle=r"""
+def _span_excision_oracle(min_span_tokens: int = 0) -> str:
+    """Generated DuckDB oracle for duplicate_span_excision — one
+    template for both the unfloored query and the Lee-et-al length-
+    floored variant, so the two can never drift apart. The only
+    difference is a HAVING on the merged-island length (the floor is
+    tested AFTER the gaps-and-islands merge, mirroring the operator)."""
+    having = (
+        f"HAVING MAX(e) - MIN(s) + 1 >= {min_span_tokens}"
+        if min_span_tokens > 0
+        else ""
+    )
+    return rf"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
   FROM documents
@@ -913,7 +922,7 @@ isl2 AS (
 ),
 spans AS (
   SELECT doc_id, island, MIN(s) AS ss, MAX(e) AS se
-  FROM isl2 GROUP BY doc_id, island
+  FROM isl2 GROUP BY doc_id, island {having}
 ),
 per AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
@@ -955,7 +964,12 @@ SELECT l.doc_id, l.n_tokens,
 FROM lens l
 LEFT JOIN per ON l.doc_id = per.doc_id
 LEFT JOIN rebuilt ON l.doc_id = rebuilt.doc_id
-""",
+"""
+
+
+@register(
+    "dedup_span_excision",
+    oracle=_span_excision_oracle(),
     doc="Duplicate-SPAN excision (r6) — the ExactSubstr dedup of Lee "
     "et al. 2022 at 5-gram granularity: any 5-token sequence occurring "
     ">= 2 times corpus-wide marks its interval; per-doc overlapping/"
@@ -975,4 +989,28 @@ def q_dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return duplicate_span_excision(
         load_table(spark, sf_dir, "documents"), n=5, min_count=2
+    )
+
+
+@register(
+    "dedup_span_excision_minlen",
+    oracle=_span_excision_oracle(min_span_tokens=20),
+    doc="Length-floored duplicate-span excision (r7, VERDICT r6 #5) — "
+    "true ExactSubstr semantics: Lee et al. 2022 excise duplicated "
+    "substrings of >= 50 tokens, not every duplicated n-gram. Marked "
+    "5-gram hits merge into maximal islands FIRST (gaps-and-islands), "
+    "then islands shorter than the floor are dropped by one filter on "
+    "the merged span table, so a lone boilerplate phrase survives but "
+    "a long duplicated passage is cut. Floor = 20 tokens here because "
+    "the synthetic docs average ~55 tokens (the paper's 50 scaled to "
+    "doc length); the operator parameter is general. Oracle is "
+    "generated from the same template as dedup_span_excision (one "
+    "HAVING of difference). See "
+    "operators/dedup.py:duplicate_span_excision.",
+)
+def q_dedup_span_excision_minlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import duplicate_span_excision
+
+    return duplicate_span_excision(
+        load_table(spark, sf_dir, "documents"), n=5, min_count=2, min_span_tokens=20
     )

@@ -76,7 +76,6 @@ PRIORITY: tuple[str, ...] = (
     "decontamination",              # LLM-pipeline text op
     "pipeline_llm_training_prep",   # THE flagship end-to-end funnel
     # family breadth
-    "dedup_incremental",
     "dq_validation_suite",       # r5: Deequ-style contract gate
     "interval_overlap_join",     # r5: bucketized interval-overlap join
     "multimodal_payload_dedup",
@@ -162,6 +161,9 @@ PRIORITY: tuple[str, ...] = (
     "q9_product_type_profit",     # never graded: TPC-H profit rollup
     "events_heavy_hitter_profile",  # never graded: has streaming twin
     "text_quality_score",         # never graded: doc quality heuristics
+    # r7-new surface graded same-round (the r5/r6 precedent); OUT
+    # dedup_incremental (green r4+r5+r6; dedup keeps 6 windowed rows):
+    "dedup_span_excision_minlen",  # r7: Lee et al. length floor
 )
 
 

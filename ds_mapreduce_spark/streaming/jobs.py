@@ -22,6 +22,46 @@ from ds_mapreduce_spark.functions.temporal import epoch_sec, epoch_us
 from ds_mapreduce_spark.sources.catalog import normalize_events_ts
 
 
+def existing_state_versions(
+    spark: SparkSession, state_dir: str, prefix: str = "v"
+) -> list[int]:
+    """Batch ids with landed state under ``state_dir`` (dirs named
+    ``{prefix}{int}``), via the Hadoop FS API so any scheme (local,
+    HDFS, S3A) works. The versioned-state jobs need this for the two
+    cases where ``foreachBatch`` never fires: a genuinely empty feed,
+    and an availableNow RESUME whose checkpoint says nothing is new —
+    in the second case the right answer is the state already on disk,
+    not a crash on ``v-1`` (ADVICE r6)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith(prefix):
+            try:
+                out.append(int(name[len(prefix):]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _resolve_final_version(
+    spark: SparkSession, state_dir: str, fired: int, floor: int = 0
+) -> int | None:
+    """Final state version to read after ``awaitTermination``: the max
+    batch id that fired this run, else the latest landed version from a
+    previous run (resume-with-nothing-new), else None (empty feed —
+    callers fall back to an empty-schema result). ``floor`` excludes
+    seed versions (the ``v-1`` initial store some jobs write)."""
+    if fired >= floor:
+        return fired
+    landed = [v for v in existing_state_versions(spark, state_dir) if v >= floor]
+    return landed[-1] if landed else None
+
+
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """The shared batch/stream transformation (event-time tumbling agg)."""
     if events.isStreaming:
@@ -319,7 +359,14 @@ def run_streaming_cdc_merge(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(f"{state_dir}/v{last_version[0]}")
+    final = _resolve_final_version(spark, state_dir, last_version[0])
+    if final is None:  # empty feed, no prior state: empty merged schema
+        return latest_wins_merge(
+            cdc_change_rows(spark.createDataFrame([], schema)),
+            ["o_orderkey"],
+            "version",
+        )
+    return spark.read.parquet(f"{state_dir}/v{final}")
 
 
 def run_streaming_pii_scrub(
@@ -430,8 +477,17 @@ def run_streaming_incremental_dedup(
         .start()
     )
     q.awaitTermination()
+    versions = existing_state_versions(spark, state_dir, prefix="verdicts_v")
+    if last[0] >= 0:
+        versions = [v for v in versions if v <= last[0]]
+    if not versions:  # empty feed, no prior verdicts: empty schema
+        return spark.createDataFrame([], schema).select(
+            "doc_id",
+            portable_fingerprint(F.col("text")).alias("text_md5"),
+            F.lit("new").alias("verdict"),
+        )
     return spark.read.parquet(
-        *[f"{state_dir}/verdicts_v{i}" for i in range(last[0] + 1)]
+        *[f"{state_dir}/verdicts_v{i}" for i in versions]
     )
 
 
@@ -507,8 +563,17 @@ def run_streaming_shard_plan(
         .start()
     )
     q.awaitTermination()
+    versions = existing_state_versions(spark, state_dir, prefix="assign_v")
+    if last[0] >= 0:
+        versions = [v for v in versions if v <= last[0]]
+    if not versions:  # empty feed, no prior assignments: empty schema
+        return spark.createDataFrame([], schema).select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_tok"),
+            F.lit(0).cast("bigint").alias("shard_id"),
+        )
     return spark.read.parquet(
-        *[f"{state_dir}/assign_v{i}" for i in range(last[0] + 1)]
+        *[f"{state_dir}/assign_v{i}" for i in versions]
     )
 
 
@@ -560,7 +625,13 @@ def run_streaming_mv_maintenance(
         .start()
     )
     q.awaitTermination()
-    return mv_present(spark.read.parquet(f"{state_dir}/v{last_version[0]}"))
+    final = _resolve_final_version(spark, state_dir, last_version[0])
+    if final is None:  # empty feed, no prior state: empty MV schema
+        return mv_present(
+            mv_merge(mv_partial(spark.createDataFrame([], schema),
+                                ["o_orderpriority"], "o_totalprice"))
+        )
+    return mv_present(spark.read.parquet(f"{state_dir}/v{final}"))
 
 
 def run_streaming_scd2(
@@ -621,7 +692,15 @@ def run_streaming_scd2(
         .start()
     )
     q.awaitTermination()
-    final_state = spark.read.parquet(f"{state_dir}/v{last_version[0]}")
+    final = _resolve_final_version(spark, state_dir, last_version[0])
+    if final is None:  # empty feed, no prior state: empty history schema
+        final_state = (
+            purchase_change_rows(normalize_events_ts(spark.createDataFrame([], schema)))
+            .groupBy("user_id", "s")
+            .agg(F.max("cents").alias("cents"))
+        )
+    else:
+        final_state = spark.read.parquet(f"{state_dir}/v{final}")
     return scd2_versions(final_state, "user_id", "s", "cents")
 
 
@@ -688,7 +767,13 @@ def run_streaming_hourly_resample(
         .start()
     )
     q.awaitTermination()
-    final_state = spark.read.parquet(f"{state_dir}/v{last_version[0]}")
+    final = _resolve_final_version(spark, state_dir, last_version[0])
+    if final is None:  # empty feed, no prior state: empty grid schema
+        final_state = hourly_cents_rollup(
+            normalize_events_ts(spark.createDataFrame([], schema))
+        )
+    else:
+        final_state = spark.read.parquet(f"{state_dir}/v{final}")
     return resample_forward_fill(final_state)
 
 
@@ -745,4 +830,11 @@ def run_streaming_heavy_hitters(
         .start()
     )
     q.awaitTermination()
-    return heavy_hitter_present(spark.read.parquet(f"{state_dir}/v{last_version[0]}"))
+    final = _resolve_final_version(spark, state_dir, last_version[0])
+    if final is None:  # empty feed, no prior state (ADVICE r6): empty top-k
+        return heavy_hitter_present(
+            keycount_merge(keycount_partial(
+                normalize_events_ts(spark.createDataFrame([], schema))
+            ))
+        )
+    return heavy_hitter_present(spark.read.parquet(f"{state_dir}/v{final}"))

@@ -116,5 +116,7 @@ def test_check_window_covers_the_round1_dark_families():
         "q2_min_cost_supplier", "q7_volume_shipping",
         "q9_product_type_profit", "events_heavy_hitter_profile",
         "text_quality_score",
+        # r7-new surface graded same-round:
+        "dedup_span_excision_minlen",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))

@@ -173,6 +173,9 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # assembly; the gram count-then-filter pipeline runs inside the
         # eager span checkpoint (its own 1 gram-count shuffle)
         ("dedup_span_excision", 3),
+        # identical post-checkpoint shape; the length floor is one
+        # filter on the merged span table before the checkpoint
+        ("dedup_span_excision_minlen", 3),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):

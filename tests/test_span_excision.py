@@ -77,3 +77,45 @@ def test_sub_n_docs_pass_through(spark):
     assert got[1]["n_spans"] == 0
     assert got[1]["n_tokens"] == 3
     assert got[1]["retained_md5"] == _md5("a b c")
+
+
+def _run_floored(spark, rows, floor):
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = duplicate_span_excision(docs, n=5, min_count=2, min_span_tokens=floor)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_min_span_floor_drops_short_islands(spark):
+    # a lone duplicated 5-gram (island length 5) survives a floor of 6;
+    # the doc is then CLEAN (0 spans, full-text md5)
+    rep = "r1 r2 r3 r4 r5"
+    rows = [(1, f"{rep} z1 z2 z3"), (2, f"{rep} y1 y2 y3")]
+    got = _run_floored(spark, rows, floor=6)
+    for d in (1, 2):
+        assert got[d]["n_spans"] == 0
+        assert got[d]["n_tokens_removed"] == 0
+        assert got[d]["retained_md5"] == _md5(rows[d - 1][1])
+
+
+def test_min_span_floor_tested_after_merge(spark):
+    # two adjacent duplicated 5-grams merge into ONE 10-token island
+    # BEFORE the floor test: floor=10 keeps the merged island even
+    # though each constituent hit is only 5 tokens (Lee et al.'s rule
+    # applies to maximal duplicated passages, not raw marks)
+    a, b = "a1 a2 a3 a4 a5", "b1 b2 b3 b4 b5"
+    got = _run_floored(spark, [(1, f"{a} {b} tail1"), (2, f"{a} q1 q2 q3 q4 q5 {b}")], floor=10)
+    assert got[1]["n_spans"] == 1
+    assert got[1]["n_tokens_removed"] == 10
+    assert got[1]["retained_md5"] == _md5("tail1")
+    # doc 2's two islands are 5 tokens each -> both dropped by the floor
+    assert got[2]["n_spans"] == 0
+    assert got[2]["retained_md5"] == _md5(f"{a} q1 q2 q3 q4 q5 {b}")
+
+
+def test_min_span_floor_zero_is_identity(spark):
+    # floor=0 must be byte-identical to the unfloored operator
+    rep = "r1 r2 r3 r4 r5"
+    rows = [(1, f"{rep} z1 z2 z3 z4 z5 {rep}"), (2, f"pre1 pre2 {rep} post1")]
+    base = _run(spark, rows)
+    floored = _run_floored(spark, rows, floor=0)
+    assert base == floored

@@ -525,3 +525,85 @@ def test_streaming_heavy_hitters_matches_batch(spark, sf_dir, tmp_path):
     srows = sorted(map(tuple, streamed.collect()))
     brows = sorted(map(tuple, batch.collect()))
     assert srows == brows
+
+
+def test_streaming_heavy_hitters_resume_and_empty_feed(spark, sf_dir, tmp_path):
+    """ADVICE r6: a run in which foreachBatch never fires must not read
+    nonexistent v-1 state. Two such runs exist: an availableNow RESUME
+    with nothing new (answer = landed state) and a genuinely empty feed
+    with no prior state (answer = empty result, correct schema)."""
+    from ds_mapreduce_spark.sources.catalog import load_table
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    feed_dir = str(tmp_path / "events_feed")
+    ev.repartition(2).write.parquet(feed_dir)
+
+    first = run_streaming_heavy_hitters(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    r1 = sorted(map(tuple, first.collect()))
+    assert r1  # the normal run produced rows
+
+    # resume: same checkpoint, nothing new -> no batch fires; must
+    # return the landed state, not crash on v-1
+    resumed = run_streaming_heavy_hitters(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    assert sorted(map(tuple, resumed.collect())) == r1
+
+    # same spent checkpoint against a FRESH state dir: no batch fires
+    # and nothing is landed -> empty result with the contract schema
+    empty = run_streaming_heavy_hitters(
+        spark, feed_dir, str(tmp_path / "state_fresh"), str(tmp_path / "ckpt")
+    )
+    assert empty.columns == first.columns
+    assert empty.count() == 0
+
+
+def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
+    """Every versioned-state foreachBatch sibling shares the v-1 latent
+    edge (ADVICE r6): drive each through a spent checkpoint + fresh
+    state dir (no micro-batch fires, no landed state) and require an
+    empty result with the normal run's schema."""
+    from ds_mapreduce_spark.sources.catalog import load_table
+    from ds_mapreduce_spark.streaming import jobs as J
+
+    ev = load_table(spark, sf_dir, "events")
+    ev_dir = str(tmp_path / "ev_feed")
+    ev.limit(2000).repartition(2).write.parquet(ev_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ord_dir = str(tmp_path / "ord_feed")
+    orders.limit(500).repartition(2).write.parquet(ord_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc_dir = str(tmp_path / "doc_feed")
+    docs.limit(50).repartition(2).write.parquet(doc_dir)
+    history = docs.limit(10)
+
+    cases = {
+        "cdc": lambda state, ckpt: J.run_streaming_cdc_merge(
+            spark, ord_dir, state, ckpt
+        ),
+        "mv": lambda state, ckpt: J.run_streaming_mv_maintenance(
+            spark, ord_dir, state, ckpt
+        ),
+        "scd2": lambda state, ckpt: J.run_streaming_scd2(
+            spark, ev_dir, state, ckpt
+        ),
+        "resample": lambda state, ckpt: J.run_streaming_hourly_resample(
+            spark, ev_dir, state, ckpt
+        ),
+        "incdedup": lambda state, ckpt: J.run_streaming_incremental_dedup(
+            spark, doc_dir, history, state, ckpt
+        ),
+        "shard": lambda state, ckpt: J.run_streaming_shard_plan(
+            spark, doc_dir, state, ckpt
+        ),
+    }
+    for name, run in cases.items():
+        normal = run(str(tmp_path / f"{name}_s1"), str(tmp_path / f"{name}_c"))
+        cols = normal.columns
+        # reuse the spent checkpoint with an untouched state dir
+        empty = run(str(tmp_path / f"{name}_s2"), str(tmp_path / f"{name}_c"))
+        assert empty.columns == cols, name
+        assert empty.count() == 0, name
