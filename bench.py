@@ -75,7 +75,55 @@ HEADLINE = [
     # shape) and the linear-interp resample twin
     "dedup_span_excision",
     "events_gapfill_interpolate",
+    # round 7: the length-floored ExactSubstr variant (same two-pass
+    # gram pipeline + one span filter — its delta over the unfloored
+    # row isolates the floor's cost)
+    "dedup_span_excision_minlen",
 ]
+
+
+def calibration_probes(spark) -> dict[str, float]:
+    """Fixed synthetic probes, independent of the data tables, so
+    cross-round bench ratios can be normalized against VM drift
+    (VERDICT r6 #4) instead of argued from prose: a pure-CPU probe
+    (whole-stage-codegen hash chain over a generated range — no reads,
+    one single-row agg) and a pure-shuffle probe (groupBy over
+    generated keys — exchange machinery dominates). Each warms once
+    (codegen/classloading), then reports the median of three timed
+    runs — single runs jitter ~30% on a shared VM.
+    Interpreting r{N} vs r{N-1}: if per-query ratios track the
+    calibration ratio, the delta is the environment; only a query
+    whose ratio SEPARATES from calibration is a plan change."""
+    from pyspark.sql import functions as F
+
+    def cpu():
+        (
+            spark.range(0, 500_000_000)
+            .select(F.xxhash64(F.xxhash64(F.xxhash64("id"))).alias("h"))
+            # shift keeps the sum < 2^55 so ANSI mode can't overflow
+            .agg(F.sum(F.shiftrightunsigned("h", 40)))
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    def shuffle():
+        (
+            spark.range(0, 20_000_000)
+            .groupBy((F.col("id") % 2_000_000).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("c"), F.max("k"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    out: dict[str, float] = {}
+    for name, probe in (("cpu", cpu), ("shuffle", shuffle)):
+        probe()  # warm: codegen + classloading
+        times = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            probe()
+            times.append(time.monotonic() - t0)
+        out[name] = round(sorted(times)[1], 3)
+    return out
 
 
 def main() -> None:
@@ -114,12 +162,19 @@ def main() -> None:
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    try:
+        calibration = calibration_probes(spark)
+    except Exception as exc:  # a probe failure must not kill the bench
+        calibration = {}
+        errors["__calibration__"] = f"{type(exc).__name__}: {exc}"[:500]
+
     total = round(sum(t for t in timings.values() if t is not None), 3)
     result = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "calibration": calibration,
         "sf": sf,
     }
     if errors:
