@@ -77,8 +77,10 @@ HEADLINE = [
     "events_gapfill_interpolate",
     # round 7: the length-floored ExactSubstr variant (same two-pass
     # gram pipeline + one span filter — its delta over the unfloored
-    # row isolates the floor's cost)
+    # row isolates the floor's cost) and the d-dimensional grid
+    # skyline (grid prune + per-cell pandas BNL + bounded verify)
     "dedup_span_excision_minlen",
+    "skyline_3d_grid",
 ]
 
 

@@ -372,3 +372,139 @@ def skyline_2d_min(
     return flagged.where(~F.coalesce(dominated, F.lit(False))).drop(
         "__b", "__lower_min", "__same_bucket_min", "__eq_x_min"
     )
+
+
+def skyline_grid_min(
+    df: DataFrame,
+    dims: Sequence[str],
+    widths: Sequence[int],
+    id_cols: Sequence[str],
+) -> DataFrame:
+    """d-dimensional skyline (Pareto frontier, minimize every dim): rows
+    no other row dominates, where q dominates p iff q <= p in every dim
+    and q < p in at least one — the grid/BNL generalization the 2-D
+    operator's docstring promises (skyline_2d_min handles d=2 with pure
+    windows; naive SQL states d>=3 as a NOT EXISTS self-join, which the
+    oracle does independently).
+
+    Distributed shape (MR-BNL family — Börzsönyi ICDE'01 grid pruning +
+    partition-local skylines), NO O(n^2) pair space at any stage:
+
+    1. Grid: bucket every dim by a fixed width; the nonempty-cell table
+       is BOUNDED by the product of per-dim bucket counts (value-range
+       bound, not volume bound) and is the only thing ever broadcast.
+    2. Cell prune (pure DataFrame): a cell dies iff some nonempty cell
+       is STRICTLY lower in every dim — every point there dominates
+       every point here. On dense data this kills the grid interior;
+       survivors hug the frontier faces.
+    3. Local skyline per surviving cell via Arrow-batched
+       applyInPandas (per-partition imperative logic is the documented
+       pandas seam): lexicographic sort, then block-BNL against a
+       growing frontier array — a later point in sort order can never
+       dominate an earlier one, so one forward pass suffices. Group
+       size = cell population, controlled by the widths; a hot cell is
+       the caller's signal to narrow them.
+    4. Verify: candidate p is checked only against local-skyline
+       points q of ALIVE cells with cell(q) <= cell(p) componentwise
+       (cell-pair table built from the bounded alive-cell table,
+       broadcast; the q-side join is one shuffle on cell coords).
+       Sound by a minimal-dominator induction: take a dominator q* of
+       p minimizing the coordinate sum. Its cell is <= p's and cannot
+       be dead (a strictly-lower nonempty cell would hold a smaller
+       dominator), and q* must survive its local skyline (a same-cell
+       dominator of q* would be smaller) — so q* itself is reachable
+       through exactly the pairs we probe.
+
+    Exact duplicates never dominate each other (no strict inequality),
+    so tied frontier rows all survive — same as NOT EXISTS. 100 TB:
+    the fact scan is pruned by the broadcast alive-cell semi-join
+    before any shuffle; everything downstream is frontier-sized.
+    """
+    import pandas as pd
+
+    d = len(dims)
+    assert len(widths) == d and d >= 2
+    bcols = [f"__b{i}" for i in range(d)]
+    rows = df.select(
+        *id_cols,
+        *dims,
+        *[
+            (F.col(dim) / F.lit(w)).cast("bigint").alias(b)
+            for dim, w, b in zip(dims, widths, bcols)
+        ],
+    )
+    cells = rows.groupBy(*bcols).agg(F.count(F.lit(1)).alias("__n"))
+    lower = cells.select(*[F.col(b).alias(f"__l{i}") for i, b in enumerate(bcols)])
+    strictly_lower = [F.col(f"__l{i}") < F.col(b) for i, b in enumerate(bcols)]
+    # bounded x bounded: both sides are the nonempty-cell table
+    dead_pred = strictly_lower[0]
+    for p in strictly_lower[1:]:
+        dead_pred = dead_pred & p
+    # alive is referenced by three branches (candidate semi-join + both
+    # sides of the cell-pair join); checkpoint the ~grid-sized table so
+    # the fact table scans ONCE (CLAUDE.md convention), not per branch
+    alive = (
+        cells.join(F.broadcast(lower), dead_pred, "left_anti")
+        .select(*bcols)
+        .localCheckpoint(eager=True)
+    )
+    cand = rows.join(F.broadcast(alive), bcols, "left_semi")
+
+    out_schema = cand.schema
+
+    def cell_skyline(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        a = pdf[list(dims)].to_numpy()
+        order = np.lexsort(tuple(a[:, i] for i in reversed(range(d))))
+        a = a[order]
+        kept_pos: list[int] = []
+        frontier = np.empty((0, d), dtype=a.dtype)
+        for start in range(0, len(a), 512):
+            blk = a[start : start + 512]
+            if len(frontier):
+                dom = (
+                    (frontier[None, :, :] <= blk[:, None, :]).all(-1)
+                    & (frontier[None, :, :] < blk[:, None, :]).any(-1)
+                ).any(-1)
+            else:
+                dom = np.zeros(len(blk), dtype=bool)
+            dom |= (
+                (blk[None, :, :] <= blk[:, None, :]).all(-1)
+                & (blk[None, :, :] < blk[:, None, :]).any(-1)
+            ).any(-1)
+            kept_pos.extend(start + i for i in np.flatnonzero(~dom))
+            frontier = np.concatenate([frontier, blk[~dom]])
+        return pdf.iloc[order[kept_pos]]
+
+    local = cand.groupBy(*bcols).applyInPandas(cell_skyline, schema=out_schema)
+    local = local.localCheckpoint(eager=True)
+
+    qb = [f"__q{i}" for i in range(d)]
+    region_pred = F.col(qb[0]) <= F.col(bcols[0])
+    for i in range(1, d):
+        region_pred = region_pred & (F.col(qb[i]) <= F.col(bcols[i]))
+    pairs = alive.join(
+        F.broadcast(alive.select(*[F.col(b).alias(q) for b, q in zip(bcols, qb)])),
+        region_pred,
+    )
+    qside = local.select(
+        *[F.col(b).alias(q) for b, q in zip(bcols, qb)],
+        *[F.col(dim).alias(f"__qd{i}") for i, dim in enumerate(dims)],
+    )
+    leq = [F.col(f"__qd{i}") <= F.col(dim) for i, dim in enumerate(dims)]
+    lt = [F.col(f"__qd{i}") < F.col(dim) for i, dim in enumerate(dims)]
+    dominates = leq[0]
+    for p in leq[1:]:
+        dominates = dominates & p
+    strict = lt[0]
+    for p in lt[1:]:
+        strict = strict | p
+    dominated = (
+        local.join(F.broadcast(pairs), bcols)
+        .join(qside, qb)
+        .where(dominates & strict)
+        .select(*id_cols)
+        .distinct()
+    )
+    return local.join(dominated, list(id_cols), "left_anti").drop(*bcols)

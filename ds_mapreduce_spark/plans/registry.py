@@ -77,7 +77,6 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_llm_training_prep",   # THE flagship end-to-end funnel
     # family breadth
     "dq_validation_suite",       # r5: Deequ-style contract gate
-    "interval_overlap_join",     # r5: bucketized interval-overlap join
     "multimodal_payload_dedup",
     # round-5 rotation (VERDICT r4 item 1): the round-4 flagship family
     # gets driver-grade evidence. Rotated out to the in-repo parity
@@ -162,8 +161,10 @@ PRIORITY: tuple[str, ...] = (
     "events_heavy_hitter_profile",  # never graded: has streaming twin
     "text_quality_score",         # never graded: doc quality heuristics
     # r7-new surface graded same-round (the r5/r6 precedent); OUT
-    # dedup_incremental (green r4+r5+r6; dedup keeps 6 windowed rows):
+    # dedup_incremental and interval_overlap_join (each green r5+r6;
+    # their families keep graded rows):
     "dedup_span_excision_minlen",  # r7: Lee et al. length floor
+    "skyline_3d_grid",            # r7: d-dim grid/BNL skyline
 )
 
 

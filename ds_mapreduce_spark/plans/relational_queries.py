@@ -2510,3 +2510,70 @@ def q_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d_min(p, "price_cents", "p_size", bucket_width=2000).select(
         "p_partkey", "price_cents", "p_size"
     )
+
+
+@register(
+    "skyline_3d_grid",
+    oracle="""
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l_tax AS DECIMAL(4,2)) * 10000 AS BIGINT) AS tax_bp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+)
+SELECT p.l_orderkey, p.l_linenumber, p.price_cents, p.qty, p.tax_bp
+FROM t p
+WHERE NOT EXISTS (
+  SELECT 1 FROM t q
+  WHERE q.price_cents <= p.price_cents AND q.qty <= p.qty AND q.tax_bp <= p.tax_bp
+    AND (q.price_cents < p.price_cents OR q.qty < p.qty OR q.tax_bp < p.tax_bp)
+)
+""",
+    doc="3-D grid skyline (r7, VERDICT r6 #6) — the d-dimensional "
+    "generalization skyline_2d_min's docstring promises: the minimal "
+    "(price, quantity, tax) frontier of one ship-month of lineitem, "
+    "stated naively as the NOT EXISTS self-join the oracle runs. "
+    "Spark side is the MR-BNL grid pipeline: bounded nonempty-cell "
+    "table -> strictly-lower-in-every-dim cell prune (broadcast, "
+    "bounded x bounded) -> per-cell local skyline via Arrow-batched "
+    "applyInPandas (block-BNL after a lexicographic sort: later rows "
+    "cannot dominate earlier ones, one forward pass) -> verify "
+    "against local-skyline points of componentwise-<= alive cells "
+    "only (sound by minimal-dominator induction; see "
+    "operators/relational.py:skyline_grid_min). Exact integer cents/"
+    "bp on both engines; the tax dim has 9 distinct values, so the "
+    "strict-in-at-least-one clause carries real weight. No stage is "
+    "O(n^2): pair joins exist only between bounded cell tables and "
+    "frontier-sized point sets.",
+)
+def q_skyline_3d_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.relational import skyline_grid_min
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            (F.col("l_tax").cast("decimal(4,2)") * 10000)
+            .cast("bigint")
+            .alias("tax_bp"),
+        )
+    )
+    # widths sized to the VALUE ranges (price ~[90k, 10.5M] cents, qty
+    # 1..50, tax 0..800 bp): ~11 x 6 x 3 grid at any volume
+    return skyline_grid_min(
+        li,
+        dims=["price_cents", "qty", "tax_bp"],
+        widths=[1_000_000, 10, 300],
+        id_cols=["l_orderkey", "l_linenumber"],
+    )

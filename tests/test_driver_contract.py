@@ -117,6 +117,6 @@ def test_check_window_covers_the_round1_dark_families():
         "q9_product_type_profit", "events_heavy_hitter_profile",
         "text_quality_score",
         # r7-new surface graded same-round:
-        "dedup_span_excision_minlen",
+        "dedup_span_excision_minlen", "skyline_3d_grid",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))

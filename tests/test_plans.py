@@ -430,6 +430,21 @@ def test_skyline_no_global_sort_no_quadratic(spark, sf_dir):
     assert n <= 3, plan
 
 
+def test_skyline_3d_no_quadratic_no_single_partition(spark, sf_dir):
+    """The 3-D grid skyline must not regress to the naive self-join:
+    no CartesianProduct, no SinglePartition exchange anywhere, and the
+    only nested-loop join is the bounded cell-pair table (cells x
+    cells, value-range bound). The final plan runs off the checkpointed
+    local-skyline table: <=2 hash exchanges (q-side cell join + the
+    id anti-join) and NO fact re-scan."""
+    plan = _plan(spark, sf_dir, "skyline_3d_grid")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") == 0, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert plan.count("FileScan parquet") == 0, plan
+
+
 def test_domain_quota_single_shuffle_window(spark, sf_dir):
     """The quota cap is one source-partitioned window — a single
     shuffle, and the rank filter sits above it (no second pass)."""
