@@ -2165,6 +2165,11 @@ def _bm25_doc_scores(spark: SparkSession, sf_dir: str):
     hybrid_search_rerank (see bm25_search's doc for the arithmetic and
     the 100 TB inverted-index shape)."""
     from ds_mapreduce_spark.functions.text import tokens
+    from ds_mapreduce_spark.operators.search import (
+        bm25_idf,
+        bm25_needle,
+        bm25_score_terms,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
@@ -2181,42 +2186,18 @@ def _bm25_doc_scores(spark: SparkSession, sf_dir: str):
         ex.distinct().groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("dft"))
     )
     min_doc = docs.agg(F.min("doc_id").alias("mid"))
-    needle = (
-        ex.join(F.broadcast(min_doc), ex.doc_id == F.col("mid"))
-        .select("tok")
-        .distinct()
-        .join(dfreq, "tok")
-        .orderBy("dft", "tok")
-        .limit(5)
-        .localCheckpoint(eager=True)  # 5 rows feed idf + the tf semijoin
-    )
-    idf = needle.crossJoin(F.broadcast(g)).select(
-        "tok",
-        F.expr("((2 * (d - dft) + 1) * 1000000) DIV (2 * dft + 1)").alias("idf_int"),
-    )
+    # arithmetic + needle selection shared with the streaming index
+    # twin (operators/search.py); 5 rows feed idf + the tf semijoin
+    needle = bm25_needle(ex, dfreq, min_doc).localCheckpoint(eager=True)
     # needle filter BEFORE the tf aggregation: the only token-scale
-    # shuffle carries needle-matching (doc, tok) rows
+    # shuffle carries needle-matching (doc, tok) rows — the streaming
+    # twin instead probes its MAINTAINED postings table here
     tf = (
         ex.join(F.broadcast(needle.select("tok")), "tok")
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    scored = (
-        tf.join(F.broadcast(idf), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(g))
-        .select(
-            "doc_id",
-            F.expr(
-                "(idf_int * tf * 220) DIV "
-                "(tf * 100 + (120 * (25 + (75 * dl * d) DIV sum_dl)) DIV 100)"
-            ).alias("score_t"),
-        )
-    )
-    return scored.groupBy("doc_id").agg(
-        F.sum("score_t").cast("bigint").alias("bm25_scaled"),
-        F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
-    )
+    return bm25_score_terms(tf, bm25_idf(needle, g), dl, g)
 
 
 @register(

@@ -838,3 +838,119 @@ def run_streaming_heavy_hitters(
             ))
         )
     return heavy_hitter_present(spark.read.parquet(f"{state_dir}/v{final}"))
+
+
+def run_streaming_bm25_index(
+    spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming search-index maintenance (VERDICT r6 #3): documents
+    arrive as micro-batches and each batch's index partials MERGE into
+    a landed inverted index via ``foreachBatch`` — four state tables,
+    all associative (the MV/heavy-hitters contract):
+
+      postings (doc_id, tok, tf)  append (docs are atomic rows, so a
+                                  slice never splits a document);
+      dl       (doc_id, dl)       append;
+      dfreq    (tok, dft)         merge by per-token SUM;
+      stats    (d, sum_dl) 1-row  merge by SUM.
+
+    The final answer is derived ENTIRELY from the maintained state by
+    ``operators.search.bm25_scores_from_index`` — the same arithmetic
+    the batch ``bm25_search`` runs (shared SCORE_EXPR/IDF_EXPR/needle
+    selection), but with tf probed from the postings table instead of
+    re-tokenizing the corpus: the always-on search tier, where a query
+    touches the needle terms' posting lists, never the documents.
+    Because every state merge is an associative BIGINT partial and the
+    scorer is a pure function of the final state, ANY chunking or
+    arrival order of the feed converges to the batch answer exactly —
+    the invariant tests/test_streaming.py pins (chunked + shuffled
+    feed vs the batch bm25_search top-20).
+
+    State chains through versioned parquet dirs (``v{batch_id}`` reads
+    ``v{batch_id-1}``) like the sibling twins: a retried batch id
+    rewrites its own version from its predecessor — idempotent on
+    at-least-once delivery; resume-with-nothing-new and the empty feed
+    take the landed/empty paths via ``_resolve_final_version``. 100 TB:
+    each micro-batch tokenizes only its delta and shuffles |delta
+    postings| rows; postings/dfreq state is bucketed by token in a real
+    deployment so the merge is shuffle-free; the per-query probe cost
+    is posting-list-sized."""
+    from pyspark.sql import Window
+
+    from ds_mapreduce_spark.operators.search import (
+        bm25_corpus_stats_partial,
+        bm25_dfreq_partial,
+        bm25_docstats_partial,
+        bm25_postings_partial,
+        bm25_scores_from_index,
+    )
+
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if docs_dir.endswith(".parquet"):
+        base, _, fname = docs_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        docs_dir = base
+    stream = reader.parquet(docs_dir)
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        post = bm25_postings_partial(batch_df)
+        dl = bm25_docstats_partial(batch_df)
+        dfreq = bm25_dfreq_partial(post)
+        stats = bm25_corpus_stats_partial(dl)
+        if batch_id > 0:
+            prev = f"{state_dir}/v{batch_id - 1}"
+            post = sess.read.parquet(f"{prev}/postings").unionByName(post)
+            dl = sess.read.parquet(f"{prev}/dl").unionByName(dl)
+            dfreq = (
+                sess.read.parquet(f"{prev}/dfreq")
+                .unionByName(dfreq)
+                .groupBy("tok")
+                .agg(F.sum("dft").cast("bigint").alias("dft"))
+            )
+            stats = (
+                sess.read.parquet(f"{prev}/stats")
+                .unionByName(stats)
+                .agg(
+                    F.sum("d").cast("bigint").alias("d"),
+                    F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+                )
+            )
+        cur = f"{state_dir}/v{batch_id}"
+        post.write.mode("overwrite").parquet(f"{cur}/postings")
+        dl.write.mode("overwrite").parquet(f"{cur}/dl")
+        dfreq.write.mode("overwrite").parquet(f"{cur}/dfreq")
+        stats.write.mode("overwrite").parquet(f"{cur}/stats")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    final = _resolve_final_version(spark, state_dir, last_version[0])
+    if final is None:  # empty feed, no prior state: empty index
+        empty = spark.createDataFrame([], schema)
+        post = bm25_postings_partial(empty)
+        dl = bm25_docstats_partial(empty)
+        agg = bm25_scores_from_index(
+            post, dl, bm25_dfreq_partial(post), bm25_corpus_stats_partial(dl)
+        )
+    else:
+        cur = f"{state_dir}/v{final}"
+        agg = bm25_scores_from_index(
+            spark.read.parquet(f"{cur}/postings"),
+            spark.read.parquet(f"{cur}/dl"),
+            spark.read.parquet(f"{cur}/dfreq"),
+            spark.read.parquet(f"{cur}/stats"),
+        )
+    # same bounded presentation as the batch query: TakeOrdered(20)
+    # first, rank window on <=20 rows
+    top = agg.orderBy(F.col("bm25_scaled").desc(), "doc_id").limit(20)
+    w = Window.orderBy(F.col("bm25_scaled").desc(), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))

@@ -607,3 +607,62 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
         empty = run(str(tmp_path / f"{name}_s2"), str(tmp_path / f"{name}_c"))
         assert empty.columns == cols, name
         assert empty.count() == 0, name
+
+
+def test_streaming_bm25_index_matches_batch(spark, sf_dir, tmp_path):
+    """The maintained inverted index (postings/dl/dfreq/stats as
+    associative versioned state) must reproduce the batch bm25_search
+    top-20 EXACTLY under a chunked, arrival-order-shuffled feed: docs
+    land in 4 micro-batches ordered by md5 (so doc_ids — including the
+    needle-source min doc — arrive scattered and 'late'), and the
+    query-time scorer runs off state only, never the corpus."""
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_bm25_index
+
+    batch = load_all()["bm25_search"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feed_dir = str(tmp_path / "docs_feed")
+    # md5-ordered round-robin chunks: every batch holds a scatter of
+    # doc_ids, the min doc arrives in whichever chunk its hash lands
+    from pyspark.sql import functions as F
+    docs.orderBy(F.md5(F.col("doc_id").cast("string"))).repartition(4).write.parquet(
+        feed_dir
+    )
+
+    streamed = run_streaming_bm25_index(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert streamed.columns == batch.columns
+    assert srows == brows
+    assert len(srows) == 20
+
+
+def test_streaming_bm25_index_resume_and_empty_feed(spark, sf_dir, tmp_path):
+    """The search twin shares the versioned-state v-1 edge (ADVICE r6):
+    resume-with-nothing-new returns the landed index's answer; a spent
+    checkpoint against a fresh state dir returns an empty result with
+    the contract schema."""
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_bm25_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feed_dir = str(tmp_path / "docs_feed")
+    docs.repartition(2).write.parquet(feed_dir)
+
+    first = run_streaming_bm25_index(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    r1 = sorted(map(tuple, first.collect()))
+    assert r1
+
+    resumed = run_streaming_bm25_index(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    assert sorted(map(tuple, resumed.collect())) == r1
+
+    empty = run_streaming_bm25_index(
+        spark, feed_dir, str(tmp_path / "state_fresh"), str(tmp_path / "ckpt")
+    )
+    assert empty.columns == first.columns
+    assert empty.count() == 0
