@@ -1219,7 +1219,13 @@ GROUP BY dev.user_id, dev.n, dev.med_cents, mad.mad_cents
     "pays; the global-quantile variant is equi_depth_histogram's "
     "distributed NTILE). 100 TB: joins are |users|-sized on the "
     "build side (AQE broadcasts), events shuffle twice on user_id "
-    "and nothing else moves.",
+    "and nothing else moves. Streaming (r7): the median is not "
+    "associative, but the per-(user, cents) count table is an "
+    "associative sufficient statistic — "
+    "streaming/jobs.py:run_streaming_robust_outliers maintains it as "
+    "versioned state and derives this census EXACTLY from state "
+    "(operators/robust.py; equivalence test pins bit-equality), the "
+    "explicit choice over an O(1)-state lossy sketch.",
 )
 def q_events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

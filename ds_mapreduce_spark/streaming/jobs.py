@@ -954,3 +954,69 @@ def run_streaming_bm25_index(
     top = agg.orderBy(F.col("bm25_scaled").desc(), "doc_id").limit(20)
     w = Window.orderBy(F.col("bm25_scaled").desc(), "doc_id")
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+def run_streaming_robust_outliers(
+    spark: SparkSession, events_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming robust-outlier census — the EXACT causal twin of the
+    batch ``events_robust_outliers`` (VERDICT r6 #7, the stronger
+    option chosen over a lossy sketch: see operators/robust.py for the
+    design argument). The median is not associative, but the
+    per-(user, cents) count table IS: each micro-batch's histogram
+    partial merges into versioned state by per-key summation, and the
+    final exact median/MAD/outlier derivation
+    (``robust_census_from_counts``) is a pure function of that state —
+    so ANY chunking or arrival order of the feed reproduces the batch
+    answer bit-for-bit, which the equivalence test pins. State chains
+    through versioned parquet dirs like the sibling twins (idempotent
+    per batch id on at-least-once delivery; resume/empty-feed via
+    ``_resolve_final_version``). 100 TB: per batch, |delta histogram|
+    rows shuffle; state is Σ per-user distinct cents — bounded by the
+    value domain (money quantized to cents), the explicit trade
+    against an O(1)-state approximate sketch."""
+    from ds_mapreduce_spark.operators.robust import (
+        robust_census_from_counts,
+        user_cents_counts,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if events_dir.endswith(".parquet"):
+        base, _, fname = events_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        events_dir = base
+    stream = normalize_events_ts(reader.parquet(events_dir))
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        part = user_cents_counts(batch_df)
+        if batch_id > 0:
+            part = (
+                sess.read.parquet(f"{state_dir}/v{batch_id - 1}")
+                .unionByName(part)
+                .groupBy("user_id", "cents")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        part.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    final = _resolve_final_version(spark, state_dir, last_version[0])
+    if final is None:  # empty feed, no prior state: empty census
+        counts = user_cents_counts(
+            normalize_events_ts(spark.createDataFrame([], schema))
+        )
+    else:
+        counts = spark.read.parquet(f"{state_dir}/v{final}")
+    return robust_census_from_counts(counts)

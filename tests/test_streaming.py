@@ -599,6 +599,9 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
         "shard": lambda state, ckpt: J.run_streaming_shard_plan(
             spark, doc_dir, state, ckpt
         ),
+        "robust": lambda state, ckpt: J.run_streaming_robust_outliers(
+            spark, ev_dir, state, ckpt
+        ),
     }
     for name, run in cases.items():
         normal = run(str(tmp_path / f"{name}_s1"), str(tmp_path / f"{name}_c"))
@@ -666,3 +669,31 @@ def test_streaming_bm25_index_resume_and_empty_feed(spark, sf_dir, tmp_path):
     )
     assert empty.columns == first.columns
     assert empty.count() == 0
+
+
+def test_streaming_robust_outliers_matches_batch(spark, sf_dir, tmp_path):
+    """The per-(user, cents) count table is an associative sufficient
+    statistic: merged across 4 arrival-shuffled micro-batches, the
+    derived exact median/MAD census must equal the batch query
+    bit-for-bit (the exact-causal design chosen over a lossy sketch —
+    operators/robust.py)."""
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.sources.catalog import load_table
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_robust_outliers
+
+    batch = load_all()["events_robust_outliers"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    feed_dir = str(tmp_path / "events_feed")
+    from pyspark.sql import functions as F
+    ev.orderBy(F.md5(F.col("event_id").cast("string"))).repartition(4).write.parquet(
+        feed_dir
+    )
+
+    streamed = run_streaming_robust_outliers(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    assert streamed.columns == batch.columns
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert srows == brows
+    assert len(srows) > 0
