@@ -329,12 +329,13 @@ def minhash_lsh_pairs(
     return lsh_band_pairs(sig, num_hashes, band_size)
 
 
-def lsh_band_pairs(sig: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
-    """Banding + bucket-local pair expansion over an ALREADY-computed
-    signature table (doc_id, h0..h{n-1}) — split out so a band-size
-    sweep (``dedup_lsh_band_sweep``) pays the corpus-sized signature
-    pipeline ONCE (checkpoint it) and only the cheap band explosion
-    varies per configuration."""
+def lsh_bands(sig: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """(doc_id, band, band_key): the banded LSH index rows for a
+    signature table — the per-doc map-only explosion shared by the
+    batch pair expansion (``lsh_band_pairs``) and the streaming ingest
+    twin (``streaming.jobs.run_streaming_minhash_lsh``), where this
+    table IS the maintained index state (append-only: n_bands rows per
+    doc, fixed size, the production LSH-at-ingest shape)."""
     n_bands = num_hashes // band_size
     band_structs = F.array(
         *[
@@ -347,9 +348,18 @@ def lsh_band_pairs(sig: DataFrame, num_hashes: int, band_size: int) -> DataFrame
             for b in range(n_bands)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
+
+
+def lsh_band_pairs(sig: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """Banding + bucket-local pair expansion over an ALREADY-computed
+    signature table (doc_id, h0..h{n-1}) — split out so a band-size
+    sweep (``dedup_lsh_band_sweep``) pays the corpus-sized signature
+    pipeline ONCE (checkpoint it) and only the cheap band explosion
+    varies per configuration."""
+    bands = lsh_bands(sig, num_hashes, band_size)
     # bucket-local pair expansion (signature pipeline runs ONCE; a
     # band-key self-join would recompute it per join branch)
     packed = (

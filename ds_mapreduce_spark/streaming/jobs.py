@@ -1020,3 +1020,90 @@ def run_streaming_robust_outliers(
     else:
         counts = spark.read.parquet(f"{state_dir}/v{final}")
     return robust_census_from_counts(counts)
+
+
+def run_streaming_minhash_lsh(
+    spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Near-dedup AT INGEST: documents arrive as micro-batches and each
+    batch is LSH-probed against the accumulated band index — the
+    production shape of MinHash dedup for a training-data pipeline,
+    where you cannot re-run the corpus-wide self-join per arriving
+    shard. State is the banded signature index (doc_id, band,
+    band_key): n_bands fixed-size rows per document, APPEND-ONLY (the
+    signature computation ``minhash_signatures`` is per-doc map-only,
+    so any slicing of the feed produces identical index rows — shared
+    with the batch query via ``operators.dedup.lsh_bands``).
+
+    Per batch, the discovered pairs are exactly the batch docs' bucket
+    collisions: within-batch bucket pairs (``lsh_band_pairs`` on the
+    batch signatures) plus batch x landed-index joins on (band,
+    band_key). A pair (a, b) is found when its LATER member arrives —
+    so the UNION of per-batch pair sets over any chunking equals the
+    one-shot batch ``dedup_minhash_lsh`` pair set exactly, the
+    invariant the equivalence test pins (normalized doc_a < doc_b,
+    distinct at the final read; per-batch pair files are the append
+    log, idempotent per batch id like the verdict log of the
+    incremental-dedup twin).
+
+    100 TB: per batch the work is |batch bands| map-side rows plus a
+    join keyed on (band, band_key) against the index — posting-list
+    sized, never corpus-sized; the hot-bucket guard (max_shingle_df in
+    the batch family) applies unchanged; the index is bucketed by
+    band_key in a real deployment so the probe is shuffle-free."""
+    from ds_mapreduce_spark.operators.dedup import (
+        lsh_band_pairs,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    num_hashes, band_size = 8, 2
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if docs_dir.endswith(".parquet"):
+        base, _, fname = docs_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        docs_dir = base
+    stream = reader.parquet(docs_dir)
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sig = minhash_signatures(batch_df, k=3, num_hashes=num_hashes)
+        bands_new = lsh_bands(sig, num_hashes, band_size).localCheckpoint(eager=True)
+        within = lsh_band_pairs(sig, num_hashes, band_size)
+        if batch_id > 0:
+            index = sess.read.parquet(f"{state_dir}/v{batch_id - 1}")
+            hit = bands_new.join(
+                index.withColumnRenamed("doc_id", "doc_old"), ["band", "band_key"]
+            )
+            cross = hit.select(
+                F.least("doc_id", "doc_old").alias("doc_a"),
+                F.greatest("doc_id", "doc_old").alias("doc_b"),
+            )
+            pairs = within.unionByName(cross).distinct()
+            merged = index.unionByName(bands_new)
+        else:
+            pairs = within
+            merged = bands_new
+        pairs.write.mode("overwrite").parquet(f"{state_dir}/pairs_v{batch_id}")
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    versions = existing_state_versions(spark, state_dir, prefix="pairs_v")
+    if last_version[0] >= 0:
+        versions = [v for v in versions if v <= last_version[0]]
+    if not versions:  # empty feed, no prior pairs: empty pair schema
+        return spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    return (
+        spark.read.parquet(*[f"{state_dir}/pairs_v{i}" for i in versions])
+        .distinct()
+    )

@@ -697,3 +697,28 @@ def test_streaming_robust_outliers_matches_batch(spark, sf_dir, tmp_path):
     brows = sorted(map(tuple, batch.collect()))
     assert srows == brows
     assert len(srows) > 0
+
+
+def test_streaming_minhash_lsh_matches_batch(spark, sf_dir, tmp_path):
+    """LSH-at-ingest: probing each micro-batch against the accumulated
+    band index and unioning the per-batch pair discoveries must equal
+    the one-shot batch dedup_minhash_lsh pair set exactly, however the
+    feed is chunked (a pair is found when its later member arrives)."""
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_minhash_lsh
+
+    batch = load_all()["dedup_minhash_lsh"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feed_dir = str(tmp_path / "docs_feed")
+    from pyspark.sql import functions as F
+    docs.orderBy(F.md5(F.col("doc_id").cast("string"))).repartition(4).write.parquet(
+        feed_dir
+    )
+
+    streamed = run_streaming_minhash_lsh(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    srows = sorted(map(tuple, streamed.select("doc_a", "doc_b").collect()))
+    brows = sorted(map(tuple, batch.select("doc_a", "doc_b").collect()))
+    assert srows == brows
+    assert len(srows) > 0
