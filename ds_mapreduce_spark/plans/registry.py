@@ -97,7 +97,8 @@ PRIORITY: tuple[str, ...] = (
     # scd2_user_value_history, interval_overlap_join,
     # events_rolling_7d_active_users, dedup_lsh_eval,
     # graph_triangle_count.
-    "graph_triangle_count",      # r5: degree-oriented wedge counting
+    # graph_triangle_count rotated out late-r7 (green r5+r6; graph
+    # family keeps graph_pagerank_converged) for the r7 classifier:
     # Round-6 rotation (VERDICT r5 item 1): the round-5 surface gets
     # driver-grade evidence. OUT (each hash-green >=2 consecutive driver
     # rounds; every family keeps >=2 graded rows): knn_bruteforce,
@@ -165,6 +166,7 @@ PRIORITY: tuple[str, ...] = (
     # their families keep graded rows):
     "dedup_span_excision_minlen",  # r7: Lee et al. length floor
     "skyline_3d_grid",            # r7: d-dim grid/BNL skyline
+    "quality_classifier_linear",  # r7: hashed linear quality model
 )
 
 

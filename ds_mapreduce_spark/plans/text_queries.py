@@ -2311,3 +2311,75 @@ def q_hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rr.orderBy(F.col("dense_score").desc(), "doc_id").limit(10)
     w = Window.orderBy(F.col("dense_score").desc(), "doc_id")
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+@register(
+    "quality_classifier_linear",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform(toks, tok ->
+             ((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64)
+              * 2654435761) % 1001 - 500)), 0) AS BIGINT) AS quality_score
+  FROM t
+)
+SELECT doc_id, n_tokens, quality_score,
+       CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+            ELSE (quality_score * 1000) // n_tokens END AS score_per_kilotoken,
+       CASE WHEN quality_score >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM scored
+""",
+    doc="Model-based quality scoring (r7) — the fastText-style hashed "
+    "linear classifier every large-corpus pipeline runs (CCNet/LLaMA "
+    "quality filtering): each token hashes into one of 64 feature "
+    "buckets (md5-portable, the dedup-suite convention) and the doc "
+    "score is the sum of per-bucket weights — here a fixed "
+    "deterministic weight table ((bucket * 2654435761) % 1001 - 500), "
+    "a stand-in for trained weights; the DEPLOYABLE part is the "
+    "plumbing: hashed sparse features, integer dot product, "
+    "threshold label, all exact so both engines hash-match. "
+    "Complements text_quality_score (hand heuristics) with the "
+    "model-scoring shape. Plan: ZERO shuffles — the bag-of-hashed-"
+    "words dot product folds into one F.aggregate over the token "
+    "array, map-only end to end (the cheapest possible per-doc "
+    "classifier: at 100 TB this is scan-bound and scales by adding "
+    "executors; swapping in trained weights is a broadcast join or a "
+    "literal CASE table, unchanged shape).",
+)
+def q_quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        lambda tok: (
+            F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % 64
+        )
+        * F.lit(2654435761).cast("long")
+        % 1001
+        - 500
+    )
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    scored = toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda acc, tok: acc + w(tok)
+        ).alias("quality_score"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "quality_score",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("(quality_score * 1000) DIV n_tokens"))
+        .alias("score_per_kilotoken"),
+        F.when(F.col("quality_score") >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )

@@ -118,5 +118,6 @@ def test_check_window_covers_the_round1_dark_families():
         "text_quality_score",
         # r7-new surface graded same-round:
         "dedup_span_excision_minlen", "skyline_3d_grid",
+        "quality_classifier_linear",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))
