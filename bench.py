@@ -81,6 +81,9 @@ HEADLINE = [
     # skyline (grid prune + per-cell pandas BNL + bounded verify)
     "dedup_span_excision_minlen",
     "skyline_3d_grid",
+    # late round 7: the composed ingest admission tier (scrub +
+    # quality gate + dedup + distributed shard cumsum in one plan)
+    "ingest_manifest_pipeline",
 ]
 
 

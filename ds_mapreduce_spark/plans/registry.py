@@ -66,7 +66,9 @@ PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",           # relational agg (E5)
     "dedup_minhash_lsh",            # near-dedup (E7)
     "knn_ivf",                      # similarity ANN (E8)
-    "events_sessionization",        # event-time windows (E13)
+    # events_sessionization rotated out late-r7 (green r2-r6; the
+    # stream family keeps 7+ windowed rows incl. the native variant's
+    # history) for the r7 ingest pipeline (see end of list)
     "text_stats",                   # text analysis (E9)
     "asof_join_click_purchase",     # temporal join
     "kv_text_roundtrip",            # text source/sink (R1/R4-R6)
@@ -167,6 +169,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_span_excision_minlen",  # r7: Lee et al. length floor
     "skyline_3d_grid",            # r7: d-dim grid/BNL skyline
     "quality_classifier_linear",  # r7: hashed linear quality model
+    "ingest_manifest_pipeline",   # r7: composed ingest admission tier
 )
 
 

@@ -2383,3 +2383,68 @@ def q_quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("drop"))
         .alias("label"),
     )
+
+
+@register(
+    "ingest_manifest_pipeline",
+    oracle=r"""
+WITH scrub AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS rt
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, rt,
+         CAST(len(list_filter(regexp_split_to_array(rt, '\s+'), x -> x <> ''))
+              AS BIGINT) AS n_tok,
+         CAST(COALESCE(list_sum(list_transform(
+             list_filter(regexp_split_to_array(rt, '\s+'), x -> x <> ''),
+             tok -> ((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64)
+                     * 2654435761) % 1001 - 500)), 0) AS BIGINT) AS q,
+         md5(trim(regexp_replace(lower(rt), '\s+', ' ', 'g'))) AS fp,
+         md5(CAST(doc_id AS VARCHAR)) AS okey
+  FROM scrub
+),
+owner AS (
+  SELECT doc_id, okey, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY okey, doc_id) AS rn
+  FROM scored WHERE q >= 0
+),
+kept AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY okey, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM owner WHERE rn = 1
+)
+SELECT s.doc_id,
+       CASE WHEN s.q < 0 THEN 'low_quality'
+            WHEN k.doc_id IS NOT NULL THEN 'kept'
+            ELSE 'dup' END AS verdict,
+       s.n_tok,
+       CAST(COALESCE((k.cum - k.n_tok) // 2000, -1) AS BIGINT) AS shard_id
+FROM scored s LEFT JOIN kept k ON s.doc_id = k.doc_id
+""",
+    doc="Ingest admission manifest (r7) — the training-data ingest "
+    "tier as ONE composed pipeline: unconditional PII scrub (redacted "
+    "text flows into every branch, including rejects bound for audit "
+    "logs), hashed-linear quality gate (quality_classifier_linear's "
+    "scorer), canonical-md5 exact dedup with min-(okey, doc_id) "
+    "ownership, and token-budget shard routing over the SAME md5 "
+    "total order the dedup owns by — emitting per-doc (verdict, "
+    "shard) decision rows. Composing ownership and routing on one "
+    "total order is what lets the streaming twin "
+    "(run_streaming_ingest_manifest) converge exactly under ordered "
+    "arrival, the corpus_shard_plan contract. Plan: two map-only "
+    "documents scans (scored branch + manifest join-back), one fp "
+    "window (partition = duplicate-group size), the distributed "
+    "prefix sum (zero SinglePartition), one doc_id join. See "
+    "operators/ingest.py.",
+)
+def q_ingest_manifest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.ingest import ingest_manifest
+
+    return ingest_manifest(
+        load_table(spark, sf_dir, "documents"), budget=2000, quality_threshold=0
+    )

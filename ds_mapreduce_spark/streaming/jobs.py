@@ -1107,3 +1107,134 @@ def run_streaming_minhash_lsh(
         spark.read.parquet(*[f"{state_dir}/pairs_v{i}" for i in versions])
         .distinct()
     )
+
+
+def run_streaming_ingest_manifest(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    budget: int = 2000,
+    quality_threshold: int = 0,
+) -> DataFrame:
+    """The ingest admission pipeline as an always-on stream — the
+    composed twin of ``ingest_manifest_pipeline``: every arriving
+    micro-batch is scrubbed, quality-gated, deduped against the
+    accumulated kept-fingerprint store, and its kept docs are routed
+    into token-budget shards continuing from the carried offset. Two
+    state tables (kept fps; 1-row carried token total), one appended
+    manifest log — the decision record per document, written once.
+
+    Shared code: the per-doc stage is ``operators.ingest.scored_rows``
+    verbatim (map-only, slice-able); ownership and routing both walk
+    the (okey = md5(doc_id), doc_id) total order, so when arrival
+    chunks respect that order the streamed manifest equals the
+    one-shot batch manifest EXACTLY (the corpus_shard_plan
+    convergence contract — first-arrival-wins ownership coincides
+    with the batch min-(okey, doc_id) rule); under arbitrary arrival
+    the kept SET per fingerprint is still one doc and shard fills
+    remain budget-bounded, only ownership/routing identity shifts
+    with arrival (documented, same as the incremental-dedup twin's
+    dup_of_history note). State chains through versioned parquet dirs
+    (idempotent per batch id); resume/empty-feed via the shared
+    guards. 100 TB: per batch the work is |batch| map-only rows, one
+    |batch fp| probe of the store, and a batch-local prefix sum — the
+    corpus is never rescanned."""
+    from ds_mapreduce_spark.operators.ingest import scored_rows
+    from ds_mapreduce_spark.operators.relational import prefix_sum_over_total_order
+
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if docs_dir.endswith(".parquet"):
+        base, _, fname = docs_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        docs_dir = base
+    stream = reader.parquet(docs_dir)
+    last_version: list[int] = [-1]
+
+    spark.createDataFrame([(0,)], "carried bigint").write.mode("overwrite").parquet(
+        f"{state_dir}/v-1/carried"
+    )
+    spark.createDataFrame([], "fp string").write.mode("overwrite").parquet(
+        f"{state_dir}/v-1/fps"
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        sess = batch_df.sparkSession
+        prev = f"{state_dir}/v{batch_id - 1}"
+        store = sess.read.parquet(f"{prev}/fps")
+        carried = sess.read.parquet(f"{prev}/carried")
+
+        scored = scored_rows(batch_df).localCheckpoint(eager=True)
+        qual = scored.where(F.col("q") >= F.lit(quality_threshold))
+        fresh = qual.join(store, "fp", "left_anti")
+        wfp = Window.partitionBy("fp").orderBy("okey", "doc_id")
+        ranked = fresh.withColumn("__rn", F.row_number().over(wfp))
+        owner = ranked.where(F.col("__rn") == 1).select("doc_id", "okey", "n_tok", "fp")
+        kept = (
+            prefix_sum_over_total_order(
+                owner.select("doc_id", "okey", "n_tok"),
+                [F.col("okey"), F.col("doc_id")],
+                F.col("n_tok"),
+                "cum_local",
+            )
+            .crossJoin(F.broadcast(carried))
+            .select(
+                "doc_id",
+                F.expr(f"(cum_local + carried - n_tok) DIV {budget}").alias("__shard"),
+                "n_tok",
+            )
+        )
+        manifest = (
+            scored.join(kept.select("doc_id", "__shard"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("q") < F.lit(quality_threshold), F.lit("low_quality")
+                )
+                .when(F.col("__shard").isNotNull(), F.lit("kept"))
+                .otherwise(F.lit("dup"))
+                .alias("verdict"),
+                "n_tok",
+                F.coalesce(F.col("__shard"), F.lit(-1))
+                .cast("bigint")
+                .alias("shard_id"),
+            )
+        )
+        cur = f"{state_dir}/v{batch_id}"
+        manifest.write.mode("overwrite").parquet(f"{state_dir}/manifest_v{batch_id}")
+        store.unionByName(owner.select("fp")).distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{cur}/fps")
+        new_total = (
+            sess.read.parquet(f"{state_dir}/manifest_v{batch_id}")
+            .where(F.col("verdict") == "kept")
+            .agg(F.sum("n_tok").cast("bigint").alias("b"))
+            .crossJoin(F.broadcast(carried))
+            .select(
+                (F.col("carried") + F.coalesce(F.col("b"), F.lit(0))).alias("carried")
+            )
+        )
+        new_total.write.mode("overwrite").parquet(f"{cur}/carried")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    versions = existing_state_versions(spark, state_dir, prefix="manifest_v")
+    if last_version[0] >= 0:
+        versions = [v for v in versions if v <= last_version[0]]
+    if not versions:  # empty feed, no prior manifest: empty schema
+        return spark.createDataFrame(
+            [], "doc_id bigint, verdict string, n_tok bigint, shard_id bigint"
+        )
+    return spark.read.parquet(
+        *[f"{state_dir}/manifest_v{i}" for i in versions]
+    )

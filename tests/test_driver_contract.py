@@ -90,7 +90,9 @@ def test_check_window_covers_the_round1_dark_families():
     must_grade = {
         "knn_ivf",                                        # E8
         "text_stats", "decontamination",                  # E9
-        "events_sessionization", "events_json_extract",   # E13/E14
+        "events_json_extract",                            # E13/E14
+        # events_sessionization rotated out late-r7 (green r2-r6);
+        # stream family keeps 7+ windowed rows
         "asof_join_click_purchase",                       # temporal
         "kv_text_roundtrip",                              # R1/R4-R6
         "multimodal_payload_dedup",                       # multimodal
@@ -118,6 +120,6 @@ def test_check_window_covers_the_round1_dark_families():
         "text_quality_score",
         # r7-new surface graded same-round:
         "dedup_span_excision_minlen", "skyline_3d_grid",
-        "quality_classifier_linear",
+        "quality_classifier_linear", "ingest_manifest_pipeline",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))

@@ -722,3 +722,49 @@ def test_streaming_minhash_lsh_matches_batch(spark, sf_dir, tmp_path):
     brows = sorted(map(tuple, batch.select("doc_a", "doc_b").collect()))
     assert srows == brows
     assert len(srows) > 0
+
+
+def test_streaming_ingest_manifest_matches_batch(spark, sf_dir, tmp_path):
+    """The composed ingest pipeline (scrub -> quality gate -> dedup ->
+    shard routing) streamed in okey-ordered micro-batches must equal
+    the one-shot batch manifest EXACTLY — including the dup branch,
+    exercised by injecting exact-duplicate docs (the raw corpus has
+    none) whose owners and dups land in DIFFERENT batches."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.operators.ingest import ingest_manifest
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_ingest_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # inject exact duplicates under fresh doc_ids: 10 copied texts
+    dups = (
+        docs.orderBy("doc_id")
+        .limit(10)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    corpus = docs.unionByName(dups)
+
+    batch = ingest_manifest(corpus, budget=2000, quality_threshold=0)
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert any(r[1] == "dup" for r in b_rows)  # the branch actually fires
+
+    ordered = (
+        corpus.withColumn("__k", F.md5(F.col("doc_id").cast("string")))
+        .orderBy("__k", "doc_id")
+        .drop("__k")
+        .collect()
+    )
+    feed = str(tmp_path / "feed")
+    third = (len(ordered) + 2) // 3
+    for i in range(3):
+        chunk = ordered[i * third : (i + 1) * third]
+        if chunk:
+            spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(feed)
+            _time.sleep(1.1)
+
+    streamed = run_streaming_ingest_manifest(
+        spark, feed, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    assert sorted(map(tuple, streamed.collect())) == b_rows
