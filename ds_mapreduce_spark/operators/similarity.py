@@ -110,9 +110,17 @@ def ivf_topk(
     centroids: DataFrame,
     k: int = 5,
     nprobe: int = 2,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF ANN: probe the ``nprobe`` best centroid buckets per query."""
-    assigned = assign_to_centroids(corpus, centroids)
+    """IVF ANN: probe the ``nprobe`` best centroid buckets per query.
+
+    ``assigned`` lets a caller pass an ALREADY-built inverted index
+    (vec_id, embedding, centroid_id) instead of assigning ``corpus``
+    inline — the streaming twin (``run_streaming_ivf_index``) maintains
+    that index as state and probes it here, so batch and stream share
+    the probe verbatim."""
+    if assigned is None:
+        assigned = assign_to_centroids(corpus, centroids)
 
     c = centroids.select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent_emb")

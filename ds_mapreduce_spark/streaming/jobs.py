@@ -1238,3 +1238,76 @@ def run_streaming_ingest_manifest(
     return spark.read.parquet(
         *[f"{state_dir}/manifest_v{i}" for i in versions]
     )
+
+
+def run_streaming_ivf_index(
+    spark: SparkSession,
+    emb_dir: str,
+    centroids: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    n_queries: int = 20,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Dense-ANN index maintenance — the third member of the ingest
+    trio (sparse search: run_streaming_bm25_index; near-dup:
+    run_streaming_minhash_lsh; dense: this). Embeddings arrive as
+    micro-batches; each batch is assigned to its nearest FIXED
+    centroid (``centroids`` is an offline artifact, passed in like the
+    incremental-dedup history — per-batch assignment is a broadcast
+    map + batch-local argmax groupBy, shared verbatim with batch via
+    ``operators.similarity.assign_to_centroids``) and APPENDED to the
+    versioned inverted-index state (vec_id, embedding, centroid_id).
+    The final answer probes the maintained index with the SAME
+    ``ivf_topk`` probe the batch ``knn_ivf`` runs (assigned= the
+    state), so any chunking of the feed reproduces the batch top-k
+    exactly — assignment is per-vector against fixed centroids, so
+    order cannot matter; the equivalence test pins it. State chains
+    through versioned parquet dirs (idempotent per batch id);
+    resume/empty-feed via the shared guards. 100 TB: per batch the
+    work is |batch| x |centroids| broadcast scores; the index is
+    bucketed by centroid_id in a real deployment so a query touches
+    nprobe posting lists, never the corpus."""
+    from ds_mapreduce_spark.operators.similarity import (
+        assign_to_centroids,
+        ivf_topk,
+    )
+
+    schema = spark.read.parquet(emb_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if emb_dir.endswith(".parquet"):
+        base, _, fname = emb_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        emb_dir = base
+    stream = reader.parquet(emb_dir)
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        part = assign_to_centroids(batch_df, centroids)
+        if batch_id > 0:
+            part = sess.read.parquet(f"{state_dir}/v{batch_id - 1}").unionByName(part)
+        part.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    final = _resolve_final_version(spark, state_dir, last_version[0])
+    if final is None:  # empty feed, no prior index
+        index = assign_to_centroids(spark.createDataFrame([], schema), centroids)
+    else:
+        index = spark.read.parquet(f"{state_dir}/v{final}")
+    queries = index.where(F.col("vec_id") < n_queries).select("vec_id", "embedding")
+    return ivf_topk(
+        corpus=index, queries=queries, centroids=centroids,
+        k=k, nprobe=nprobe, assigned=index,
+    ).select(
+        "query_id", "neighbor_id", "score", F.col("rnk").cast("bigint").alias("rnk")
+    )

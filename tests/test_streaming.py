@@ -768,3 +768,31 @@ def test_streaming_ingest_manifest_matches_batch(spark, sf_dir, tmp_path):
         spark, feed, str(tmp_path / "state"), str(tmp_path / "ckpt")
     )
     assert sorted(map(tuple, streamed.collect())) == b_rows
+
+
+def test_streaming_ivf_index_matches_batch(spark, sf_dir, tmp_path):
+    """IVF-at-ingest: per-batch assignment against fixed centroids
+    appended into the versioned inverted index, probed by the same
+    ivf_topk the batch knn_ivf runs, must reproduce the batch top-k
+    exactly under an arrival-shuffled chunked feed."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_ivf_index
+
+    batch = load_all()["knn_ivf"].fn(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.where(F.col("vec_id") < 16).localCheckpoint(eager=True)
+    feed_dir = str(tmp_path / "emb_feed")
+    emb.orderBy(F.md5(F.col("vec_id").cast("string"))).repartition(4).write.parquet(
+        feed_dir
+    )
+
+    streamed = run_streaming_ivf_index(
+        spark, feed_dir, centroids, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert streamed.columns == batch.columns
+    assert srows == brows
+    assert len(srows) > 0
