@@ -78,7 +78,9 @@ PRIORITY: tuple[str, ...] = (
     "decontamination",              # LLM-pipeline text op
     "pipeline_llm_training_prep",   # THE flagship end-to-end funnel
     # family breadth
-    "dq_validation_suite",       # r5: Deequ-style contract gate
+    # dq_validation_suite rotated out late-r7 (green r5+r6; relational
+    # keeps q1/q3/equi_depth/table_profile + the r7 TPC-H adds) for
+    # the r7 CMS sketch (see end of list)
     "multimodal_payload_dedup",
     # round-5 rotation (VERDICT r4 item 1): the round-4 flagship family
     # gets driver-grade evidence. Rotated out to the in-repo parity
@@ -170,6 +172,7 @@ PRIORITY: tuple[str, ...] = (
     "skyline_3d_grid",            # r7: d-dim grid/BNL skyline
     "quality_classifier_linear",  # r7: hashed linear quality model
     "ingest_manifest_pipeline",   # r7: composed ingest admission tier
+    "cms_heavy_hitter_estimates",  # r7: Count-Min mergeable sketch
 )
 
 

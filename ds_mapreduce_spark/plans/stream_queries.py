@@ -1275,3 +1275,126 @@ def q_events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_dev_cents",
         )
     )
+
+
+def cms_counters(events: DataFrame, depth: int = 4, width: int = 256) -> DataFrame:
+    """(j, bucket, c): the Count-Min sketch of the user_id stream as a
+    plain DataFrame aggregation — each event increments one counter per
+    hash row j, so the sketch build is a groupBy whose output is
+    bounded by depth x width REGARDLESS of stream size, and two
+    sketches merge by elementwise counter addition (associative — the
+    mergeable-summary property tests/test_approx.py asserts, and what
+    would make this a one-line streaming-state twin). Hashes are the
+    repo's md5-portable convention, so the sketch is bit-identical
+    cross-engine."""
+    pairs = events.select(
+        F.col("user_id").cast("string").alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("k"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return pairs.select("j", bucket.alias("bucket")).groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+
+@register(
+    "cms_heavy_hitter_estimates",
+    oracle="""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+dim AS (SELECT unnest(range(4)) AS j),
+cms AS (
+  SELECT j,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 8)) AS BIGINT)
+           % 256 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev CROSS JOIN dim
+  GROUP BY 1, 2
+),
+pk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_events FROM ev GROUP BY k),
+top AS (SELECT k, n_events FROM pk ORDER BY n_events DESC, k LIMIT 10),
+est AS (
+  SELECT t.k, t.n_events, MIN(c.c) AS cms_estimate
+  FROM top t CROSS JOIN dim d
+  JOIN cms c
+    ON c.j = d.j
+   AND c.bucket = CAST(('0x' || substr(md5(CAST(d.j AS VARCHAR) || ':' || t.k), 1, 8))
+                       AS BIGINT) % 256
+  GROUP BY t.k, t.n_events
+)
+SELECT CAST(k AS BIGINT) AS user_id, n_events,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - n_events AS BIGINT) AS overcount
+FROM est
+""",
+    doc="Count-Min sketch heavy-hitter estimation (r7) — the canonical "
+    "mergeable stream sketch (Cormode/Muthukrishnan) next to the "
+    "family's exact profile (events_heavy_hitter_profile) and the "
+    "HLL/t-digest members of agg_approx_suite: a 4x256 counter table "
+    "built as ONE bounded groupBy (each event feeds 4 counters; "
+    "output is depth x width rows however large the stream), probed "
+    "for the exact top-10 keys so every result row carries (exact, "
+    "estimate, overcount). overcount >= 0 is the CMS's DETERMINISTIC "
+    "one-sided guarantee — hash-graded here on every row; the "
+    "epsilon-bound and elementwise-merge (streamability) properties "
+    "are asserted in tests/test_approx.py. Plan: one map-side x4 "
+    "explode + a bounded groupBy; the 1024-row sketch broadcasts back "
+    "to the TakeOrdered(10) exact keys. 100 TB: sketch size is a "
+    "constant; the only stream-sized work is the partial-aggregated "
+    "counter groupBy — the shape you keep NEXT to a pipeline when "
+    "the exact profile's per-key state is too big.",
+)
+def q_cms_heavy_hitter_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cms = cms_counters(ev, depth=4, width=256)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(10)
+    )
+    probes = top.select(
+        "user_id",
+        "n_events",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 256
+    )
+    est = (
+        probes.withColumn("bucket", bucket)
+        .join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("user_id", "n_events")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "n_events",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_events")).cast("bigint").alias("overcount"),
+    )
