@@ -75,7 +75,8 @@ PRIORITY: tuple[str, ...] = (
     "events_json_extract",          # JSON extraction (E14/X2)
     "q3_shipping_priority",         # join pipeline (E11)
     "dedup_exact",                  # exact dedup (E6)
-    "decontamination",              # LLM-pipeline text op
+    # decontamination rotated out late-r7 (green r4-r6; E9 keeps
+    # exact_ngram history + many graded text rows) for the r7 RRF
     "pipeline_llm_training_prep",   # THE flagship end-to-end funnel
     # family breadth
     # dq_validation_suite rotated out late-r7 (green r5+r6; relational
@@ -173,6 +174,7 @@ PRIORITY: tuple[str, ...] = (
     "quality_classifier_linear",  # r7: hashed linear quality model
     "ingest_manifest_pipeline",   # r7: composed ingest admission tier
     "cms_heavy_hitter_estimates",  # r7: Count-Min mergeable sketch
+    "hybrid_rrf_fusion",          # r7: reciprocal-rank fusion
 )
 
 

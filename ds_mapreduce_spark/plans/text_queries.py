@@ -2448,3 +2448,115 @@ def q_ingest_manifest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_manifest(
         load_table(spark, sf_dir, "documents"), budget=2000, quality_threshold=0
     )
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle="WITH "
+    + _BM25_CTE
+    + """,
+sparse AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS rs
+  FROM agg QUALIFY rs <= 50
+),
+qe AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings
+  WHERE vec_id = (SELECT MIN(doc_id) FROM documents)
+),
+dense AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (
+            ORDER BY ROUND(list_cosine_similarity(qe.q_emb,
+                                                  CAST(e.embedding AS DOUBLE[])), 6)
+                     DESC, vec_id) AS BIGINT) AS rd
+  FROM embeddings e, qe
+  QUALIFY rd <= 50
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         COALESCE(s.rs, -1) AS bm25_rank,
+         COALESCE(d.rd, -1) AS dense_rank,
+         CAST(COALESCE(1000000 // (60 + s.rs), 0)
+              + COALESCE(1000000 // (60 + d.rd), 0) AS BIGINT) AS rrf_score
+  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, bm25_rank, dense_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rnk
+FROM fused QUALIFY rnk <= 10
+""",
+    doc="Reciprocal Rank Fusion (r7) — the OTHER standard hybrid "
+    "combiner next to retrieve-then-rerank (hybrid_search_rerank): "
+    "sparse BM25 top-50 and dense cosine top-50 are fused by "
+    "score = sum of 1e6 DIV (60 + rank) (Cormack et al.'s RRF with "
+    "k=60 at integer fixed point — no float crosses the engine "
+    "boundary), a doc absent from one list contributing 0 from it. "
+    "RRF needs only RANKS, not comparable scores, which is why "
+    "production search uses it to merge heterogeneous retrievers. "
+    "Plan: the shared BM25 scorer (needle below the tf agg) + one "
+    "brute-force dense ranking of the embeddings table against the "
+    "1-row broadcast query vector (TakeOrdered(50) — at 100 TB this "
+    "side swaps to the IVF probe with the same rank contract), a "
+    "50x50 full-outer fuse, rank window on <=60 fused rows. Bounded "
+    "everywhere below the two retrievals.",
+)
+def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ds_mapreduce_spark.functions.vector import cosine_similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = (
+        _bm25_doc_scores(spark, sf_dir)
+        .orderBy(F.col("bm25_scaled").desc(), "doc_id")
+        .limit(50)
+        .withColumn(
+            "rs",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25_scaled").desc(), "doc_id"))
+            .cast("bigint"),
+        )
+        .select("doc_id", "rs")
+    )
+    qe = (
+        emb.join(
+            F.broadcast(docs.agg(F.min("doc_id").alias("mid"))),
+            F.col("vec_id") == F.col("mid"),
+        )
+        .select(F.col("embedding").alias("q_emb"))
+    )
+    dense_scored = emb.crossJoin(F.broadcast(qe)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_similarity(F.col("q_emb"), F.col("embedding")), 6).alias(
+            "cs"
+        ),
+    )
+    dense = (
+        dense_scored.orderBy(F.col("cs").desc(), "doc_id")
+        .limit(50)
+        .withColumn(
+            "rd",
+            F.row_number()
+            .over(Window.orderBy(F.col("cs").desc(), "doc_id"))
+            .cast("bigint"),
+        )
+        .select("doc_id", "rd")
+    )
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rs", F.lit(-1)).cast("bigint").alias("bm25_rank"),
+            F.coalesce("rd", F.lit(-1)).cast("bigint").alias("dense_rank"),
+            (
+                F.coalesce(F.expr("1000000 DIV (60 + rs)"), F.lit(0))
+                + F.coalesce(F.expr("1000000 DIV (60 + rd)"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("rrf_score"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
+    w = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))

@@ -89,7 +89,8 @@ def test_check_window_covers_the_round1_dark_families():
     time last round stay pinned one more round."""
     must_grade = {
         "knn_ivf",                                        # E8
-        "text_stats", "decontamination",                  # E9
+        "text_stats",                                     # E9
+        # decontamination rotated out late-r7 (green r4-r6)
         "events_json_extract",                            # E13/E14
         # events_sessionization rotated out late-r7 (green r2-r6);
         # stream family keeps 7+ windowed rows
@@ -121,6 +122,6 @@ def test_check_window_covers_the_round1_dark_families():
         # r7-new surface graded same-round:
         "dedup_span_excision_minlen", "skyline_3d_grid",
         "quality_classifier_linear", "ingest_manifest_pipeline",
-        "cms_heavy_hitter_estimates",
+        "cms_heavy_hitter_estimates", "hybrid_rrf_fusion",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))
