@@ -82,8 +82,12 @@ HEADLINE = [
     "dedup_span_excision_minlen",
     "skyline_3d_grid",
     # late round 7: the composed ingest admission tier (scrub +
-    # quality gate + dedup + distributed shard cumsum in one plan)
+    # quality gate + dedup + distributed shard cumsum in one plan),
+    # the bounded Count-Min sketch build, and rank fusion over the
+    # two retrieval stacks
     "ingest_manifest_pipeline",
+    "cms_heavy_hitter_estimates",
+    "hybrid_rrf_fusion",
 ]
 
 

@@ -728,3 +728,56 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         _text_checksum().alias("text_checksum"),
     )
+
+
+@register(
+    "schema_evolution_roundtrip",
+    oracle="""
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'PRE_MIGRATION'
+            ELSE o_orderpriority END AS priority_bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+GROUP BY 1
+""",
+    doc="Schema evolution graded end-to-end (r7): a 100 TB table's "
+    "columns change over its lifetime — generation 1 of orders is "
+    "written WITHOUT o_orderpriority (even keys), generation 2 WITH "
+    "it (odd keys), and one mergeSchema parquet read unions the "
+    "generations (gen-1 rows surface NULL for the new column, "
+    "reported as PRE_MIGRATION). The oracle reconstructs the same "
+    "split from the raw table, so the hash proves the merged read "
+    "loses no rows, values, or typing across the schema boundary. "
+    "At scale: mergeSchema's footer reconciliation is a planning-time "
+    "cost (bounded by file count, worth pinning a merged schema in a "
+    "catalog instead); the data path stays columnar and the new "
+    "column is NULL-filled at read, never rewritten — the reason "
+    "additive evolution is free and destructive evolution is not.",
+)
+def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch_dir(spark, "schema_evolution", sf_dir)
+    key = (spark.sparkContext.applicationId, "schema_evolution", sf_dir)
+    if key not in _WRITTEN:
+        orders = load_table(spark, sf_dir, "orders")
+        gen1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        gen2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        gen1.write.mode("overwrite").parquet(f"{out}/gen=1")
+        gen2.write.mode("overwrite").parquet(f"{out}/gen=2")
+        _WRITTEN[key] = out
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{out}/gen=1", f"{out}/gen=2"
+    )
+    cents = (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("bigint")
+    return merged.groupBy(
+        F.coalesce("o_orderpriority", F.lit("PRE_MIGRATION")).alias(
+            "priority_bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).cast("bigint").alias("total_cents"),
+    )

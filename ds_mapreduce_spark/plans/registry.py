@@ -64,7 +64,8 @@ PRIORITY: tuple[str, ...] = (
     # one per family first
     "wordcount",                    # MR flagship (R8/R9, E4)
     "q1_pricing_summary",           # relational agg (E5)
-    "dedup_minhash_lsh",            # near-dedup (E7)
+    # dedup_minhash_lsh rotated out late-r7 (green r2-r6, 5 straight
+    # rounds; dedup keeps 5 windowed rows + the r7 ingest-LSH twin)
     "knn_ivf",                      # similarity ANN (E8)
     # events_sessionization rotated out late-r7 (green r2-r6; the
     # stream family keeps 7+ windowed rows incl. the native variant's
@@ -175,6 +176,7 @@ PRIORITY: tuple[str, ...] = (
     "ingest_manifest_pipeline",   # r7: composed ingest admission tier
     "cms_heavy_hitter_estimates",  # r7: Count-Min mergeable sketch
     "hybrid_rrf_fusion",          # r7: reciprocal-rank fusion
+    "schema_evolution_roundtrip",  # r7: mergeSchema generational read
 )
 
 

@@ -123,5 +123,6 @@ def test_check_window_covers_the_round1_dark_families():
         "dedup_span_excision_minlen", "skyline_3d_grid",
         "quality_classifier_linear", "ingest_manifest_pipeline",
         "cms_heavy_hitter_estimates", "hybrid_rrf_fusion",
+        "schema_evolution_roundtrip",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))
