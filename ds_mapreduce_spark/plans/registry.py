@@ -66,7 +66,8 @@ PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",           # relational agg (E5)
     # dedup_minhash_lsh rotated out late-r7 (green r2-r6, 5 straight
     # rounds; dedup keeps 5 windowed rows + the r7 ingest-LSH twin)
-    "knn_ivf",                      # similarity ANN (E8)
+    # knn_ivf rotated out late-r7 (green r2-r6, 5 straight rounds; E8
+    # keeps 6 windowed retrieval rows + the r7 IVF streaming twin)
     # events_sessionization rotated out late-r7 (green r2-r6; the
     # stream family keeps 7+ windowed rows incl. the native variant's
     # history) for the r7 ingest pipeline (see end of list)
@@ -177,6 +178,7 @@ PRIORITY: tuple[str, ...] = (
     "cms_heavy_hitter_estimates",  # r7: Count-Min mergeable sketch
     "hybrid_rrf_fusion",          # r7: reciprocal-rank fusion
     "schema_evolution_roundtrip",  # r7: mergeSchema generational read
+    "seasonal_naive_backtest",    # r7: forecast-baseline backtest
 )
 
 

@@ -367,3 +367,111 @@ def q_events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = hourly_cents_rollup(ev).localCheckpoint(eager=True)
     return resample_linear_interp(hourly)
+
+
+@register(
+    "seasonal_naive_backtest",
+    oracle="""
+WITH roll AS (
+  SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS d,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM events GROUP BY 1, 2
+),
+dmax AS (SELECT MAX(d) AS dm FROM roll),
+test AS (
+  SELECT r.user_id, r.d, r.sum_cents AS actual,
+         s.sum_cents AS fc_seasonal, p.sum_cents AS fc_naive1
+  FROM roll r
+  JOIN dmax ON r.d > dmax.dm - 7
+  JOIN roll s ON s.user_id = r.user_id AND s.d = r.d - 7
+  JOIN roll p ON p.user_id = r.user_id AND p.d = r.d - 1
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(ABS(actual - fc_seasonal)) AS BIGINT) AS sae_seasonal,
+       CAST(SUM(ABS(actual - fc_naive1)) AS BIGINT) AS sae_naive1,
+       CAST(CASE WHEN SUM(ABS(actual - fc_naive1)) = 0 THEN -1
+                 ELSE (20000 * SUM(ABS(actual - fc_seasonal))
+                       + SUM(ABS(actual - fc_naive1)))
+                      // (2 * SUM(ABS(actual - fc_naive1))) END AS BIGINT)
+         AS mase_bp
+FROM test GROUP BY user_id
+""",
+    doc="Seasonal-naive forecast backtest (r7) — the baseline every "
+    "time-series model must beat, evaluated the way forecasters "
+    "actually do it: over the final 7-day holdout, forecast each "
+    "(user, day) cents total with the value 7 days earlier (weekly "
+    "seasonal naive) and with the previous day (naive-1), and report "
+    "per-user absolute-error sums plus MASE-style basis points "
+    "(seasonal error relative to naive-1, half-up integer division, "
+    "-1 when the denominator is zero) — exact integers throughout, "
+    "no float crosses the engine boundary. Days with a missing lag "
+    "are excluded on both engines (inner joins). Plan: a per-(user, "
+    "day) rollup (|users x active days| rows, localCheckpointed so "
+    "events scans ONCE across its three uses) self-joined on "
+    "(user, d-7) and (user, d-1); the holdout bound is a 1-row "
+    "broadcast. 100 TB: every join leg is rollup-sized, never "
+    "event-sized; the rollup is the same associative partial shape "
+    "the streaming resample twins maintain, so the backtest runs "
+    "incrementally off that state for free.",
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.functions.temporal import epoch_sec, idiv_floor
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    roll = (
+        ev.select(
+            "user_id",
+            idiv_floor(epoch_sec("ts"), 86400).alias("d"),
+            cents.alias("cents"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sum("cents").cast("bigint").alias("sum_cents"))
+        .localCheckpoint(eager=True)
+    )
+    dmax = roll.agg(F.max("d").alias("dm"))
+    test = (
+        roll.crossJoin(F.broadcast(dmax))
+        .where(F.col("d") > F.col("dm") - 7)
+        .select("user_id", "d", F.col("sum_cents").alias("actual"))
+        .join(
+            roll.select(
+                "user_id",
+                (F.col("d") + 7).alias("d"),
+                F.col("sum_cents").alias("fc_seasonal"),
+            ),
+            ["user_id", "d"],
+        )
+        .join(
+            roll.select(
+                "user_id",
+                (F.col("d") + 1).alias("d"),
+                F.col("sum_cents").alias("fc_naive1"),
+            ),
+            ["user_id", "d"],
+        )
+    )
+    sae_s = F.sum(F.abs(F.col("actual") - F.col("fc_seasonal"))).cast("bigint")
+    sae_n = F.sum(F.abs(F.col("actual") - F.col("fc_naive1"))).cast("bigint")
+    return (
+        test.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            sae_s.alias("sae_seasonal"),
+            sae_n.alias("sae_naive1"),
+        )
+        .select(
+            "user_id",
+            "n_points",
+            "sae_seasonal",
+            "sae_naive1",
+            F.when(F.col("sae_naive1") == 0, F.lit(-1))
+            .otherwise(
+                F.expr("(20000 * sae_seasonal + sae_naive1) DIV (2 * sae_naive1)")
+            )
+            .cast("bigint")
+            .alias("mase_bp"),
+        )
+    )

@@ -88,7 +88,8 @@ def test_check_window_covers_the_round1_dark_families():
     test_check_window_spans_every_family); entries graded for the FIRST
     time last round stay pinned one more round."""
     must_grade = {
-        "knn_ivf",                                        # E8
+        # knn_ivf rotated out late-r7 (green r2-r6); E8 keeps 6
+        # windowed retrieval rows
         "text_stats",                                     # E9
         # decontamination rotated out late-r7 (green r4-r6)
         "events_json_extract",                            # E13/E14
@@ -123,6 +124,6 @@ def test_check_window_covers_the_round1_dark_families():
         "dedup_span_excision_minlen", "skyline_3d_grid",
         "quality_classifier_linear", "ingest_manifest_pipeline",
         "cms_heavy_hitter_estimates", "hybrid_rrf_fusion",
-        "schema_evolution_roundtrip",
+        "schema_evolution_roundtrip", "seasonal_naive_backtest",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))
