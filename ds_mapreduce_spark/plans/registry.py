@@ -72,7 +72,9 @@ PRIORITY: tuple[str, ...] = (
     # stream family keeps 7+ windowed rows incl. the native variant's
     # history) for the r7 ingest pipeline (see end of list)
     "text_stats",                   # text analysis (E9)
-    "asof_join_click_purchase",     # temporal join
+    # asof_join_click_purchase rotated out late-r7 (green r2-r6, 5
+    # straight rounds; temporal keeps twap/multi_touch/hourly_resample
+    # + the r7 gapfill/seasonal adds)
     "kv_text_roundtrip",            # text source/sink (R1/R4-R6)
     "events_json_extract",          # JSON extraction (E14/X2)
     "q3_shipping_priority",         # join pipeline (E11)
@@ -179,6 +181,7 @@ PRIORITY: tuple[str, ...] = (
     "hybrid_rrf_fusion",          # r7: reciprocal-rank fusion
     "schema_evolution_roundtrip",  # r7: mergeSchema generational read
     "seasonal_naive_backtest",    # r7: forecast-baseline backtest
+    "snapshot_diff_census",       # r7: generational reconciliation
 )
 
 

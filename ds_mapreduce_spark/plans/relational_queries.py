@@ -2577,3 +2577,89 @@ def q_skyline_3d_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         widths=[1_000_000, 10, 300],
         id_cols=["l_orderkey", "l_linenumber"],
     )
+
+
+@register(
+    "snapshot_diff_census",
+    oracle="""
+WITH snap_a AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders WHERE o_orderkey % 5 != 0
+),
+snap_b AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+         CAST(o_totalprice AS DECIMAL(12,2))
+           + CASE WHEN o_orderkey % 7 = 0 THEN 10 ELSE 0 END AS price
+  FROM orders WHERE o_orderkey % 11 != 0
+),
+diff AS (
+  SELECT COALESCE(a.k, b.k) AS k,
+         CASE WHEN a.k IS NULL THEN 'inserted'
+              WHEN b.k IS NULL THEN 'deleted'
+              WHEN a.status <> b.status OR a.price <> b.price THEN 'updated'
+              ELSE 'unchanged' END AS verdict
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+)
+SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT))
+            AS BIGINT) AS key_checksum
+FROM diff GROUP BY verdict
+""",
+    doc="Snapshot diff census (r7) — the reconciliation step after "
+    "table_antientropy_checksums flags a divergence: two generations "
+    "of the orders table (snapshot A drops every 5th key; snapshot B "
+    "drops every 11th and re-prices every 7th — both derived "
+    "deterministically so the engines diff identical inputs) are "
+    "full-outer joined on the key and every key classified "
+    "inserted/deleted/updated/unchanged, reported as a 4-row census "
+    "with an order-independent md5-derived key checksum per class — "
+    "compact enough to ship, strong enough that a single "
+    "misclassified key flips the hash. 100 TB: the join is one "
+    "key-bucketed shuffle (zero with both generations bucketed); in "
+    "production the antientropy checksum tree prunes the diff to "
+    "mismatched partitions first, so this plan runs over the "
+    "divergent slice, not the table.",
+)
+def q_snapshot_diff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    snap_a = o.where(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    is_upd = F.col("o_orderkey") % 7 == 0
+    snap_b = o.where(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(is_upd, F.lit("U")).otherwise(F.col("o_orderstatus")).alias("status"),
+        (
+            F.col("o_totalprice").cast("decimal(12,2)")
+            + F.when(is_upd, F.lit(10)).otherwise(F.lit(0))
+        ).alias("price"),
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    joined = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    verdict = (
+        F.when(F.col("a.k").isNull(), "inserted")
+        .when(F.col("b.k").isNull(), "deleted")
+        .when(
+            (F.col("a.status") != F.col("b.status"))
+            | (F.col("a.price") != F.col("b.price")),
+            "updated",
+        )
+        .otherwise("unchanged")
+    )
+    key_int = F.conv(
+        F.substring(F.md5(F.coalesce(F.col("a.k"), F.col("b.k")).cast("string")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        joined.select(verdict.alias("verdict"), key_int.alias("ki"))
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("ki").cast("bigint").alias("key_checksum"),
+        )
+    )
