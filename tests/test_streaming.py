@@ -579,6 +579,10 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
     doc_dir = str(tmp_path / "doc_feed")
     docs.limit(50).repartition(2).write.parquet(doc_dir)
     history = docs.limit(10)
+    emb_dir = str(tmp_path / "emb_feed")
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60).repartition(
+        2
+    ).write.parquet(emb_dir)
 
     cases = {
         "cdc": lambda state, ckpt: J.run_streaming_cdc_merge(
@@ -601,6 +605,21 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
         ),
         "robust": lambda state, ckpt: J.run_streaming_robust_outliers(
             spark, ev_dir, state, ckpt
+        ),
+        "minhash": lambda state, ckpt: J.run_streaming_minhash_lsh(
+            spark, doc_dir, state, ckpt
+        ),
+        "ingest": lambda state, ckpt: J.run_streaming_ingest_manifest(
+            spark, doc_dir, state, ckpt
+        ),
+        "ivf": lambda state, ckpt: J.run_streaming_ivf_index(
+            spark,
+            emb_dir,
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+                "vec_id < 16"
+            ),
+            state,
+            ckpt,
         ),
     }
     for name, run in cases.items():
