@@ -359,7 +359,16 @@ def lsh_band_pairs(sig: DataFrame, num_hashes: int, band_size: int) -> DataFrame
     sweep (``dedup_lsh_band_sweep``) pays the corpus-sized signature
     pipeline ONCE (checkpoint it) and only the cheap band explosion
     varies per configuration."""
-    bands = lsh_bands(sig, num_hashes, band_size)
+    return lsh_bucket_pairs(lsh_bands(sig, num_hashes, band_size))
+
+
+def lsh_bucket_pairs(bands: DataFrame) -> DataFrame:
+    """Bucket-local pair expansion over an ALREADY-banded index table
+    (doc_id, band, band_key) — the second split point: the streaming
+    ingest twin checkpoints its per-batch band rows (they also append
+    into the index state) and derives within-batch pairs from the
+    SAME materialized table, so the signature pipeline runs once per
+    micro-batch, not once per consumer."""
     # bucket-local pair expansion (signature pipeline runs ONCE; a
     # band-key self-join would recompute it per join branch)
     packed = (

@@ -1052,8 +1052,8 @@ def run_streaming_minhash_lsh(
     the batch family) applies unchanged; the index is bucketed by
     band_key in a real deployment so the probe is shuffle-free."""
     from ds_mapreduce_spark.operators.dedup import (
-        lsh_band_pairs,
         lsh_bands,
+        lsh_bucket_pairs,
         minhash_signatures,
     )
 
@@ -1071,7 +1071,9 @@ def run_streaming_minhash_lsh(
         sess = batch_df.sparkSession
         sig = minhash_signatures(batch_df, k=3, num_hashes=num_hashes)
         bands_new = lsh_bands(sig, num_hashes, band_size).localCheckpoint(eager=True)
-        within = lsh_band_pairs(sig, num_hashes, band_size)
+        # within-batch pairs from the SAME checkpointed band table that
+        # appends into the index: one signature pipeline per batch
+        within = lsh_bucket_pairs(bands_new)
         if batch_id > 0:
             index = sess.read.parquet(f"{state_dir}/v{batch_id - 1}")
             hit = bands_new.join(
