@@ -984,3 +984,110 @@ def duplicate_span_excision(
         )
     )
     return out
+
+
+def semdedup_verdicts(
+    emb: DataFrame, k: int = 8, threshold: float = 0.45, quant: int = 10_000
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): semantic near-dup
+    removal that bounds the pairwise-cosine blowup by CLUSTERING first —
+    exact cosine is computed only WITHIN a cluster, so the pair space is
+    O(sum cluster_size^2) = O(n^2 / k) instead of O(n^2), and at 100 TB
+    k grows with the corpus so per-cluster size (and thus per-key join
+    fan-out) stays bounded. The paper's recipe verbatim: (1) k-means
+    cluster the embeddings, (2) within each cluster mark pairs with
+    cosine >= threshold as semantic duplicates, (3) group duplicates
+    (connected components — A~B~C must dedup together even when A!~C),
+    (4) from each duplicate group KEEP the vector farthest from its
+    cluster centroid (the paper keeps low-centroid-similarity examples:
+    they carry the most marginal information) and remove the rest.
+
+    Engine-exact determinism: cluster assignment uses the repo's
+    integer-quantized squared-L2 convention (components floor(x*quant)
+    BIGINT, distances exact integer folds — `kmeans_lloyd_refine`),
+    seeded by the first k vec_ids; pair verification uses raw-float
+    cosine ROUND(6) (the `dedup_embedding_cosine` convention, threshold
+    chosen with >= 1e-4 margin); keep rule is (dist DESC, vec_id ASC)
+    over exact integers — every tie deterministic, so a DuckDB oracle
+    (argmin CTE + recursive-CTE closure) matches bit-for-bit.
+
+    Plan shape: assignment is a broadcast-k-centroids argmin over one
+    scan (map-only); the assignment subtree re-evaluates per branch
+    (pair-join sides + final output) rather than being checkpointed —
+    it is corpus-sized, and re-running a map-only broadcast argmin is
+    cheaper than materializing it (the dedup_span_excision precedent).
+    The within-cluster self-join shuffles on cid; components run on the
+    pair graph (O(n * dup_rate) edges); the keep window partitions by
+    component — tiny groups, no skew.
+
+    Returns one row per vector:
+      (vec_id, cluster_id, comp_id, dist_to_centroid, is_kept)
+    comp_id = min vec_id of the duplicate group (singletons: own id).
+    """
+    from pyspark.sql import Window
+
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * quant).cast("bigint"),
+        ).alias("qv"),
+    )
+    cent = v.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    zero = F.lit(0).cast("bigint")
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    asg = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "cid", dist.alias("dist"))
+        .withColumn("__r", F.row_number().over(w_asg))
+        .where(F.col("__r") == 1)
+        .drop("__r")
+    )
+    a = asg.select(
+        "cid",
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("e_a"),
+        l2_norm(F.col("e")).alias("na"),
+    )
+    b = asg.select(
+        "cid",
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("e_b"),
+        l2_norm(F.col("e")).alias("nb"),
+    )
+    pairs = (
+        a.join(b, ["cid"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("e_a"), F.col("e_b")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    w_keep = Window.partitionBy("comp_id").orderBy(
+        F.col("dist_to_centroid").desc(), F.col("vec_id")
+    )
+    return (
+        asg.join(labels.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.coalesce("comp", "vec_id").cast("bigint").alias("comp_id"),
+            F.col("dist").alias("dist_to_centroid"),
+        )
+        .withColumn("is_kept", F.row_number().over(w_keep) == 1)
+    )

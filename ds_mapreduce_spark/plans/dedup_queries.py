@@ -1014,3 +1014,74 @@ def q_dedup_span_excision_minlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_excision(
         load_table(spark, sf_dir, "documents"), n=5, min_count=2, min_span_tokens=20
     )
+
+
+_SEMDEDUP_ORACLE = """
+WITH RECURSIVE qv AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS e,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 8),
+dists AS (
+  SELECT v.vec_id, v.e, c.cid,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS BIGINT) AS dist
+  FROM qv v CROSS JOIN cent c
+),
+asg AS (
+  SELECT vec_id, e, cid, dist
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r
+        FROM dists)
+  WHERE r = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.45
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+),
+comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id)
+SELECT a.vec_id,
+       a.cid AS cluster_id,
+       CAST(COALESCE(c.comp, a.vec_id) AS BIGINT) AS comp_id,
+       a.dist AS dist_to_centroid,
+       (ROW_NUMBER() OVER (PARTITION BY COALESCE(c.comp, a.vec_id)
+                           ORDER BY a.dist DESC, a.vec_id) = 1) AS is_kept
+FROM asg a LEFT JOIN comp c ON c.id = a.vec_id
+"""
+
+
+@register(
+    "dedup_semdedup",
+    oracle=_SEMDEDUP_ORACLE,
+    doc="SemDeDup (Abbas et al. 2023) — semantic dedup that bounds the "
+    "cosine pair space by clustering FIRST: integer-exact k-means "
+    "assignment (k=8 seed centroids, the kmeans_lloyd_refine "
+    "convention) -> within-cluster exact cosine >= 0.45 pairs (the "
+    "dedup_embedding_cosine convention) -> connected-component "
+    "duplicate groups -> keep the member FARTHEST from its centroid "
+    "(the paper's low-centroid-similarity keep rule; exact-integer "
+    "distance, so the rule is engine-deterministic). Pair space is "
+    "O(n^2/k) and k grows with the corpus at 100 TB; components run "
+    "on the O(n*dup_rate) pair graph only. Oracle: argmin CTE + "
+    "recursive-CTE closure + the same keep window. See "
+    "operators/dedup.py:semdedup_verdicts.",
+)
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import semdedup_verdicts
+
+    return semdedup_verdicts(
+        load_table(spark, sf_dir, "embeddings"), k=8, threshold=0.45
+    )

@@ -86,6 +86,9 @@ LITERAL_BOUNDED = {
     # hints execute inside localCheckpoint actions, so the analyzed-plan
     # sweep can't see them — listed here for the record.)
     "pq_trained_codebook_encode",
+    # SemDeDup (r7): the broadcast centroid table is the vec_id < 8
+    # seed slice — literal-bounded (k rows), same shape as the PQ seed.
+    "dedup_semdedup",
 }
 
 
