@@ -2560,3 +2560,98 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
     w = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+@register(
+    "dsir_importance_select",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS bucket
+  FROM tok
+),
+wts AS (
+  SELECT bucket,
+         ((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 131072)
+           // (COUNT(*) + 1) AS w
+  FROM tb GROUP BY bucket
+),
+scored AS (
+  SELECT t.doc_id, t.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w.w) // COUNT(*) AS BIGINT) AS importance
+  FROM tb t JOIN wts w USING (bucket)
+  GROUP BY t.doc_id, t.lang
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY importance DESC, doc_id) AS BIGINT) AS rnk,
+       doc_id, lang, n_tokens, importance
+FROM scored
+ORDER BY importance DESC, doc_id
+LIMIT 50
+""",
+    doc="DSIR-shaped data selection (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling'): hashed-unigram "
+    "importance weights learned from a TARGET corpus (here lang='en' "
+    "docs) against the RAW corpus, then every doc scored by its "
+    "per-token average weight and the top-50 selected. Engine-exact "
+    "surrogate for the paper's log-ratio: per-bucket Laplace-smoothed "
+    "frequency ratio in 2^17 fixed point, ((t+1)*131072) DIV (r+1) — "
+    "pure BIGINT, no float crosses the boundary; the corpus-size "
+    "normalization constant is uniform across buckets and omitted "
+    "(rank-order invariant). Two-pass plan, DSIR's inherent shape: "
+    "pass 1 aggregates token->1024 md5 buckets into a weight table "
+    "(localCheckpoint'ed — 1024 rows, the SMALL intermediate), pass 2 "
+    "re-tokenizes and scores via a broadcast join (no shuffle beyond "
+    "the per-doc agg) and TakeOrdered(50) picks the selection; the "
+    "rank window rides the bounded 50-row tail. 100 TB: the weight "
+    "table is fixed-size whatever the corpus, scoring is map-side + "
+    "one doc_id agg, and selection is top-k, never a global sort.",
+)
+def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % 1024,
+    )
+    wts = (
+        tok.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("t_cnt"),
+            F.count(F.lit(1)).cast("bigint").alias("r_cnt"),
+        )
+        .select("bucket", F.expr("((t_cnt + 1) * 131072) DIV (r_cnt + 1)").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    scored = (
+        tok.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("w").cast("bigint").alias("sw"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("sw DIV n_tokens").alias("importance"),
+        )
+    )
+    top = scored.orderBy(F.col("importance").desc(), "doc_id").limit(50)
+    w = Window.orderBy(F.col("importance").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "importance",
+    )
