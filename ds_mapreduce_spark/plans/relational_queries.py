@@ -2663,3 +2663,85 @@ def q_snapshot_diff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ki").cast("bigint").alias("key_checksum"),
         )
     )
+
+
+@register(
+    "graph_bfs_reach",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b, a FROM pairs
+),
+seeds AS (
+  SELECT DISTINCT s AS node FROM edges
+  WHERE s LIKE 's%' AND CAST(substr(s, 2) AS BIGINT) % 37 = 1
+),
+reach(node, hops) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.d, r.hops + 1 FROM reach r JOIN edges e ON e.s = r.node
+  WHERE r.hops < 3
+),
+dist AS (SELECT node, MIN(hops) AS hops FROM reach GROUP BY node)
+SELECT CAST(hops AS BIGINT) AS hops,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN node LIKE 'c%' THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(substr(node, 2) AS BIGINT)) AS BIGINT) AS key_checksum
+FROM dist GROUP BY hops
+""",
+    doc="Multi-source bounded BFS (k=3 hops) over the undirected "
+    "customer-supplier trade graph — the graph-traversal primitive "
+    "next to pagerank (power iteration) and connected components "
+    "(label propagation): min-hop distances from a deterministic seed "
+    "set (suppliers with suppkey % 37 == 1), reported as a per-hop "
+    "census. Frontier algorithm, the Pregel BFS plan: each hop is ONE "
+    "join of the (small) frontier against the checkpointed edge list "
+    "+ a distinct + a left_anti against the visited set — never the "
+    "whole graph re-traversed; frontiers and the visited set are "
+    "localCheckpoint'ed so hop plans stay constant-size, and an empty "
+    "frontier short-circuits (one driver-side count per hop — control "
+    "flow, not data). Edge list shared with _pagerank_graph (built and "
+    "checkpointed once from the two fact tables). 100 TB: edges "
+    "partition by src; per-hop cost is O(frontier x avg-degree) "
+    "shuffled on the join key, the textbook scalable BFS; hop count "
+    "is a fixed small bound. Oracle: bounded recursive CTE with "
+    "UNION dedup + MIN(hops).",
+)
+def q_graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, nodes = _pagerank_graph(spark, sf_dir)
+    seeds = nodes.where(
+        F.col("node").startswith("s")
+        & F.expr("CAST(substr(node, 2) AS BIGINT) % 37 = 1")
+    ).select("node")
+    dist = seeds.withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, 4):
+        nxt = (
+            frontier.select(F.col("node").alias("fn"))
+            .join(edges, F.col("fn") == F.col("src"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+        if nxt.count() == 0:
+            break
+    return dist.groupBy(F.col("hops").cast("bigint").alias("hops")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.when(F.col("node").startswith("c"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_customers"),
+        F.sum(F.when(F.col("node").startswith("s"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suppliers"),
+        F.sum(F.expr("CAST(substr(node, 2) AS BIGINT)"))
+        .cast("bigint")
+        .alias("key_checksum"),
+    )
