@@ -71,14 +71,20 @@ PRIORITY: tuple[str, ...] = (
     # events_sessionization rotated out late-r7 (green r2-r6; the
     # stream family keeps 7+ windowed rows incl. the native variant's
     # history) for the r7 ingest pipeline (see end of list)
-    "text_stats",                   # text analysis (E9)
+    # text_stats rotated out late-r7 second swap (green r1-r6, six
+    # straight rounds; E9 keeps text_quality_score, bm25_search,
+    # trigram_substring_search, hybrid_search_rerank + the r7 DSIR add)
     # asof_join_click_purchase rotated out late-r7 (green r2-r6, 5
     # straight rounds; temporal keeps twap/multi_touch/hourly_resample
     # + the r7 gapfill/seasonal adds)
     "kv_text_roundtrip",            # text source/sink (R1/R4-R6)
-    "events_json_extract",          # JSON extraction (E14/X2)
+    # events_json_extract rotated out late-r7 second swap (green r2-r6;
+    # events keeps robust_outliers, gapfill, hourly_resample,
+    # heavy_hitter_profile, seasonal_naive_backtest in the window)
     "q3_shipping_priority",         # join pipeline (E11)
-    "dedup_exact",                  # exact dedup (E6)
+    # dedup_exact rotated out late-r7 second swap (green r1-r6, six
+    # straight rounds; dedup keeps span_excision x2 + prefix_filter in
+    # the window plus the r7 SemDeDup add)
     # decontamination rotated out late-r7 (green r4-r6; E9 keeps
     # exact_ngram history + many graded text rows) for the r7 RRF
     "pipeline_llm_training_prep",   # THE flagship end-to-end funnel
@@ -182,6 +188,13 @@ PRIORITY: tuple[str, ...] = (
     "schema_evolution_roundtrip",  # r7: mergeSchema generational read
     "seasonal_naive_backtest",    # r7: forecast-baseline backtest
     "snapshot_diff_census",       # r7: generational reconciliation
+    # Late-r7 second swap — the last three r7 operators get same-round
+    # driver evidence (OUT: text_stats, events_json_extract,
+    # dedup_exact — each hash-green >=5 straight rounds, families keep
+    # 3+ windowed rows each):
+    "dedup_semdedup",             # r7: cluster-bounded semantic dedup
+    "dsir_importance_select",     # r7: hashed importance resampling
+    "graph_bfs_reach",            # r7: bounded multi-source BFS
 )
 
 

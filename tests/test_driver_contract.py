@@ -90,9 +90,11 @@ def test_check_window_covers_the_round1_dark_families():
     must_grade = {
         # knn_ivf rotated out late-r7 (green r2-r6); E8 keeps 6
         # windowed retrieval rows
-        "text_stats",                                     # E9
+        # text_stats rotated out late-r7 second swap (green r1-r6); E9
+        # keeps text_quality_score/bm25/trigram/hybrid + DSIR
         # decontamination rotated out late-r7 (green r4-r6)
-        "events_json_extract",                            # E13/E14
+        # events_json_extract rotated out late-r7 second swap (green
+        # r2-r6); events keeps 5+ windowed rows
         # events_sessionization rotated out late-r7 (green r2-r6);
         # stream family keeps 7+ windowed rows
         # asof_join_click_purchase rotated out late-r7 (green r2-r6);
@@ -127,5 +129,9 @@ def test_check_window_covers_the_round1_dark_families():
         "cms_heavy_hitter_estimates", "hybrid_rrf_fusion",
         "schema_evolution_roundtrip", "seasonal_naive_backtest",
         "snapshot_diff_census",
+        # late-r7 second swap — same-round evidence for the last three
+        # r7 operators (OUT text_stats / events_json_extract /
+        # dedup_exact, each green >=5 straight rounds):
+        "dedup_semdedup", "dsir_importance_select", "graph_bfs_reach",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))
