@@ -2613,25 +2613,17 @@ LIMIT 50
     "one doc_id agg, and selection is top-k, never a global sort.",
 )
 def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.importance import (
+        dsir_bucket_partial,
+        dsir_rank_top,
+        dsir_token_buckets,
+        dsir_weights,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
-    ).withColumn(
-        "bucket",
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
-        % 1024,
-    )
-    wts = (
-        tok.groupBy("bucket")
-        .agg(
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-            .cast("bigint")
-            .alias("t_cnt"),
-            F.count(F.lit(1)).cast("bigint").alias("r_cnt"),
-        )
-        .select("bucket", F.expr("((t_cnt + 1) * 131072) DIV (r_cnt + 1)").alias("w"))
-        .localCheckpoint(eager=True)
-    )
+    tok = dsir_token_buckets(docs)
+    # the SMALL intermediate (<=1024 rows at ANY corpus scale)
+    wts = dsir_weights(dsir_bucket_partial(tok)).localCheckpoint(eager=True)
     scored = (
         tok.join(F.broadcast(wts), "bucket")
         .groupBy("doc_id", "lang")
@@ -2646,12 +2638,4 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sw DIV n_tokens").alias("importance"),
         )
     )
-    top = scored.orderBy(F.col("importance").desc(), "doc_id").limit(50)
-    w = Window.orderBy(F.col("importance").desc(), "doc_id")
-    return top.select(
-        F.row_number().over(w).cast("bigint").alias("rnk"),
-        "doc_id",
-        "lang",
-        "n_tokens",
-        "importance",
-    )
+    return dsir_rank_top(scored, 50)

@@ -1313,3 +1313,90 @@ def run_streaming_ivf_index(
     ).select(
         "query_id", "neighbor_id", "score", F.col("rnk").cast("bigint").alias("rnk")
     )
+
+
+def run_streaming_dsir_selection(
+    spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming DSIR selection-state maintenance: documents arrive as
+    micro-batches and each batch's importance-state partials MERGE into
+    landed state via ``foreachBatch`` — two state tables, both
+    associative (the MV/heavy-hitters/BM25-index contract):
+
+      bucketw (bucket, t_cnt, r_cnt)     merge by per-bucket SUM
+      docprof (doc_id, lang, bucket, n)  append (docs are atomic rows)
+
+    The selection is derived ENTIRELY from the maintained state by
+    ``operators.importance.dsir_select_from_state`` — the same
+    fixed-point weight arithmetic and rank presentation the batch
+    ``dsir_importance_select`` uses (shared module), but with per-doc
+    token-bucket counts probed from the profile table instead of
+    re-tokenizing the corpus: sum-over-tokens(w) == sum-over-buckets
+    (n·w), so ANY chunking or arrival order of the feed converges to
+    the batch answer exactly (pinned by tests/test_streaming.py).
+    This is the continuously-learning selection tier: new target/raw
+    text re-weights EVERY landed document's importance with zero
+    corpus re-reads — re-scoring touches the profile sketch and a
+    <=1024-row broadcast only.
+
+    State chains through versioned parquet dirs (``v{batch_id}`` reads
+    ``v{batch_id-1}``): a retried batch id rewrites its own version
+    from its predecessor — idempotent on at-least-once delivery;
+    resume-with-nothing-new and the empty feed take the landed/empty
+    paths via ``_resolve_final_version``. 100 TB: each micro-batch
+    tokenizes only its delta; the weight table stays <=1024 rows at
+    any scale; docprof is bucketed by doc_id in a real deployment so
+    the append is shuffle-free."""
+    from ds_mapreduce_spark.operators.importance import (
+        dsir_bucket_merge,
+        dsir_bucket_partial,
+        dsir_docprof_partial,
+        dsir_select_from_state,
+        dsir_token_buckets,
+    )
+
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if docs_dir.endswith(".parquet"):
+        base, _, fname = docs_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        docs_dir = base
+    stream = reader.parquet(docs_dir)
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        tb = dsir_token_buckets(batch_df)
+        bucketw = dsir_bucket_partial(tb)
+        prof = dsir_docprof_partial(tb)
+        if batch_id > 0:
+            prev = f"{state_dir}/v{batch_id - 1}"
+            bucketw = dsir_bucket_merge(
+                sess.read.parquet(f"{prev}/bucketw").unionByName(bucketw)
+            )
+            prof = sess.read.parquet(f"{prev}/docprof").unionByName(prof)
+        cur = f"{state_dir}/v{batch_id}"
+        bucketw.write.mode("overwrite").parquet(f"{cur}/bucketw")
+        prof.write.mode("overwrite").parquet(f"{cur}/docprof")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    final = _resolve_final_version(spark, state_dir, last_version[0])
+    if final is None:  # empty feed, no prior state: empty selection
+        empty = spark.createDataFrame([], schema)
+        tb = dsir_token_buckets(empty)
+        return dsir_select_from_state(
+            dsir_docprof_partial(tb), dsir_bucket_partial(tb)
+        )
+    cur = f"{state_dir}/v{final}"
+    return dsir_select_from_state(
+        spark.read.parquet(f"{cur}/docprof"),
+        spark.read.parquet(f"{cur}/bucketw"),
+    )

@@ -612,6 +612,9 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
         "ingest": lambda state, ckpt: J.run_streaming_ingest_manifest(
             spark, doc_dir, state, ckpt
         ),
+        "dsir": lambda state, ckpt: J.run_streaming_dsir_selection(
+            spark, doc_dir, state, ckpt
+        ),
         "ivf": lambda state, ckpt: J.run_streaming_ivf_index(
             spark,
             emb_dir,
@@ -815,3 +818,32 @@ def test_streaming_ivf_index_matches_batch(spark, sf_dir, tmp_path):
     assert streamed.columns == batch.columns
     assert srows == brows
     assert len(srows) > 0
+
+
+def test_streaming_dsir_selection_matches_batch(spark, sf_dir, tmp_path):
+    """The maintained DSIR state (bucket counts merged by SUM + per-doc
+    bucket profiles appended) must reproduce the batch
+    dsir_importance_select top-50 EXACTLY under a chunked,
+    arrival-order-shuffled feed — weights depend on the WHOLE corpus,
+    so this proves late-arriving target text re-weights earlier docs
+    correctly (sum-over-tokens(w) == sum-over-buckets(n*w))."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_dsir_selection
+
+    batch = load_all()["dsir_importance_select"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feed_dir = str(tmp_path / "docs_feed")
+    docs.orderBy(F.md5(F.col("doc_id").cast("string"))).repartition(4).write.parquet(
+        feed_dir
+    )
+
+    streamed = run_streaming_dsir_selection(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert streamed.columns == batch.columns
+    assert srows == brows
+    assert len(srows) == 50
