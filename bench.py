@@ -88,6 +88,10 @@ HEADLINE = [
     "ingest_manifest_pipeline",
     "cms_heavy_hitter_estimates",
     "hybrid_rrf_fusion",
+    # second late-r7 batch: cluster-bounded semantic dedup (argmin +
+    # within-cluster pairs + CC) and the two-pass DSIR selection
+    "dedup_semdedup",
+    "dsir_importance_select",
 ]
 
 

@@ -641,8 +641,17 @@ def connected_components(
     O(log²n) rounds. The early-exit check is one count() per round —
     driver-side control flow, never driver-side data.
     """
-    bidir = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    # the edge list is read by EVERY round's join and every convergence
+    # count — without this checkpoint the caller's whole pair-generation
+    # subtree (LSH banding, blocked Levenshtein, within-cluster cosine…)
+    # re-executes per round (measured on dedup_semdedup at sf0.1:
+    # 13.3 s -> 4.5 s build). The edge set is O(n·dup_rate) by the
+    # operator's contract, so materializing it is the SMALL-intermediate
+    # checkpoint, not a corpus write.
+    bidir = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .localCheckpoint(eager=True)
     )
     labels = (
         bidir.select(F.col("s").alias("id")).distinct().withColumn("comp", F.col("id"))
@@ -1012,12 +1021,16 @@ def semdedup_verdicts(
     over exact integers — every tie deterministic, so a DuckDB oracle
     (argmin CTE + recursive-CTE closure) matches bit-for-bit.
 
-    Plan shape: assignment is a broadcast-k-centroids argmin over one
-    scan (map-only); the assignment subtree re-evaluates per branch
-    (pair-join sides + final output) rather than being checkpointed —
-    it is corpus-sized, and re-running a map-only broadcast argmin is
-    cheaper than materializing it (the dedup_span_excision precedent).
-    The within-cluster self-join shuffles on cid; components run on the
+    Plan shape: assignment is a pure MAP — the k centroids are packed
+    into ONE broadcast row (collect_list into a 1-row aggregate, never
+    the driver) and each vector folds an argmin over that array with
+    F.least on (dist, cid) structs: zero exchanges, no row replication,
+    no window (the crossJoin+row_number form costs a n·k-row shuffle
+    and measured 2-3 s extra at sf0.1). The assignment is materialized
+    ONCE (localCheckpoint here; a table write at 100 TB — production
+    SemDeDup persists cluster ids, because three consumers read it:
+    both pair-join sides and the final verdict join). The
+    within-cluster self-join shuffles on cid; components run on the
     pair graph (O(n * dup_rate) edges); the keep window partitions by
     component — tiny groups, no skew.
 
@@ -1035,22 +1048,45 @@ def semdedup_verdicts(
             lambda x: F.floor(x.cast("double") * quant).cast("bigint"),
         ).alias("qv"),
     )
-    cent = v.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    # the k centroids packed into ONE row: array<struct<cid, cv>>,
+    # cid-sorted so the argmin fold's strict < keeps the lowest cid on
+    # distance ties
+    cent_packed = (
+        v.where(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cid", "cv"))
+            ).alias("cs")
+        )
     )
     zero = F.lit(0).cast("bigint")
-    dist = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        zero,
-        lambda acc, x: acc + x,
+
+    def cdist(c):
+        return F.aggregate(
+            F.zip_with(F.col("qv"), c["cv"], lambda a, b: (a - b) * (a - b)),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    init = F.struct(
+        F.lit(2**62).cast("bigint").alias("dist"),
+        F.lit(-1).cast("bigint").alias("cid"),
     )
-    w_asg = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    argmin = F.aggregate(
+        F.col("cs"),
+        init,
+        lambda acc, c: F.least(
+            acc, F.struct(cdist(c).alias("dist"), c["cid"].alias("cid"))
+        ),
+    )
     asg = (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "e", "cid", dist.alias("dist"))
-        .withColumn("__r", F.row_number().over(w_asg))
-        .where(F.col("__r") == 1)
-        .drop("__r")
+        v.crossJoin(F.broadcast(cent_packed))
+        .select("vec_id", "e", argmin.alias("m"))
+        .select(
+            "vec_id", "e", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
+        )
+        .localCheckpoint(eager=True)
     )
     a = asg.select(
         "cid",
