@@ -2639,3 +2639,79 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dsir_rank_top(scored, 50)
+
+
+def _bpe_train_oracle(n_merges: int = 3) -> str:
+    """Unrolled BPE training loop: per merge, a pair census CTE, a
+    1-row argmax CTE, and a merged-vocab CTE whose list_reduce fold is
+    the string-accumulator twin of operators/bpe._merge_pair (symbols
+    joined by chr(31); the regex rewrites the accumulator's LAST
+    segment — first-match regexp_replace, DuckDB default). Symbols are
+    alphanumeric by _BPE_PATTERN construction on this corpus, so the
+    replacement string never contains RE2 escapes."""
+    ctes = [
+        f"""words AS (
+  SELECT unnest(regexp_extract_all(text, '{_BPE_PATTERN}', 1)) AS w FROM documents
+),
+vw AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
+v0 AS (
+  SELECT list_transform(range(1, len(w) + 1),
+                        i -> substr(w, CAST(i AS INTEGER), 1)) AS syms, freq
+  FROM vw
+)"""
+    ]
+    selects = []
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(
+            f"""p{i} AS (
+  SELECT syms[CAST(j AS INTEGER)] AS a, syms[CAST(j AS INTEGER) + 1] AS b, freq
+  FROM v{p} CROSS JOIN UNNEST(range(1, len(syms))) t(j)
+  WHERE len(syms) >= 2
+),
+b{i} AS (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM p{i} GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1
+),
+v{i} AS (
+  SELECT string_split(
+    list_reduce(syms, (acc, s) ->
+      CASE WHEN regexp_extract(acc, '[^\\x1f]*$') = b{i}.a AND s = b{i}.b
+           THEN regexp_replace(acc, '[^\\x1f]*$', b{i}.a || b{i}.b)
+           ELSE acc || chr(31) || s END), chr(31)) AS syms, freq
+  FROM v{p} CROSS JOIN b{i}
+)"""
+        )
+        selects.append(
+            f"""SELECT CAST({i} AS BIGINT) AS step, a AS sym_a, b AS sym_b,
+       a || b AS merged, cnt AS n_occurrences,
+       (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) FROM v{i})
+         AS n_symbol_occurrences
+FROM b{i}"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_train_oracle(3),
+    doc="Iterative BPE tokenizer TRAINING (Sennrich et al. 2016) — 3 "
+    "learned merge rules on top of bpe_pair_merge_stats' one-step "
+    "census: per iteration, corpus-weighted adjacent-pair census over "
+    "the DISTINCT-WORD symbol table -> argmax (count DESC, pair ASC "
+    "tie-break) -> left-to-right non-overlapping merge applied as a "
+    "map-only array fold -> checkpointed vocab state (constant-size "
+    "iteration plans, the pagerank discipline). The corpus is read "
+    "ONCE for the word census; every iteration runs on |vocab| rows "
+    "(Heaps' law: millions at 100 TB, whatever the corpus size). The "
+    "per-iteration argmax is one bounded driver-side row — the merge "
+    "RULE itself, tokenizer training's output artifact. Oracle: the "
+    "same loop unrolled, merges applied by a list_reduce fold that "
+    "mirrors the Spark fold exactly. See operators/bpe.py.",
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.bpe import bpe_train_merges
+
+    return bpe_train_merges(
+        load_table(spark, sf_dir, "documents"), _BPE_PATTERN, n_merges=3
+    )

@@ -252,3 +252,38 @@ def test_incremental_dedup_all_three_verdicts(spark):
     assert out[11]["verdict"] == "new"
     assert out[12]["verdict"] == "dup_in_batch" and out[12]["batch_keep"] == 11
     assert out[13]["verdict"] == "new"
+
+
+def test_bpe_merge_pair_non_overlapping_fold(spark):
+    """The BPE merge fold: left-to-right non-overlap ('aaa' + (a,a) ->
+    [aa, a]), no cross-boundary matches (['xa','b'] + (a,b) unchanged),
+    single-symbol words untouched."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.operators.bpe import _merge_pair
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "a", "a"]),
+            (2, ["x", "a", "b", "a", "b"]),
+            (3, ["xa", "b"]),
+            (4, ["q"]),
+        ],
+        "id int, syms array<string>",
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", _merge_pair(F.col("syms"), "a", "a").alias("m")
+        ).collect()
+    }
+    assert got[1] == ["aa", "a"]
+    got2 = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", _merge_pair(F.col("syms"), "a", "b").alias("m")
+        ).collect()
+    }
+    assert got2[2] == ["x", "ab", "ab"]  # BOTH occurrences merge
+    assert got2[3] == ["xa", "b"]  # symbol boundaries respected
+    assert got2[4] == ["q"]
