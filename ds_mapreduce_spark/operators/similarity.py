@@ -320,3 +320,73 @@ def pq_encode_with_codebook(subs: DataFrame, cent: DataFrame) -> DataFrame:
     return scored.groupBy("vec_id", "sub_id").agg(
         best.alias("code"), F.min("d").alias("dist")
     )
+
+
+def pca_power_top_component(
+    emb: DataFrame, dim: int = 64, iters: int = 2, quant: int = 10_000
+) -> DataFrame:
+    """Top principal direction of the embedding cloud by power
+    iteration on the (uncentered) Gramian — the spectral summary an
+    embedding-space audit starts with (dominant-direction collapse is
+    the classic anisotropy pathology of learned embeddings).
+
+    Exact integer arithmetic end to end, so a DuckDB oracle unrolls
+    the same loop bit-for-bit: components quantized floor(x*quant)
+    BIGINT, G[i,j] = sum_n q_i*q_j exact BIGINT (|q|<=2e4 ->
+    products<=4e8; safe to n ~ 2e9 rows per the BIGINT budget, DECIMAL
+    beyond), v0 = all-ones at `quant` scale, and each iteration
+    renormalizes w = G.v to ~quant scale by w DIV greatest(max|w| DIV
+    quant, 1) — floor-division semantics shared by both engines (the
+    interp-resample precedent verified DIV ≙ // on negatives).
+
+    Plan shape — the RowMatrix.computeGramianMatrix strategy: the
+    corpus is read ONCE into the dim^2-row Gramian (posexplode pair
+    fan-out, partial agg absorbs the dim^2 keys map-side;
+    localCheckpoint'ed), then every iteration is a join+groupBy on the
+    dim^2-row table + a 1-row max — constant-size plans, corpus never
+    rescanned (matrix-free G.v re-reads the corpus per iteration;
+    wrong trade at 100 TB for dim^2 << corpus). Returns (dim_i BIGINT
+    1-based, loading BIGINT fixed-point).
+    """
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * quant).cast("bigint"),
+        ).alias("qv"),
+    )
+    qi = q.select("vec_id", F.posexplode("qv").alias("pi", "xi"))
+    qj = q.select("vec_id", F.posexplode("qv").alias("pj", "xj"))
+    gram = (
+        qi.join(qj, "vec_id")
+        .groupBy("pi", "pj")
+        .agg(F.sum(F.col("xi") * F.col("xj")).cast("bigint").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        gram.select(F.col("pi").alias("i"))
+        .distinct()
+        .withColumn("val", F.lit(quant).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        w = (
+            gram.join(v.select(F.col("i").alias("pj"), "val"), "pj")
+            .groupBy("pi")
+            .agg(F.sum(F.col("g") * F.col("val")).cast("bigint").alias("s"))
+        )
+        m = w.agg(F.max(F.abs(F.col("s"))).cast("bigint").alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                F.col("pi").alias("i"),
+                F.expr(f"s DIV greatest(m DIV {quant}, 1)")
+                .cast("bigint")
+                .alias("val"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select(
+        (F.col("i") + 1).cast("bigint").alias("dim_i"),
+        F.col("val").alias("loading"),
+    )

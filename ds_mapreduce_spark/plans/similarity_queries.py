@@ -590,3 +590,65 @@ def q_pq_trained_codebook_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.sum("dist").cast("bigint").alias("quant_err"),
     )
+
+
+def _pca_power_oracle(iters: int = 2, dim: int = 64, quant: int = 10_000) -> str:
+    """Unrolled power iteration: Gramian CTE + per-iteration
+    (matvec, max-abs, renormalize) CTE triple — the exact-integer twin
+    of operators/similarity.pca_power_top_component."""
+    ctes = [
+        f"""q AS (
+  SELECT vec_id, list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * {quant}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+g AS (
+  SELECT CAST(i AS INTEGER) - 1 AS pi, CAST(j AS INTEGER) - 1 AS pj,
+         CAST(SUM(qv[CAST(i AS INTEGER)] * qv[CAST(j AS INTEGER)]) AS BIGINT) AS g
+  FROM q CROSS JOIN UNNEST(range(1, {dim + 1})) t(i)
+         CROSS JOIN UNNEST(range(1, {dim + 1})) u(j)
+  GROUP BY 1, 2
+),
+v0 AS (
+  SELECT CAST(i AS INTEGER) - 1 AS i, CAST({quant} AS BIGINT) AS val
+  FROM UNNEST(range(1, {dim + 1})) t(i)
+)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""w{k} AS (
+  SELECT g.pi, CAST(SUM(g.g * v.val) AS BIGINT) AS s
+  FROM g JOIN v{k - 1} v ON v.i = g.pj GROUP BY g.pi
+),
+m{k} AS (SELECT CAST(MAX(ABS(s)) AS BIGINT) AS m FROM w{k}),
+v{k} AS (
+  SELECT pi AS i, CAST(s // greatest(m // {quant}, 1) AS BIGINT) AS val
+  FROM w{k} CROSS JOIN m{k}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(i + 1 AS BIGINT) AS dim_i, val AS loading FROM v{iters}"
+    )
+
+
+@register(
+    "embedding_pca_power",
+    oracle=_pca_power_oracle(2),
+    doc="Top principal direction of the embedding cloud by power "
+    "iteration on the exact-integer Gramian (2 unrolled iterations) — "
+    "the spectral audit of an embedding space (dominant-direction "
+    "anisotropy). The RowMatrix.computeGramianMatrix strategy: ONE "
+    "corpus pass folds into the dim^2-row Gramian (posexplode pair "
+    "fan-out, map-side partial agg on dim^2 keys; checkpointed), then "
+    "every iteration joins the 4096-row table — corpus never "
+    "rescanned, constant-size iteration plans. Renormalization is "
+    "floor-div fixed point (DIV ≙ //, verified on negatives), so the "
+    "unrolled oracle matches bit-for-bit. See "
+    "operators/similarity.py:pca_power_top_component.",
+)
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.similarity import pca_power_top_component
+
+    return pca_power_top_component(load_table(spark, sf_dir, "embeddings"))
