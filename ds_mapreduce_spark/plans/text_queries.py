@@ -2715,3 +2715,51 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(
         load_table(spark, sf_dir, "documents"), _BPE_PATTERN, n_merges=3
     )
+
+
+@register(
+    "weighted_priority_sample",
+    oracle="""
+WITH pr AS (
+  SELECT doc_id, n_chars,
+         (n_chars * 1048576)
+           // ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1048576) + 1) AS priority
+  FROM documents
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS BIGINT) AS rnk,
+       doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(priority AS BIGINT) AS priority
+FROM pr ORDER BY priority DESC, doc_id LIMIT 50
+""",
+    doc="Weighted sampling without replacement by PRIORITY SAMPLING "
+    "(Duffield, Lund & Thorup 2007): each doc gets priority = w/u for "
+    "weight w = n_chars and u uniform on (0,1], and the k highest "
+    "priorities form a sample whose inclusion probabilities are "
+    "proportional to weight (large docs almost surely in, small docs "
+    "by lottery) with unbiased subset-sum estimators — THE way to cut "
+    "a weighted sub-corpus at 100 TB in one pass. Engine-exact form: "
+    "u is the md5-portable hash of doc_id folded into [1, 2^20] and "
+    "priority = (w * 2^20) DIV u in pure BIGINT (deterministic: the "
+    "same corpus always yields the same sample — reproducibility is "
+    "the dataloader contract, epoch_shuffle_plan's convention). Plan: "
+    "map-only scoring + TakeOrdered(50); the rank window rides the "
+    "bounded 50-row tail; zero shuffles of corpus rows.",
+)
+def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pr = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.expr(
+            "(n_chars * 1048576) DIV ((CAST(conv(substring(md5(CAST(doc_id"
+            " AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1048576) + 1)"
+        ).alias("priority"),
+    )
+    top = pr.orderBy(F.col("priority").desc(), "doc_id").limit(50)
+    w = Window.orderBy(F.col("priority").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        "doc_id",
+        "n_chars",
+        "priority",
+    )
