@@ -2763,3 +2763,159 @@ def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "priority",
     )
+
+
+@register(
+    "bloom_ngram_decontamination",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(t) - 3),
+                                      i -> array_to_string(t[i:i+4], ' '))) AS gs
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT g FROM grams, UNNEST(gs) u(g)
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+),
+positions AS (
+  SELECT CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 65536 AS p1,
+         CAST(('0x' || substr(md5('b2:' || g), 1, 8)) AS BIGINT) % 65536 AS p2
+  FROM bench
+),
+bloom AS (
+  SELECT p // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+  FROM (SELECT p1 AS p FROM positions UNION ALL SELECT p2 FROM positions)
+  GROUP BY p // 32
+),
+cg AS (
+  SELECT doc_id, lang, u.g,
+         CAST(('0x' || substr(md5(u.g), 1, 8)) AS BIGINT) % 65536 AS p1,
+         CAST(('0x' || substr(md5('b2:' || u.g), 1, 8)) AS BIGINT) % 65536 AS p2
+  FROM grams, UNNEST(gs) u(g)
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+),
+flags AS (
+  SELECT cg.doc_id, cg.lang, cg.g,
+         CASE WHEN ((COALESCE(b1.bits, 0) >> CAST(cg.p1 % 32 AS INTEGER)) & 1) = 1
+               AND ((COALESCE(b2.bits, 0) >> CAST(cg.p2 % 32 AS INTEGER)) & 1) = 1
+              THEN 1 ELSE 0 END AS bloomhit,
+         CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END AS exacthit
+  FROM cg
+  LEFT JOIN bloom b1 ON b1.word = cg.p1 // 32
+  LEFT JOIN bloom b2 ON b2.word = cg.p2 // 32
+  LEFT JOIN bench ON bench.g = cg.g
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(bloomhit) AS BIGINT) AS n_bloom_hits,
+         CAST(SUM(exacthit) AS BIGINT) AS n_exact_hits
+  FROM flags GROUP BY doc_id
+)
+SELECT c.doc_id, c.lang, CAST(len(c.gs) AS BIGINT) AS n_ngrams,
+       COALESCE(a.n_bloom_hits, 0) AS n_bloom_hits,
+       COALESCE(a.n_exact_hits, 0) AS n_exact_hits,
+       CAST(CASE WHEN len(c.gs) > 0 AND 20 * COALESCE(a.n_exact_hits, 0) >= len(c.gs)
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM grams c LEFT JOIN agg a USING (doc_id)
+WHERE substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 1) <> '0'
+""",
+    doc="Bloom-prescreened n-gram decontamination — the two-tier form "
+    "the exact query's docstring promises when the benchmark gram set "
+    "outgrows a broadcast: benchmark 5-grams fold into a FIXED-SIZE "
+    "Bloom bitmap (2^16 bits packed into <=2048 (word, bits) BIGINT "
+    "rows via bit_or; k=2 md5-portable hash functions, so both "
+    "engines set identical bits), the corpus probes the broadcast "
+    "bitmap map-side, and ONLY Bloom-positive grams are verified "
+    "against the exact gram store (here the broadcast bench set; a "
+    "keyed store at 100 TB — the point is the exact probe touches "
+    "candidates, not every gram). No false negatives by construction "
+    "(n_exact_hits <= n_bloom_hits is asserted per row by the test), "
+    "and the emitted n_bloom_hits exposes the false-positive overhead "
+    "the bitmap size buys. Same md5 1/16 benchmark split, 5-gram unit, "
+    "and >=5%% exact-integer contamination flag as "
+    "exact_ngram_decontamination, so the two are directly comparable. "
+    "100 TB: the bitmap is KBs whatever the benchmark; the corpus "
+    "never shuffles — scan -> explode -> three broadcast joins -> one "
+    "doc_id re-aggregation.",
+)
+def q_bloom_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    grams = docs.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("__t")
+    ).select("doc_id", "lang", shingles(F.col("__t"), 5).alias("gs"))
+
+    def pos(g, salt=""):
+        src = F.concat(F.lit(salt), g) if salt else g
+        return (
+            F.conv(F.substring(F.md5(src), 1, 8), 16, 10).cast("bigint") % 65536
+        )
+
+    bench_grams = (
+        grams.where(is_bench)
+        .select(F.explode_outer("gs").alias("g"))
+        .where(F.col("g").isNotNull())
+        .distinct()
+    )
+    positions = bench_grams.select(pos(F.col("g")).alias("p")).unionByName(
+        bench_grams.select(pos(F.col("g"), "b2:").alias("p"))
+    )
+    bloom = positions.groupBy(F.expr("p DIV 32").alias("word")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").alias(
+            "bits"
+        )
+    )
+    cg = (
+        grams.where(~is_bench)
+        .select("doc_id", "lang", F.explode_outer("gs").alias("g"))
+        .withColumn("p1", pos(F.col("g")))
+        .withColumn("p2", pos(F.col("g"), "b2:"))
+    )
+    b1 = bloom.select(F.col("word").alias("w1"), F.col("bits").alias("bits1"))
+    b2 = bloom.select(F.col("word").alias("w2"), F.col("bits").alias("bits2"))
+    flags = (
+        cg.join(F.broadcast(b1), F.expr("p1 DIV 32") == F.col("w1"), "left")
+        .join(F.broadcast(b2), F.expr("p2 DIV 32") == F.col("w2"), "left")
+        .join(
+            F.broadcast(bench_grams.withColumn("__b", F.lit(1))), "g", "left"
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "g",
+            F.when(
+                F.col("g").isNotNull()
+                & (
+                    F.expr(
+                        "((coalesce(bits1, 0) >> CAST(p1 % 32 AS INT)) & 1) = 1"
+                    )
+                )
+                & (
+                    F.expr(
+                        "((coalesce(bits2, 0) >> CAST(p2 % 32 AS INT)) & 1) = 1"
+                    )
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("bloomhit"),
+            F.when(F.col("__b").isNotNull(), 1).otherwise(0).alias("exacthit"),
+        )
+    )
+    return flags.groupBy("doc_id", "lang").agg(
+        F.count("g").cast("bigint").alias("n_ngrams"),
+        F.sum("bloomhit").cast("bigint").alias("n_bloom_hits"),
+        F.sum("exacthit").cast("bigint").alias("n_exact_hits"),
+        F.expr(
+            "CAST(CASE WHEN count(g) > 0 AND 20 * sum(exacthit) >= count(g)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("contaminated"),
+    )
