@@ -1085,3 +1085,132 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_verdicts(
         load_table(spark, sf_dir, "embeddings"), k=8, threshold=0.45
     )
+
+
+def _neardup_splits_oracle(
+    threshold: float = 0.8, num_hashes: int = 8, band_size: int = 2
+) -> str:
+    sig_cols, band_rows = _band_parts(num_hashes, band_size)
+    thr = int(threshold * 10000)
+    return (
+        "WITH RECURSIVE "
+        + _verified_pair_ctes(sig_cols, band_rows)
+        + f""",
+pairs AS (
+  SELECT doc_a, doc_b FROM scored WHERE (20000 * i + u) // (2 * u) >= {thr}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+),
+comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+sp AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS comp,
+         CASE WHEN substr(md5(CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+              WHEN substr(md5(CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+),
+docsplit AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS dsplit
+  FROM documents
+),
+leak_doc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs p JOIN docsplit a ON a.doc_id = p.doc_a
+               JOIN docsplit b ON b.doc_id = p.doc_b
+  WHERE a.dsplit <> b.dsplit
+),
+leak_comp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs p JOIN sp a ON a.doc_id = p.doc_a
+               JOIN sp b ON b.doc_id = p.doc_b
+  WHERE a.split <> b.split
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_comps,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       (SELECT n FROM leak_doc) AS leaky_pairs_doc_routing,
+       (SELECT n FROM leak_comp) AS leaky_pairs_comp_routing
+FROM sp GROUP BY split
+"""
+    )
+
+
+@register(
+    "leakage_safe_splits_neardup",
+    oracle=_neardup_splits_oracle(),
+    doc="NEAR-DUP-closure train/val/test splits — the stronger form of "
+    "leakage_safe_splits (domain routing): the unit of split assignment "
+    "is the MinHash-verified near-duplicate COMPONENT (same pair "
+    "pipeline + min-label closure as dedup_connected_components), so a "
+    "document and every near-copy of it land in the same split BY "
+    "CONSTRUCTION — the Lee et al. 2022 finding that eval inflation "
+    "comes from train/test near-dups, not just exact dups. Routing is "
+    "md5(component representative) bucketed 12/2/2 sixteenths: map-only "
+    "given the labels, stable under incremental ingest (a new near-copy "
+    "inherits its component's split). The census MEASURES the claim: "
+    "leaky_pairs_comp_routing is computed from the pair set (must be 0) "
+    "next to the counterfactual leaky_pairs_doc_routing (what naive "
+    "doc-id hashing would leak across the boundary). Plan: the "
+    "verified-pair table is checkpointed ONCE (O(n*dup_rate) rows) and "
+    "feeds closure + both leak joins; the corpus contributes one scan "
+    "for signatures and one for the census.",
+)
+def q_leakage_safe_splits_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_verified_pairs(
+        docs, k=3, num_hashes=8, band_size=2, threshold=0.8
+    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    asg = (
+        docs.select("doc_id", "n_chars")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("comp", "doc_id").cast("bigint").alias("comp"),
+        )
+    )
+
+    def split_of(col):
+        h = F.substring(F.md5(col.cast("string")), 1, 1)
+        return F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
+
+    sp = asg.withColumn("split", split_of(F.col("comp"))).localCheckpoint(
+        eager=True
+    )
+    leak_doc = (
+        pairs.select(split_of(F.col("doc_a")).alias("sa"), split_of(F.col("doc_b")).alias("sb"))
+        .where(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaky_pairs_doc_routing"))
+    )
+    a = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    leak_comp = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaky_pairs_comp_routing"))
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("comp").cast("bigint").alias("n_comps"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .crossJoin(F.broadcast(leak_doc))
+        .crossJoin(F.broadcast(leak_comp))
+    )
