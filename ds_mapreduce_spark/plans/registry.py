@@ -81,7 +81,9 @@ PRIORITY: tuple[str, ...] = (
     # events_json_extract rotated out late-r7 second swap (green r2-r6;
     # events keeps robust_outliers, gapfill, hourly_resample,
     # heavy_hitter_profile, seasonal_naive_backtest in the window)
-    "q3_shipping_priority",         # join pipeline (E11)
+    # q3_shipping_priority rotated out late-r7 third swap (green r1-r6,
+    # six straight rounds; E11 joins keep q2/q7/q9 + asof/interval
+    # history in the window)
     # dedup_exact rotated out late-r7 second swap (green r1-r6, six
     # straight rounds; dedup keeps span_excision x2 + prefix_filter in
     # the window plus the r7 SemDeDup add)
@@ -195,6 +197,12 @@ PRIORITY: tuple[str, ...] = (
     "dedup_semdedup",             # r7: cluster-bounded semantic dedup
     "dsir_importance_select",     # r7: hashed importance resampling
     "graph_bfs_reach",            # r7: bounded multi-source BFS
+    # Third swap: the decontamination family regains a windowed row
+    # (exact_ngram/winnowing rotated out earlier in r7). The other four
+    # latest-r7 queries (bpe_train_merges, embedding_pca_power,
+    # weighted_priority_sample, leakage_safe_splits_neardup) wait for
+    # the r8 rotation — the window is full of never-graded entries.
+    "bloom_ngram_decontamination",  # r7: bitmap-prescreen decontam
 )
 
 

@@ -133,5 +133,8 @@ def test_check_window_covers_the_round1_dark_families():
         # r7 operators (OUT text_stats / events_json_extract /
         # dedup_exact, each green >=5 straight rounds):
         "dedup_semdedup", "dsir_importance_select", "graph_bfs_reach",
+        # third swap (OUT q3_shipping_priority, green r1-r6): the
+        # decontamination family regains a windowed row
+        "bloom_ngram_decontamination",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))
