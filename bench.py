@@ -92,6 +92,12 @@ HEADLINE = [
     # within-cluster pairs + CC) and the two-pass DSIR selection
     "dedup_semdedup",
     "dsir_importance_select",
+    # third late-r7 batch: the Bloom prescreen (its delta vs
+    # exact_ngram_decontamination above is the bitmap's win), iterative
+    # BPE training, and the Gramian power iteration
+    "bloom_ngram_decontamination",
+    "bpe_train_merges",
+    "embedding_pca_power",
 ]
 
 
