@@ -1398,3 +1398,83 @@ def q_cms_heavy_hitter_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("n_events")).cast("bigint").alias("overcount"),
     )
+
+
+@register(
+    "events_decayed_engagement",
+    oracle="""
+WITH e AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         epoch_us(ts) AS us
+  FROM events
+),
+ref AS (SELECT MAX(us) AS ref_us FROM e),
+aged AS (
+  SELECT user_id, cents,
+         (ref.ref_us - us) // 86400000000 AS age_days
+  FROM e CROSS JOIN ref
+),
+scored AS (
+  SELECT user_id,
+         CAST(SUM((cents * 1024) >> CAST(age_days AS INTEGER)) AS BIGINT)
+           AS engagement_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MIN(age_days) AS BIGINT) AS days_since_last
+  FROM aged GROUP BY user_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY engagement_fp DESC, user_id) AS BIGINT) AS rnk,
+       user_id, engagement_fp, n_events, days_since_last
+FROM scored ORDER BY engagement_fp DESC, user_id LIMIT 25
+""",
+    doc="Recency-decayed engagement scoring — the exponential-decay "
+    "user-value model (one-day half-life) every retention/ranking "
+    "pipeline keeps: each event contributes value·2^-age_days, so "
+    "yesterday counts half of today and last month rounds to nothing. "
+    "Engine-exact fixed point: DECIMAL cents scaled by 2^10 then "
+    "ARITHMETIC-SHIFTED right by the integer age (values are "
+    "non-negative, so shiftright ≙ >> ≙ floor-div-by-2^k on both "
+    "engines; no float pow anywhere); age anchors to the corpus "
+    "max-ts (one bounded scalar broadcast, the twap-horizon pattern). "
+    "Plan: one scan + one 1-row BNLJ + one user_id agg (decay folds "
+    "into the partial — this is a plain weighted SUM, needing no "
+    "sequential fold) + TakeOrdered(25) with the rank window on the "
+    "bounded tail. 100 TB: map-side partials absorb per-user event "
+    "counts; the decayed sum is associative, so the streaming-MV "
+    "maintenance contract applies if anchored to a fixed epoch.",
+)
+def q_events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    ref = e.agg(F.max("us").alias("ref_us"))
+    scored = (
+        e.crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            "cents",
+            F.expr("(ref_us - us) DIV 86400000000").alias("age_days"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("shiftright(cents * 1024, CAST(age_days AS INT))"))
+            .cast("bigint")
+            .alias("engagement_fp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("age_days").cast("bigint").alias("days_since_last"),
+        )
+    )
+    top = scored.orderBy(F.col("engagement_fp").desc(), "user_id").limit(25)
+    w = Window.orderBy(F.col("engagement_fp").desc(), "user_id")
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        "user_id",
+        "engagement_fp",
+        "n_events",
+        "days_since_last",
+    )
