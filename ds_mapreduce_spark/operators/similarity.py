@@ -348,6 +348,16 @@ def pca_power_top_component(
     wrong trade at 100 TB for dim^2 << corpus). Returns (dim_i BIGINT
     1-based, loading BIGINT fixed-point).
     """
+    gram = pca_gramian_partial(emb, quant=quant).localCheckpoint(eager=True)
+    return pca_power_from_gramian(gram, iters=iters, quant=quant)
+
+
+def pca_gramian_partial(emb: DataFrame, quant: int = 10_000) -> DataFrame:
+    """(pi, pj, g): the exact-integer Gramian of a vector slice — an
+    ASSOCIATIVE sufficient statistic (sums of outer products), so
+    partials from disjoint slices merge by per-(pi, pj) SUM: the
+    property the streaming twin (run_streaming_pca_gramian) maintains
+    its versioned state with."""
     q = emb.select(
         "vec_id",
         F.transform(
@@ -357,12 +367,25 @@ def pca_power_top_component(
     )
     qi = q.select("vec_id", F.posexplode("qv").alias("pi", "xi"))
     qj = q.select("vec_id", F.posexplode("qv").alias("pj", "xj"))
-    gram = (
+    return (
         qi.join(qj, "vec_id")
         .groupBy("pi", "pj")
         .agg(F.sum(F.col("xi") * F.col("xj")).cast("bigint").alias("g"))
-        .localCheckpoint(eager=True)
     )
+
+
+def pca_gramian_merge(parts: DataFrame) -> DataFrame:
+    """Merge unioned Gramian partials back to one row per (pi, pj)."""
+    return parts.groupBy("pi", "pj").agg(
+        F.sum("g").cast("bigint").alias("g")
+    )
+
+
+def pca_power_from_gramian(
+    gram: DataFrame, iters: int = 2, quant: int = 10_000
+) -> DataFrame:
+    """Power iteration as a pure function of the dim^2-row Gramian —
+    shared verbatim by the batch query and the streaming twin."""
     v = (
         gram.select(F.col("pi").alias("i"))
         .distinct()

@@ -1400,3 +1400,70 @@ def run_streaming_dsir_selection(
         spark.read.parquet(f"{cur}/docprof"),
         spark.read.parquet(f"{cur}/bucketw"),
     )
+
+
+def run_streaming_pca_gramian(
+    spark: SparkSession, emb_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming embedding-spectrum maintenance: embedding slices
+    arrive as micro-batches and each batch's exact-integer Gramian
+    partial MERGES into landed state via ``foreachBatch`` — one state
+    table, (pi, pj, g), associative by construction (the Gramian is a
+    sum of per-row outer products, the textbook mergeable second-moment
+    statistic). The top principal direction is derived ENTIRELY from
+    the maintained dim^2-row state by
+    ``operators.similarity.pca_power_from_gramian`` — the same
+    fixed-point power iteration the batch ``embedding_pca_power`` runs
+    (shared function), so ANY chunking or arrival order of the feed
+    converges to the batch answer exactly. This is the
+    embedding-telemetry-at-ingest tier: anisotropy drift shows up per
+    micro-batch without ever rescanning landed vectors, at dim^2 state
+    whatever the corpus size.
+
+    Versioned-state contract as the siblings: ``v{batch_id}`` reads
+    ``v{batch_id-1}`` (idempotent on at-least-once);
+    resume-with-nothing-new and the empty feed take the landed/empty
+    paths via ``_resolve_final_version``."""
+    from ds_mapreduce_spark.operators.similarity import (
+        pca_gramian_merge,
+        pca_gramian_partial,
+        pca_power_from_gramian,
+    )
+
+    schema = spark.read.parquet(emb_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if emb_dir.endswith(".parquet"):
+        base, _, fname = emb_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        emb_dir = base
+    stream = reader.parquet(emb_dir)
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        gram = pca_gramian_partial(batch_df)
+        if batch_id > 0:
+            prev = f"{state_dir}/v{batch_id - 1}"
+            gram = pca_gramian_merge(
+                sess.read.parquet(f"{prev}/gram").unionByName(gram)
+            )
+        cur = f"{state_dir}/v{batch_id}"
+        gram.write.mode("overwrite").parquet(f"{cur}/gram")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    final = _resolve_final_version(spark, state_dir, last_version[0])
+    if final is None:  # empty feed, no prior state
+        empty = spark.createDataFrame([], schema)
+        return pca_power_from_gramian(
+            pca_gramian_partial(empty).localCheckpoint(eager=True)
+        )
+    gram = spark.read.parquet(f"{state_dir}/v{final}/gram")
+    return pca_power_from_gramian(gram)

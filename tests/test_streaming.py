@@ -615,6 +615,9 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
         "dsir": lambda state, ckpt: J.run_streaming_dsir_selection(
             spark, doc_dir, state, ckpt
         ),
+        "pca": lambda state, ckpt: J.run_streaming_pca_gramian(
+            spark, emb_dir, state, ckpt
+        ),
         "ivf": lambda state, ckpt: J.run_streaming_ivf_index(
             spark,
             emb_dir,
@@ -847,3 +850,30 @@ def test_streaming_dsir_selection_matches_batch(spark, sf_dir, tmp_path):
     assert streamed.columns == batch.columns
     assert srows == brows
     assert len(srows) == 50
+
+
+def test_streaming_pca_gramian_matches_batch(spark, sf_dir, tmp_path):
+    """The maintained Gramian (per-(pi,pj) SUM state — sums of outer
+    products are the textbook mergeable second moment) must reproduce
+    the batch embedding_pca_power loading vector EXACTLY under a
+    chunked, arrival-order-shuffled feed."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_pca_gramian
+
+    batch = load_all()["embedding_pca_power"].fn(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    feed_dir = str(tmp_path / "emb_feed")
+    emb.orderBy(F.md5(F.col("vec_id").cast("string"))).repartition(4).write.parquet(
+        feed_dir
+    )
+
+    streamed = run_streaming_pca_gramian(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert streamed.columns == batch.columns
+    assert srows == brows
+    assert len(srows) == 64
