@@ -379,3 +379,48 @@ def test_rolling_7d_distinct_matches_bruteforce(spark, data):
         for r in expl.groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == expected
+
+
+def _py_bpe_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Reference left-to-right non-overlapping BPE merge."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@SLOW
+@given(
+    words=st.lists(
+        st.lists(st.sampled_from(["a", "b", "ab", "x"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    pair=st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"), ("ab", "a")]),
+)
+@example(words=[["a", "a", "a"]], pair=("a", "a"))
+def test_bpe_merge_fold_matches_python_reference(spark, words, pair):
+    """The Spark array fold in operators/bpe._merge_pair implements the
+    same greedy merge as the sequential reference — including the
+    non-overlap subtlety the 'aaa' example pins."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.operators.bpe import _merge_pair
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id int, syms array<string>"
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", _merge_pair(F.col("syms"), pair[0], pair[1]).alias("m")
+        ).collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == _py_bpe_merge(w, pair[0], pair[1]), (w, pair)
