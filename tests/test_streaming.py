@@ -877,3 +877,30 @@ def test_streaming_pca_gramian_matches_batch(spark, sf_dir, tmp_path):
     assert streamed.columns == batch.columns
     assert srows == brows
     assert len(srows) == 64
+
+
+def test_streaming_dsir_and_pca_resume_with_nothing_new(spark, sf_dir, tmp_path):
+    """The versioned-state resume edge for the two newest twins: a
+    second run over a spent checkpoint with the SAME state dir must
+    return the landed answer (not crash on v-1, not return empty)."""
+    from ds_mapreduce_spark.streaming.jobs import (
+        run_streaming_dsir_selection,
+        run_streaming_pca_gramian,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc_dir = str(tmp_path / "doc_feed")
+    docs.repartition(2).write.parquet(doc_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_dir = str(tmp_path / "emb_feed")
+    emb.repartition(2).write.parquet(emb_dir)
+
+    for name, run, feed in (
+        ("dsir", run_streaming_dsir_selection, doc_dir),
+        ("pca", run_streaming_pca_gramian, emb_dir),
+    ):
+        state, ckpt = str(tmp_path / f"{name}_s"), str(tmp_path / f"{name}_c")
+        first = sorted(map(tuple, run(spark, feed, state, ckpt).collect()))
+        assert first, name
+        resumed = sorted(map(tuple, run(spark, feed, state, ckpt).collect()))
+        assert resumed == first, name
