@@ -652,3 +652,143 @@ def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_mapreduce_spark.operators.similarity import pca_power_top_component
 
     return pca_power_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+def _jl_oracle(n_dims: int = 16, dim: int = 64, k: int = 10, n_queries: int = 20) -> str:
+    from ds_mapreduce_spark.operators.dedup import srp_signs
+
+    signs = srp_signs(n_dims, dim)
+    rows = ",\n    ".join(
+        f"({j}, [{', '.join(str(int(s)) for s in row)}])"
+        for j, row in enumerate(signs)
+    )
+    return f"""
+WITH planes(p, s) AS (VALUES
+    {rows}
+),
+qv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+  FROM embeddings
+),
+pr AS (
+  SELECT vec_id,
+         list(CAST(list_sum(list_transform(range(1, {dim + 1}),
+                  i -> q[i] * s[i])) AS BIGINT) ORDER BY p) AS pv
+  FROM qv CROSS JOIN planes GROUP BY vec_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY ROUND(list_cosine_similarity(a.e, b.e), 6) DESC,
+                      b.vec_id) AS r
+    FROM qv a JOIN qv b ON a.vec_id < {n_queries} AND a.vec_id <> b.vec_id
+  ) WHERE r <= {k}
+),
+ptop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY CAST(list_sum(list_transform(range(1, {n_dims + 1}),
+                        i -> (a.pv[i] - b.pv[i]) * (a.pv[i] - b.pv[i])))
+                      AS BIGINT) ASC, b.vec_id) AS r
+    FROM pr a JOIN pr b ON a.vec_id < {n_queries} AND a.vec_id <> b.vec_id
+  ) WHERE r <= {k}
+),
+ov AS (
+  SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM truth t
+  JOIN ptop p ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+  GROUP BY t.query_id
+)
+SELECT q.vec_id AS query_id,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(ov.n_overlap, 0) * 1000 AS BIGINT) AS recall_bp
+FROM qv q LEFT JOIN ov ON ov.query_id = q.vec_id
+WHERE q.vec_id < {n_queries}
+"""
+
+
+@register(
+    "knn_jl_recall_eval",
+    oracle=_jl_oracle(),
+    doc="Johnson-Lindenstrauss dimension-reduction EVAL — the measured "
+    "answer to 'how much recall does projecting 64-d -> 16-d cost?': "
+    "embeddings are projected through the deterministic ±1 sign matrix "
+    "(srp_signs — the same LCG constants the SRP-LSH oracle embeds), "
+    "exact-integer projection on quantized components, and per-query "
+    "recall@10 is computed between the full-space cosine truth "
+    "(knn_bruteforce's ranking verbatim) and the projected-space "
+    "integer-L2 top-10. The dedup_lsh_eval discipline applied to dense "
+    "retrieval: tune the projection width from DATA, not the JL "
+    "epsilon bound. Plan: projection is one map over the corpus; both "
+    "rankings are broadcast-queries × corpus with the two-stage local "
+    "top-k (no per-query single-task sort); overlap is a 200-row "
+    "join. 100 TB: the projected table is the artifact you'd persist — "
+    "4x fewer bytes scanned by every downstream probe at the measured "
+    "recall cost.",
+)
+def q_knn_jl_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import srp_signs
+    from ds_mapreduce_spark.operators.similarity import _ranked_topk, brute_force_topk
+
+    signs = srp_signs(16, 64)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 10000).cast("bigint"),
+        ).alias("q"),
+    )
+    zero = F.lit(0).cast("bigint")
+
+    def proj():
+        cols = []
+        for row in signs:
+            arr = F.array(*[F.lit(int(s)) for s in row])
+            cols.append(
+                F.aggregate(
+                    F.zip_with(F.col("q"), arr, lambda a, b: a * b),
+                    zero,
+                    lambda acc, x: acc + x,
+                )
+            )
+        return F.array(*cols)
+
+    p = v.select("vec_id", proj().alias("pv"))
+    truth = brute_force_topk(emb, emb.where(F.col("vec_id") < N_QUERIES), k=10).select(
+        "query_id", "neighbor_id"
+    )
+    qp = p.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("pv").alias("qpv")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("pv"), F.col("qpv"), lambda a, b: (a - b) * (a - b)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(qp)
+        .crossJoin(p)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (-dist).alias("score"),
+        )
+    )
+    ptop = _ranked_topk(scored, 10).select("query_id", "neighbor_id")
+    ov = truth.join(ptop, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+    )
+    allq = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return allq.join(ov, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+        (F.coalesce("n_overlap", F.lit(0)) * 1000).cast("bigint").alias("recall_bp"),
+    )

@@ -89,6 +89,9 @@ LITERAL_BOUNDED = {
     # SemDeDup (r7): the broadcast centroid table is the vec_id < 8
     # seed slice — literal-bounded (k rows), same shape as the PQ seed.
     "dedup_semdedup",
+    # JL recall eval (r7): broadcasts are the vec_id < 20 query slices
+    # (raw + projected) — literal-bounded, the knn_bruteforce shape.
+    "knn_jl_recall_eval",
 }
 
 
