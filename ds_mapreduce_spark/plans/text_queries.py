@@ -2919,3 +2919,106 @@ def q_bloom_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("contaminated"),
     )
+
+
+@register(
+    "collocation_pmi_topk",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT u.w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, UNNEST(t) u(w) GROUP BY u.w
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+big AS (
+  SELECT t[CAST(i AS INTEGER)] AS wa, t[CAST(i AS INTEGER) + 1] AS wb,
+         COUNT(*) AS c_ab
+  FROM toks CROSS JOIN UNNEST(range(1, len(t))) u(i)
+  WHERE len(t) >= 2
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT b.wa, b.wb, CAST(b.c_ab AS BIGINT) AS c_ab, ua.c AS c_a, ub.c AS c_b,
+         CAST((b.c_ab * tot.n * 1000000) // (ua.c * ub.c) AS BIGINT) AS pmi_fp
+  FROM big b
+  JOIN uni ua ON ua.w = b.wa
+  JOIN uni ub ON ub.w = b.wb
+  CROSS JOIN tot
+  WHERE b.c_ab >= 5
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi_fp DESC, wa, wb) AS BIGINT) AS rnk,
+       wa, wb, c_ab, c_a, c_b, pmi_fp
+FROM scored ORDER BY pmi_fp DESC, wa, wb LIMIT 30
+""",
+    doc="Collocation extraction by pointwise mutual information — the "
+    "classic 'which word pairs belong together' statistic (Church & "
+    "Hanks 1990) behind phrase detection and tokenizer merge "
+    "candidates. Log-free engine-exact form: PMI = log(N*c_ab/"
+    "(c_a*c_b)) is RANK-equivalent to its argument, so the score is "
+    "the fixed-point integer ratio (c_ab*N*1e6) DIV (c_a*c_b) — no "
+    "float crosses the boundary, ties broken lexicographically; a "
+    "c_ab >= 5 support floor keeps the rare-pair noise PMI is famous "
+    "for out of the top-k. Plan: one scan fans into the unigram "
+    "census and the adjacent-bigram census (both partial-agged "
+    "vocab-sized shuffles); unigram counts join BACK onto bigrams on "
+    "the token key (vocab-sized joins — NOT broadcast: vocab scales "
+    "with the corpus, AQE picks the strategy); TakeOrdered(30) with "
+    "the rank window on the bounded tail. 100 TB: everything after "
+    "the two censuses is vocab-sized (Heaps' law), and both censuses "
+    "absorb hot tokens map-side.",
+)
+def q_collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    uni = (
+        t.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    big = (
+        t.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i.cast("int")).alias("wa"),
+                        F.element_at(F.col("t"), (i + 1).cast("int")).alias("wb"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    scored = (
+        big.join(uni.select(F.col("w").alias("wa"), F.col("c").alias("c_a")), "wa")
+        .join(uni.select(F.col("w").alias("wb"), F.col("c").alias("c_b")), "wb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "wa",
+            "wb",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr("CAST((c_ab * n * 1000000) DIV (c_a * c_b) AS BIGINT)").alias(
+                "pmi_fp"
+            ),
+        )
+    )
+    top = scored.orderBy(F.col("pmi_fp").desc(), "wa", "wb").limit(30)
+    w = Window.orderBy(F.col("pmi_fp").desc(), "wa", "wb")
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        "wa",
+        "wb",
+        "c_ab",
+        "c_a",
+        "c_b",
+        "pmi_fp",
+    )
