@@ -182,6 +182,27 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # identical post-checkpoint shape; the length floor is one
         # filter on the merged span table before the checkpoint
         ("dedup_span_excision_minlen", 3),
+        # late-r7 locks at measured values — regression tripwires:
+        # pair self-join sort + CC-label join + keep window (assignment
+        # is map-only post-fix; a 4th shuffle means the packed-centroid
+        # argmin regressed to the crossJoin+window form)
+        ("dedup_semdedup", 3),
+        # ONE doc_id score agg; the weight-table pass runs inside its
+        # checkpoint (a 2nd shuffle means the checkpoint was lost)
+        ("dsir_importance_select", 1),
+        # corpus side: gram explode + one doc_id agg; the rest is the
+        # un-checkpointed bench-side subtree repeated per broadcast
+        ("bloom_ngram_decontamination", 8),
+        # unigram census + bigram census + two vocab-key joins + top-k
+        ("collocation_pmi_topk", 5),
+        # census agg over the checkpointed BFS distance table only
+        ("graph_bfs_reach", 1),
+        # map-only scoring + TakeOrdered
+        ("weighted_priority_sample", 0),
+        # Gramian + iterations live inside checkpoints
+        ("embedding_pca_power", 0),
+        # 1-row anchor + user agg + bounded-tail rank
+        ("events_decayed_engagement", 2),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
