@@ -2859,11 +2859,16 @@ def q_bloom_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
             F.conv(F.substring(F.md5(src), 1, 8), 16, 10).cast("bigint") % 65536
         )
 
+    # benchmark-gram set checkpointed ONCE (benchmark-sized, MBs at any
+    # corpus scale): three consumers (both bitmap hash branches + the
+    # exact-verify broadcast) would otherwise re-tokenize the 1/16
+    # benchmark slice per branch
     bench_grams = (
         grams.where(is_bench)
         .select(F.explode_outer("gs").alias("g"))
         .where(F.col("g").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
     )
     positions = bench_grams.select(pos(F.col("g")).alias("p")).unionByName(
         bench_grams.select(pos(F.col("g"), "b2:").alias("p"))

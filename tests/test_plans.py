@@ -190,9 +190,11 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # ONE doc_id score agg; the weight-table pass runs inside its
         # checkpoint (a 2nd shuffle means the checkpoint was lost)
         ("dsir_importance_select", 1),
-        # corpus side: gram explode + one doc_id agg; the rest is the
-        # un-checkpointed bench-side subtree repeated per broadcast
-        ("bloom_ngram_decontamination", 8),
+        # corpus side: gram explode + one doc_id agg; bitmap build +
+        # exact set derive from the CHECKPOINTED bench-gram table (a
+        # jump back to 8 means the checkpoint was lost and the 1/16
+        # benchmark slice re-tokenizes per broadcast branch)
+        ("bloom_ngram_decontamination", 3),
         # unigram census + bigram census + two vocab-key joins + top-k
         ("collocation_pmi_topk", 5),
         # census agg over the checkpointed BFS distance table only
