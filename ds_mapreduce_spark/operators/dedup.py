@@ -459,6 +459,13 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     # is pushed below the Project and re-evaluates the md5 transform in
     # the Filter — one wasted full pass per row
     d = docs.where(F.size(tokens(F.col("text"))) >= 1).select("doc_id", th.alias("th"))
+    return simhash_fold(d)
+
+
+def simhash_fold(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash BIGINT) from any (doc_id, th array<long>) hash
+    stream — the per-bit-majority fold shared by the token simhash and
+    the byte-gram payload simhash (multimodal)."""
     bitsums = F.expr(
         "aggregate(th, array_repeat(0, 32), (acc, x) -> "
         "zip_with(acc, sequence(0, 31), (a, i) -> "
@@ -483,7 +490,15 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 def simhash_candidate_pairs(docs: DataFrame, bits: int = 32, chunks: int = 4) -> DataFrame:
     """Pairs agreeing on ≥1 of `chunks` simhash chunks (pigeonhole:
     hamming ≤ chunks-1 is guaranteed found), with exact hamming."""
-    sh = simhash(docs, bits)
+    return simhash_pairs_from_signatures(simhash(docs, bits), bits, chunks)
+
+
+def simhash_pairs_from_signatures(
+    sh: DataFrame, bits: int = 32, chunks: int = 4
+) -> DataFrame:
+    """The chunk-pigeonhole pairing over any (doc_id, simhash BIGINT)
+    signature table — shared by the token simhash (dedup_simhash) and
+    the byte-gram payload simhash (multimodal_payload_simhash)."""
     width = bits // chunks
     mask = (1 << width) - 1
     chunk_structs = F.array(

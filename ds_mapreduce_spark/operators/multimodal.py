@@ -156,3 +156,41 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def payload_simhash_pairs(
+    media: DataFrame, chunks: int = 4, max_hamming: int = 8
+) -> DataFrame:
+    """Byte-level near-duplicate detection over OPAQUE binary payloads —
+    the codec-free member of the multimodal family: two payloads that
+    share most of their byte stream (same image re-encoded with
+    different metadata, same audio clip with a trimmed header) collide
+    without decoding anything. Each payload's hex string yields
+    overlapping byte 4-grams (hex 8-grams, stride 2); their md5-derived
+    32-bit hashes feed the SAME per-bit-majority fold and chunk-
+    pigeonhole pairing as the token simhash
+    (operators/dedup.simhash_fold / simhash_pairs_from_signatures) —
+    one shared arithmetic, two modalities. Map-only until the (tiny)
+    chunk-key self-join; the payload column itself never shuffles.
+    """
+    from ds_mapreduce_spark.operators.dedup import (
+        simhash_fold,
+        simhash_pairs_from_signatures,
+    )
+
+    d = (
+        media.select("doc_id", F.hex(F.col("payload")).alias("hx"))
+        .where(F.length("hx") >= 8)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, length(hx) - 7, 2), i -> "
+                "CAST(conv(substring(md5(substring(hx, i, 8)), 1, 8), 16, 10)"
+                " AS BIGINT))"
+            ).alias("th"),
+        )
+    )
+    sh = simhash_fold(d)
+    return simhash_pairs_from_signatures(sh, bits=32, chunks=chunks).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -218,7 +218,15 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle(bits: int = 32, chunks: int = 4, max_hamming: int = 8) -> str:
+def _simhash_oracle(
+    bits: int = 32,
+    chunks: int = 4,
+    max_hamming: int = 8,
+    th_prelude: str | None = None,
+) -> str:
+    """``th_prelude`` overrides the grams: any CTE chain ending at
+    ``th(doc_id, h BIGINT)`` (default: md5 token hashes; the multimodal
+    payload variant passes byte-4-gram hashes)."""
     width = bits // chunks
     mask = (1 << width) - 1
     bit_sums = ",\n         ".join(
@@ -229,12 +237,13 @@ def _simhash_oracle(bits: int = 32, chunks: int = 4, max_hamming: int = 8) -> st
         f"SELECT doc_id, simhash, {c} AS chunk, (simhash >> {c * width}) & {mask} AS chunk_val FROM sim"
         for c in range(chunks)
     )
-    return rf"""
-WITH toks AS (
+    prelude = th_prelude or r"""toks AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
   FROM documents
 ),
-th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks),
+th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks)"""
+    return rf"""
+WITH {prelude},
 bitsum AS (
   SELECT doc_id,
          {bit_sums}

@@ -139,3 +139,46 @@ def q_multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("byte_len").cast("bigint").alias("total_bytes"),
         )
     )
+
+
+def _payload_simhash_oracle(chunks: int = 4, max_hamming: int = 8) -> str:
+    from ds_mapreduce_spark.plans.dedup_queries import _simhash_oracle
+
+    # byte 4-grams = hex 8-grams at stride 2 (DuckDB range EXCLUDES the
+    # stop, Spark sequence INCLUDES it: range(1, L-6, 2) ≙ sequence(1,
+    # L-7, 2)); hex() is uppercase in both engines
+    prelude = """hx AS (
+  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+  WHERE length(hex(encode(text))) >= 8
+),
+th AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(hx) - 6, 2),
+             i -> CAST(('0x' || substr(md5(substr(hx, CAST(i AS INTEGER), 8)), 1, 8))
+                  AS BIGINT))) AS h
+  FROM hx
+)"""
+    return _simhash_oracle(32, chunks, max_hamming, th_prelude=prelude)
+
+
+@register(
+    "multimodal_payload_simhash",
+    oracle=_payload_simhash_oracle(),
+    doc="Byte-level NEAR-dup over opaque binary payloads — the "
+    "codec-free complement of multimodal_payload_dedup's exact md5 "
+    "match: payloads sharing most of their byte stream (re-encoded "
+    "asset, trimmed header) collide without decoding. Overlapping "
+    "byte 4-grams (hex 8-grams, stride 2) hash through md5 into the "
+    "SAME per-bit-majority simhash fold and chunk-pigeonhole pairing "
+    "as the token variant (operators/dedup.simhash_fold — one "
+    "arithmetic, two modalities), filtered to hamming <= 8. Map-only "
+    "until the chunk-key self-join; payload bytes never shuffle. "
+    "100 TB: the 32-bit signature is computed at ingest and stored — "
+    "this query becomes a fingerprint-table self-join. See "
+    "operators/multimodal.py:payload_simhash_pairs.",
+)
+def q_multimodal_payload_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.multimodal import payload_simhash_pairs
+
+    media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return payload_simhash_pairs(media, chunks=4, max_hamming=8)
