@@ -159,7 +159,7 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def payload_simhash_pairs(
-    media: DataFrame, chunks: int = 4, max_hamming: int = 8
+    media: DataFrame, chunks: int = 4, max_hamming: int = 3
 ) -> DataFrame:
     """Byte-level near-duplicate detection over OPAQUE binary payloads —
     the codec-free member of the multimodal family: two payloads that

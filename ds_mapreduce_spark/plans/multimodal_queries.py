@@ -141,7 +141,7 @@ def q_multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _payload_simhash_oracle(chunks: int = 4, max_hamming: int = 8) -> str:
+def _payload_simhash_oracle(chunks: int = 4, max_hamming: int = 3) -> str:
     from ds_mapreduce_spark.plans.dedup_queries import _simhash_oracle
 
     # byte 4-grams = hex 8-grams at stride 2 (DuckDB range EXCLUDES the
@@ -171,7 +171,13 @@ th AS (
     "byte 4-grams (hex 8-grams, stride 2) hash through md5 into the "
     "SAME per-bit-majority simhash fold and chunk-pigeonhole pairing "
     "as the token variant (operators/dedup.simhash_fold — one "
-    "arithmetic, two modalities), filtered to hamming <= 8. Map-only "
+    "arithmetic, two modalities), filtered to hamming <= 3 — the bound "
+    "the 4-chunk pigeonhole finds COMPLETELY, and deliberately tighter "
+    "than the token variant's <= 8: byte-gram signatures over a "
+    "template-heavy corpus are denser, and the TRUE pair set at <= 8 "
+    "is output-quadratic (12.6k pairs at sf0.01 vs 549 at <= 3 — the "
+    "prefix-filter output-asymptotics lesson applied before it hit a "
+    "bench). Map-only "
     "until the chunk-key self-join; payload bytes never shuffle. "
     "100 TB: the 32-bit signature is computed at ingest and stored — "
     "this query becomes a fingerprint-table self-join. See "
@@ -181,4 +187,4 @@ def q_multimodal_payload_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_mapreduce_spark.operators.multimodal import payload_simhash_pairs
 
     media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return payload_simhash_pairs(media, chunks=4, max_hamming=8)
+    return payload_simhash_pairs(media, chunks=4, max_hamming=3)
