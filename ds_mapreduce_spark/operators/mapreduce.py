@@ -67,6 +67,34 @@ class WordCount:
         return str(sum(int(v) for v in values))
 
 
+class DistributedGrep:
+    """Dean & Ghemawat's distributed grep (MapReduce paper §2.3, the
+    canonical selective-map job) on the reference's MapReducer trait:
+    map emits (matched_token, source_doc) only for tokens matching the
+    predicate — the map output is a tiny FILTERED slice of the input,
+    the opposite cardinality profile of WordCount — and reduce counts
+    the distinct source docs per match. The reducer sees an UNORDERED
+    value list (src/worker.rs:163-177 hands reducers unordered values),
+    so it must be order-insensitive: set-size is.
+
+    The predicate is suffix matching (no regex engine in the hot path:
+    str.endswith in the Arrow batch, LIKE in the oracle — identical
+    semantics, no RE dialect to reconcile).
+    """
+
+    def __init__(self, suffix: str = "ed", min_len: int = 3) -> None:
+        self.suffix = suffix
+        self.min_len = min_len
+
+    def map(self, key: str, value: str) -> Iterable[tuple[str, str]]:
+        for word in value.split():
+            if len(word) >= self.min_len and word.endswith(self.suffix):
+                yield word, key
+
+    def reduce(self, key: str, values: list[str]) -> str:
+        return str(len(set(values)))
+
+
 def run_mapreduce(kv: DataFrame, mr: MapReducer) -> DataFrame:
     """Run an arbitrary MapReducer over a (key, value) DataFrame.
 

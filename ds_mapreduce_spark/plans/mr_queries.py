@@ -271,3 +271,34 @@ def q_mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first5_types"),
         F.min("ts_sec").alias("first_ts"),
     )
+
+
+@register(
+    "mr_distributed_grep",
+    oracle=r"""
+SELECT word AS key, CAST(count(DISTINCT doc_id) AS VARCHAR) AS value
+FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word
+      FROM documents)
+WHERE len(word) >= 3 AND word LIKE '%ed'
+GROUP BY word
+""",
+    doc="Dean & Ghemawat classic job #1 — distributed grep — through "
+    "the generic MapReducer trait: a SELECTIVE map (emit only matching "
+    "tokens, with their source doc) whose output is a sliver of the "
+    "input, the opposite cardinality profile of WordCount; reduce is "
+    "an order-insensitive distinct-source count (the reference hands "
+    "reducers UNORDERED value lists — src/worker.rs:163-177). "
+    "Completes the paper's canonical job set on this engine next to "
+    "wordcount and mr_inverted_index. 100 TB: the map-side filter "
+    "means the shuffle carries only matches — grep's whole point as a "
+    "MapReduce job.",
+)
+def q_mr_distributed_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.mapreduce import DistributedGrep
+
+    docs = load_table(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("text").alias("value"),
+    )
+    return run_mapreduce(kv, DistributedGrep())
