@@ -82,7 +82,7 @@ class DistributedGrep:
     semantics, no RE dialect to reconcile).
     """
 
-    def __init__(self, suffix: str = "ed", min_len: int = 3) -> None:
+    def __init__(self, suffix: str = "er", min_len: int = 3) -> None:
         self.suffix = suffix
         self.min_len = min_len
 

@@ -279,7 +279,7 @@ def q_mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT word AS key, CAST(count(DISTINCT doc_id) AS VARCHAR) AS value
 FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS word
       FROM documents)
-WHERE len(word) >= 3 AND word LIKE '%ed'
+WHERE len(word) >= 3 AND word LIKE '%er'
 GROUP BY word
 """,
     doc="Dean & Ghemawat classic job #1 — distributed grep — through "
