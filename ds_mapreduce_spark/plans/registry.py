@@ -198,10 +198,14 @@ PRIORITY: tuple[str, ...] = (
     "dsir_importance_select",     # r7: hashed importance resampling
     "graph_bfs_reach",            # r7: bounded multi-source BFS
     # Third swap: the decontamination family regains a windowed row
-    # (exact_ngram/winnowing rotated out earlier in r7). The other four
+    # (exact_ngram/winnowing rotated out earlier in r7). The other
     # latest-r7 queries (bpe_train_merges, embedding_pca_power,
-    # weighted_priority_sample, leakage_safe_splits_neardup) wait for
-    # the r8 rotation — the window is full of never-graded entries.
+    # weighted_priority_sample, leakage_safe_splits_neardup,
+    # events_decayed_engagement, collocation_pmi_topk,
+    # knn_jl_recall_eval, multimodal_payload_simhash,
+    # mr_distributed_grep) wait for the r8 rotation — the window is
+    # full of never-graded entries; all are green under the in-repo
+    # parity gate at both SFs.
     "bloom_ngram_decontamination",  # r7: bitmap-prescreen decontam
 )
 
