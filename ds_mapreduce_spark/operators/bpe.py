@@ -60,13 +60,27 @@ def bpe_train_merges(
     pagerank discipline). Ties and folds are engine-deterministic, so
     the DuckDB oracle unrolls the same loop with list_reduce.
     """
+    # Words containing U+001F are excluded from training on BOTH sides:
+    # the oracle's fold joins symbols with chr(31), and a separator-
+    # bearing "word" (a lone control char under _BPE_PATTERN) would
+    # round-trip through string_split as two empty symbols. A control
+    # char is tokenizer noise, not a merge candidate — dropping it is
+    # the semantics we want, mirrored in _bpe_train_oracle's words CTE.
     words = docs.select(
         F.explode(F.regexp_extract_all("text", F.lit(pattern), 1)).alias("w")
-    )
+    ).where(~F.col("w").contains("\x1f"))
+    # Codepoint-based symbol split (regexp_extract_all with '.', which
+    # Java regex matches per CODE POINT): split(w, '') would yield
+    # UTF-16 code units, handing a single astral-plane char (emoji) a
+    # 2-symbol surrogate-half array — a bogus pair the codepoint-based
+    # DuckDB oracle (substr(w, i, 1)) never sees. Words contain no \s
+    # by _BPE_PATTERN construction, so '.' always matches.
     vocab = (
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.split("w", "").alias("syms"), "freq")
+        .select(
+            F.expr("regexp_extract_all(w, '(.)', 1)").alias("syms"), "freq"
+        )
         .localCheckpoint(eager=True)
     )
     step_rows = []

@@ -1417,8 +1417,8 @@ aged AS (
 ),
 scored AS (
   SELECT user_id,
-         CAST(SUM((cents * 1024) >> CAST(age_days AS INTEGER)) AS BIGINT)
-           AS engagement_fp,
+         CAST(SUM((cents * 1024) >> CAST(LEAST(age_days, 63) AS INTEGER))
+              AS BIGINT) AS engagement_fp,
          CAST(COUNT(*) AS BIGINT) AS n_events,
          CAST(MIN(age_days) AS BIGINT) AS days_since_last
   FROM aged GROUP BY user_id
@@ -1432,9 +1432,13 @@ FROM scored ORDER BY engagement_fp DESC, user_id LIMIT 25
     "pipeline keeps: each event contributes value·2^-age_days, so "
     "yesterday counts half of today and last month rounds to nothing. "
     "Engine-exact fixed point: DECIMAL cents scaled by 2^10 then "
-    "ARITHMETIC-SHIFTED right by the integer age (values are "
-    "non-negative, so shiftright ≙ >> ≙ floor-div-by-2^k on both "
-    "engines; no float pow anywhere); age anchors to the corpus "
+    "ARITHMETIC-SHIFTED right by least(age, 63) — the clamp matters: "
+    "Spark masks shift counts to 6 bits (shiftright(x,64)==x) while "
+    "DuckDB >> saturates to 0 at >=64, so an unclamped 64-day-old "
+    "event would score at FULL weight in Spark and 0 in the oracle. "
+    "Clamped, both engines yield exactly 0 beyond day 63 (cents*1024 "
+    "< 2^63), matching decay-to-nothing semantics; no float pow "
+    "anywhere. Age anchors to the corpus "
     "max-ts (one bounded scalar broadcast, the twap-horizon pattern). "
     "Plan: one scan + one 1-row BNLJ + one user_id agg (decay folds "
     "into the partial — this is a plain weighted SUM, needing no "
@@ -1462,7 +1466,9 @@ def q_events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(
-            F.sum(F.expr("shiftright(cents * 1024, CAST(age_days AS INT))"))
+            F.sum(
+                F.expr("shiftright(cents * 1024, CAST(least(age_days, 63) AS INT))")
+            )
             .cast("bigint")
             .alias("engagement_fp"),
             F.count(F.lit(1)).cast("bigint").alias("n_events"),

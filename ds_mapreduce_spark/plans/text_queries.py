@@ -1841,14 +1841,27 @@ def q_bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 1)).alias("w")
     )
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # Codepoint-based pairing (syms array via regexp_extract_all '.'):
+    # Spark's length()/substr() count UTF-16 code units, so an astral-
+    # plane char (emoji) would read as a 2-unit "word" and emit a bogus
+    # surrogate-half pair the codepoint-based DuckDB oracle never sees.
+    # The array is aliased BEFORE element_at indexing (CLAUDE.md
+    # gotcha: inlined builders re-evaluate per index).
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.expr("regexp_extract_all(w, '(.)', 1)").alias("syms"), "freq")
+    )
     pairs = (
-        vocab.where(F.length("w") >= 2)
+        vocab.where(F.size("syms") >= 2)
         .select(
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.length("w") - 1),
-                    lambda i: F.col("w").substr(i, F.lit(2)),
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.concat(
+                        F.element_at(F.col("syms"), i.cast("int")),
+                        F.element_at(F.col("syms"), (i + 1).cast("int")),
+                    ),
                 )
             ).alias("pair"),
             "freq",
@@ -2645,13 +2658,26 @@ def _bpe_train_oracle(n_merges: int = 3) -> str:
     """Unrolled BPE training loop: per merge, a pair census CTE, a
     1-row argmax CTE, and a merged-vocab CTE whose list_reduce fold is
     the string-accumulator twin of operators/bpe._merge_pair (symbols
-    joined by chr(31); the regex rewrites the accumulator's LAST
-    segment — first-match regexp_replace, DuckDB default). Symbols are
-    alphanumeric by _BPE_PATTERN construction on this corpus, so the
-    replacement string never contains RE2 escapes."""
+    joined by chr(31); the accumulator's LAST segment is read with
+    string_split(acc, chr(31))[-1] and rewritten by substr arithmetic —
+    deliberately NO regex anywhere in the fold, so a merge winner
+    containing regex metacharacters or backslashes can never be
+    misinterpreted as an RE2 replacement). Merge winners are in fact
+    always alphanumeric — _BPE_PATTERN's punctuation alternative
+    matches ONE char, so punctuation words are single-symbol arrays
+    that never produce an adjacent pair — but the fold no longer
+    depends on that argument (tests/test_bpe.py pins both the
+    invariant and fold parity on a metacharacter-laden corpus).
+    Both engines split words into symbols by CODEPOINT
+    (regexp_extract_all(w, '(.)', 1) ≙ substr(w, i, 1)); a UTF-16
+    code-unit split would hand Spark a 2-symbol array for a single
+    astral-plane char (emoji) where DuckDB sees one symbol."""
     ctes = [
         f"""words AS (
-  SELECT unnest(regexp_extract_all(text, '{_BPE_PATTERN}', 1)) AS w FROM documents
+  SELECT w
+  FROM (SELECT unnest(regexp_extract_all(text, '{_BPE_PATTERN}', 1)) AS w
+        FROM documents)
+  WHERE strpos(w, chr(31)) = 0
 ),
 vw AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
 v0 AS (
@@ -2676,8 +2702,8 @@ b{i} AS (
 v{i} AS (
   SELECT string_split(
     list_reduce(syms, (acc, s) ->
-      CASE WHEN regexp_extract(acc, '[^\\x1f]*$') = b{i}.a AND s = b{i}.b
-           THEN regexp_replace(acc, '[^\\x1f]*$', b{i}.a || b{i}.b)
+      CASE WHEN string_split(acc, chr(31))[-1] = b{i}.a AND s = b{i}.b
+           THEN substr(acc, 1, len(acc) - len(b{i}.a)) || b{i}.a || b{i}.b
            ELSE acc || chr(31) || s END), chr(31)) AS syms, freq
   FROM v{p} CROSS JOIN b{i}
 )"""
@@ -2947,7 +2973,8 @@ big AS (
 ),
 scored AS (
   SELECT b.wa, b.wb, CAST(b.c_ab AS BIGINT) AS c_ab, ua.c AS c_a, ub.c AS c_b,
-         CAST((b.c_ab * tot.n * 1000000) // (ua.c * ub.c) AS BIGINT) AS pmi_fp
+         CAST((CAST(b.c_ab AS HUGEINT) * tot.n * 1000000)
+              // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT) AS pmi_fp
   FROM big b
   JOIN uni ua ON ua.w = b.wa
   JOIN uni ub ON ub.w = b.wb
@@ -2963,8 +2990,12 @@ FROM scored ORDER BY pmi_fp DESC, wa, wb LIMIT 30
     "Hanks 1990) behind phrase detection and tokenizer merge "
     "candidates. Log-free engine-exact form: PMI = log(N*c_ab/"
     "(c_a*c_b)) is RANK-equivalent to its argument, so the score is "
-    "the fixed-point integer ratio (c_ab*N*1e6) DIV (c_a*c_b) — no "
-    "float crosses the boundary, ties broken lexicographically; a "
+    "the fixed-point integer ratio (c_ab*N*1e6) DIV (c_a*c_b), "
+    "computed in 128-bit exact arithmetic (Spark DECIMAL(38,0) DIV ≙ "
+    "DuckDB HUGEINT //, verified bit-identical) because c_ab*N blows "
+    "the BIGINT budget once it passes ~9.2e18 — N alone is ~1e13 at "
+    "100 TB, and DuckDB's DECIMAL // would detour through DOUBLE and "
+    "round. No float crosses the boundary, ties lexicographic; a "
     "c_ab >= 5 support floor keeps the rare-pair noise PMI is famous "
     "for out of the top-k. Plan: one scan fans into the unigram "
     "census and the adjacent-bigram census (both partial-agged "
@@ -3011,9 +3042,10 @@ def q_collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_ab",
             "c_a",
             "c_b",
-            F.expr("CAST((c_ab * n * 1000000) DIV (c_a * c_b) AS BIGINT)").alias(
-                "pmi_fp"
-            ),
+            F.expr(
+                "CAST((CAST(c_ab AS DECIMAL(38,0)) * n * 1000000)"
+                " DIV (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"
+            ).alias("pmi_fp"),
         )
     )
     top = scored.orderBy(F.col("pmi_fp").desc(), "wa", "wb").limit(30)

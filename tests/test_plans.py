@@ -205,6 +205,18 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         ("embedding_pca_power", 0),
         # 1-row anchor + user agg + bounded-tail rank
         ("events_decayed_engagement", 2),
+        # r8 locks for the CC-reaching queries (ADVICE r7 #4): the r7
+        # bidir-edge-list checkpoint was plan-diffed pre/post for all
+        # four CC callers (scripts/audit_cc_checkpoint.py) — join
+        # strategies and shuffle counts identical, no broadcast->SMJ
+        # flip. These pin the post-checkpoint shapes so a future CC or
+        # stats change that DOES flip a downstream join trips here.
+        # Final plan is a project over the checkpointed labels:
+        ("dedup_connected_components", 0),
+        # split census + fp-branch + CC-label join + neardup pair side
+        ("leakage_safe_splits_neardup", 8),
+        # blocked pair-gen + CC-label join back to the name table
+        ("entity_resolution_clusters", 3),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
