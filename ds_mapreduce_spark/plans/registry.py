@@ -60,127 +60,40 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: Everything NOT listed still registers (after these) and stays under
 #: the in-repo parity gate; tests/test_driver_contract.py locks the
 #: family coverage of this window.
+#: Round-8 rotation (VERDICT r7 #1 — burn the never-graded backlog
+#: below 25): OUT all 22 window entries hash-green in BOTH r6 and r7
+#: (wordcount, q1_pricing_summary, kv_text_roundtrip,
+#: pipeline_llm_training_prep, multimodal_payload_dedup, knn_pq_adc,
+#: embedding_pq_codes, dedup_lsh_band_sweep, entity_resolution_clusters,
+#: epoch_shuffle_plan, leakage_safe_splits, bpe_pair_merge_stats,
+#: twap_user_value, multi_touch_attribution, events_hourly_resample,
+#: equi_depth_histogram, table_profile, trigram_substring_search,
+#: graph_pagerank_converged, pq_trained_codebook_encode, bm25_search,
+#: dedup_prefix_filter — wordcount/q1 at seven straight greens carry no
+#: marginal evidence; every family keeps windowed rows, verified by
+#: test_check_window_spans_every_family). IN: the nine never-graded r7
+#: operators staged last round plus the THIRTEEN oldest never-graded
+#: residents — never-graded backlog drops 43 -> 21. The 28 entries
+#: first graded in r07 stay pinned for a second consecutive green.
+#: Every IN entry is green under the in-repo DuckDB parity gate at
+#: sf0.001 AND sf0.01 (verified this session, 192/192).
 PRIORITY: tuple[str, ...] = (
-    # one per family first
-    "wordcount",                    # MR flagship (R8/R9, E4)
-    "q1_pricing_summary",           # relational agg (E5)
-    # dedup_minhash_lsh rotated out late-r7 (green r2-r6, 5 straight
-    # rounds; dedup keeps 5 windowed rows + the r7 ingest-LSH twin)
-    # knn_ivf rotated out late-r7 (green r2-r6, 5 straight rounds; E8
-    # keeps 6 windowed retrieval rows + the r7 IVF streaming twin)
-    # events_sessionization rotated out late-r7 (green r2-r6; the
-    # stream family keeps 7+ windowed rows incl. the native variant's
-    # history) for the r7 ingest pipeline (see end of list)
-    # text_stats rotated out late-r7 second swap (green r1-r6, six
-    # straight rounds; E9 keeps text_quality_score, bm25_search,
-    # trigram_substring_search, hybrid_search_rerank + the r7 DSIR add)
-    # asof_join_click_purchase rotated out late-r7 (green r2-r6, 5
-    # straight rounds; temporal keeps twap/multi_touch/hourly_resample
-    # + the r7 gapfill/seasonal adds)
-    "kv_text_roundtrip",            # text source/sink (R1/R4-R6)
-    # events_json_extract rotated out late-r7 second swap (green r2-r6;
-    # events keeps robust_outliers, gapfill, hourly_resample,
-    # heavy_hitter_profile, seasonal_naive_backtest in the window)
-    # q3_shipping_priority rotated out late-r7 third swap (green r1-r6,
-    # six straight rounds; E11 joins keep q2/q7/q9 + asof/interval
-    # history in the window)
-    # dedup_exact rotated out late-r7 second swap (green r1-r6, six
-    # straight rounds; dedup keeps span_excision x2 + prefix_filter in
-    # the window plus the r7 SemDeDup add)
-    # decontamination rotated out late-r7 (green r4-r6; E9 keeps
-    # exact_ngram history + many graded text rows) for the r7 RRF
-    "pipeline_llm_training_prep",   # THE flagship end-to-end funnel
-    # family breadth
-    # dq_validation_suite rotated out late-r7 (green r5+r6; relational
-    # keeps q1/q3/equi_depth/table_profile + the r7 TPC-H adds) for
-    # the r7 CMS sketch (see end of list)
-    "multimodal_payload_dedup",
-    # round-5 rotation (VERDICT r4 item 1): the round-4 flagship family
-    # gets driver-grade evidence. Rotated out to the in-repo parity
-    # gate: mr_secondary_sort, dedup_simhash, dedup_ngram_jaccard,
-    # q15_top_supplier, q19_disjunctive_predicates, join_full_outer,
-    # scalar_functions, range_join_price_bands, wholetext_file_stats,
-    # tfidf_top_terms — each driver-green in r4 (most since r2), each
-    # family still represented above. Every events sub-family keeps a
-    # graded entry (sessionization x2 + native, tumbling, sliding,
-    # funnel, rolling x2).
-    # Second r5 swap (this round's new surface gets driver evidence):
-    # OUT mr_inverted_index, multimodal_metadata_stats, agg_suite,
-    # lang_id_heuristic, dedup_minhash_verified,
-    # q10_returned_item_customers — each hash-green in r2 AND r3 AND
-    # r4 (no just-recovered entry rotates: sessions_per_hour /
-    # events_rolling_1h_stats stay pinned after their r4 re-green);
-    # every family keeps >=2 graded entries. IN: dq_validation_suite,
-    # scd2_user_value_history, interval_overlap_join,
-    # events_rolling_7d_active_users, dedup_lsh_eval,
-    # graph_triangle_count.
-    # graph_triangle_count rotated out late-r7 (green r5+r6; graph
-    # family keeps graph_pagerank_converged) for the r7 classifier:
-    # Round-6 rotation (VERDICT r5 item 1): the round-5 surface gets
-    # driver-grade evidence. OUT (each hash-green >=2 consecutive driver
-    # rounds; every family keeps >=2 graded rows): knn_bruteforce,
-    # events_tumbling_window, events_sliding_window, sessions_per_hour,
-    # mr_generic_wordcount, dynamic_partition_pruning,
-    # partitioned_write_prune, related_docs_topk, contrastive_pairs,
-    # mixture_rebalance, doc_chunking, span_corruption_plan,
-    # pii_redaction. IN:
-    "knn_pq_adc",                # r5: PQ/ADC two-stage ANN
-    "embedding_pq_codes",        # r5: product-quantization encode
-    "dedup_lsh_band_sweep",      # r5: banding tuning curve
-    "entity_resolution_clusters",  # r5: blocked fuzzy-match + CC
-    "epoch_shuffle_plan",        # r5: reproducible dataloader shuffle
-    "leakage_safe_splits",       # r5: md5-routed train/val/test splits
-    "bpe_pair_merge_stats",      # r5: vocab-weighted BPE pair counts
-    "twap_user_value",           # r5: time-weighted average value
-    "multi_touch_attribution",   # r5: position-based credit split
-    "events_hourly_resample",    # r5: forward-fill gap resample
-    "equi_depth_histogram",      # r5: distributed-NTILE histogram
-    "table_profile",             # r5: per-column profiler
-    "trigram_substring_search",  # r5, plan fixed r6: pg_trgm lookup
-    # Late-r6 swap: the surface built THIS round gets driver evidence
-    # in the same round (the r5 precedent the judge credited). OUT —
-    # each hash-green in r4 AND r5, family keeps >=2 graded rows:
-    # events_funnel (stream keeps sessionization x2, rolling x2,
-    # json_extract, hourly_resample, anomaly_flags),
-    # sequence_packing (text keeps 9 rows),
-    # bucketed_join_no_shuffle (format keeps kv_text_roundtrip,
-    # zorder_write_prune), window_functions_suite (relational keeps
-    # q1, q3, dq_validation_suite, equi_depth, table_profile + graphs).
-    # IN:
-    "graph_pagerank_converged",   # r6: last rows-only oracle closed
-    "pq_trained_codebook_encode",  # r6: PQ train+encode end-to-end
-    "bm25_search",                # r6: sparse retrieval (BM25 exact)
-    "dedup_prefix_filter",        # r6: provably-complete set-sim join
-    # Round-7 rotation (VERDICT r6 #1): burn the never-graded backlog
-    # below 35. OUT — each hash-green in r5 AND r6 (>=2 consecutive
-    # driver rounds), every family keeps graded rows in the window:
-    # graph_pagerank, kmeans_lloyd_refine, zorder_write_prune,
-    # approx_distinct_rollup, events_rolling_anomaly_flags,
-    # incremental_agg_maintenance, multimodal_features, agg_approx_suite,
-    # dedup_lsh_eval, events_rolling_1h_stats,
-    # events_rolling_7d_active_users, scd2_user_value_history,
-    # corpus_shard_plan, events_native_session_window,
-    # exact_ngram_decontamination. IN — never driver-graded in any
-    # CORRECTNESS round (the five r6-new operators + the oldest backlog
-    # residents):
+    # ---- 28 entries first graded in r07, pinned for a 2nd green ----
     "dedup_span_excision",        # r6: ExactSubstr duplicate-span cut
     "events_gapfill_interpolate",  # r6: linear-interp gap fill
     "events_robust_outliers",     # r6: exact median/MAD census
     "hybrid_search_rerank",       # r6: BM25 retrieve + dense rerank
     "skyline_price_size",         # r6: 2-D Pareto skyline
-    "session_path_analysis",      # never graded: top transition paths
-    "mr_inverted_index_capped",   # never graded: df-capped postings
-    "orc_roundtrip",              # never graded: ORC source/sink
-    "customer_rfm_segments",      # never graded: RFM quintile segments
-    "market_basket_pairs",        # never graded: co-occurrence lift
-    "q2_min_cost_supplier",       # never graded: TPC-H correlated min
-    "q7_volume_shipping",         # never graded: TPC-H bi-nation flow
-    "q9_product_type_profit",     # never graded: TPC-H profit rollup
-    "events_heavy_hitter_profile",  # never graded: has streaming twin
-    "text_quality_score",         # never graded: doc quality heuristics
-    # r7-new surface graded same-round (the r5/r6 precedent); OUT
-    # dedup_incremental and interval_overlap_join (each green r5+r6;
-    # their families keep graded rows):
+    "session_path_analysis",      # top transition paths
+    "mr_inverted_index_capped",   # df-capped postings
+    "orc_roundtrip",              # ORC source/sink
+    "customer_rfm_segments",      # RFM quintile segments
+    "market_basket_pairs",        # co-occurrence lift
+    "q2_min_cost_supplier",       # TPC-H correlated min
+    "q7_volume_shipping",         # TPC-H bi-nation flow
+    "q9_product_type_profit",     # TPC-H profit rollup
+    "events_heavy_hitter_profile",  # has streaming twin
+    "text_quality_score",         # doc quality heuristics
     "dedup_span_excision_minlen",  # r7: Lee et al. length floor
     "skyline_3d_grid",            # r7: d-dim grid/BNL skyline
     "quality_classifier_linear",  # r7: hashed linear quality model
@@ -190,23 +103,34 @@ PRIORITY: tuple[str, ...] = (
     "schema_evolution_roundtrip",  # r7: mergeSchema generational read
     "seasonal_naive_backtest",    # r7: forecast-baseline backtest
     "snapshot_diff_census",       # r7: generational reconciliation
-    # Late-r7 second swap — the last three r7 operators get same-round
-    # driver evidence (OUT: text_stats, events_json_extract,
-    # dedup_exact — each hash-green >=5 straight rounds, families keep
-    # 3+ windowed rows each):
     "dedup_semdedup",             # r7: cluster-bounded semantic dedup
     "dsir_importance_select",     # r7: hashed importance resampling
     "graph_bfs_reach",            # r7: bounded multi-source BFS
-    # Third swap: the decontamination family regains a windowed row
-    # (exact_ngram/winnowing rotated out earlier in r7). The other
-    # latest-r7 queries (bpe_train_merges, embedding_pca_power,
-    # weighted_priority_sample, leakage_safe_splits_neardup,
-    # events_decayed_engagement, collocation_pmi_topk,
-    # knn_jl_recall_eval, multimodal_payload_simhash,
-    # mr_distributed_grep) wait for the r8 rotation — the window is
-    # full of never-graded entries; all are green under the in-repo
-    # parity gate at both SFs.
     "bloom_ngram_decontamination",  # r7: bitmap-prescreen decontam
+    # ---- r8 IN: the nine r7 operators staged at the r7 freeze ----
+    "bpe_train_merges",           # r7: 3-rule BPE training loop
+    "embedding_pca_power",        # r7: PCA top-eigenvector power iter
+    "collocation_pmi_topk",       # r7: 128-bit exact fixed-point PMI
+    "events_decayed_engagement",  # r7: clamped-shift exponential decay
+    "knn_jl_recall_eval",         # r7: JL projection recall@10 census
+    "weighted_priority_sample",   # r7: md5-keyed weighted sampling
+    "leakage_safe_splits_neardup",  # r7: split leakage w/ near-dup CC
+    "multimodal_payload_simhash",  # r7: byte-level payload near-dup
+    "mr_distributed_grep",        # r7: MapReducer-trait grep
+    # ---- r8 IN: the thirteen oldest never-graded residents ----
+    "q8_market_share",            # TPC-H nation market share
+    "q11_important_value_parts",  # TPC-H group-HAVING-scalar
+    "q20_dominant_part_shippers",  # TPC-H nested semi-join
+    "q21_waiting_sole_late_supplier",  # TPC-H multi-exists
+    "pipeline_corpus_prep",       # composed corpus-prep funnel
+    "skew_salted_join",           # salted skew-join pattern
+    "csv_roundtrip",              # CSV source/sink (E1)
+    "jsonl_roundtrip",            # JSONL source/sink (E1/X2)
+    "lang_breakdown",             # language census (E9)
+    "unigram_commonness",         # corpus-commonness profile
+    "term_frequencies",           # per-term tf census
+    "events_props_typed",         # typed JSON prop extraction (E14)
+    "events_attribution_join",    # temporal attribution join (E13)
 )
 
 

@@ -88,33 +88,19 @@ def test_check_window_covers_the_round1_dark_families():
     test_check_window_spans_every_family); entries graded for the FIRST
     time last round stay pinned one more round."""
     must_grade = {
-        # knn_ivf rotated out late-r7 (green r2-r6); E8 keeps 6
-        # windowed retrieval rows
-        # text_stats rotated out late-r7 second swap (green r1-r6); E9
-        # keeps text_quality_score/bm25/trigram/hybrid + DSIR
-        # decontamination rotated out late-r7 (green r4-r6)
-        # events_json_extract rotated out late-r7 second swap (green
-        # r2-r6); events keeps 5+ windowed rows
-        # events_sessionization rotated out late-r7 (green r2-r6);
-        # stream family keeps 7+ windowed rows
-        # asof_join_click_purchase rotated out late-r7 (green r2-r6);
-        # temporal keeps 5 windowed rows
-        "kv_text_roundtrip",                              # R1/R4-R6
-        "multimodal_payload_dedup",                       # multimodal
-        "pipeline_llm_training_prep",                     # flagship funnel
-        # r4/r5-era entries hash-green >=2 driver rounds rotated out in
-        # r7 (VERDICT r6 #1); their families keep graded rows. Entries
-        # first graded in r6 stay pinned one more round:
-        "graph_pagerank_converged", "pq_trained_codebook_encode",
-        "bm25_search", "dedup_prefix_filter",
-        # r5 surface graded r6 only once so far — pinned:
-        "knn_pq_adc", "embedding_pq_codes", "dedup_lsh_band_sweep",
-        "entity_resolution_clusters", "epoch_shuffle_plan",
-        "leakage_safe_splits", "bpe_pair_merge_stats", "twap_user_value",
-        "multi_touch_attribution", "events_hourly_resample",
-        "equi_depth_histogram", "table_profile",
-        "trigram_substring_search",
-        # r7 rotation: never-driver-graded backlog burn (VERDICT r6 #1)
+        # Round-8 rotation (VERDICT r7 #1): the 22 entries hash-green in
+        # BOTH r6 and r7 rotated out (wordcount, q1_pricing_summary,
+        # kv_text_roundtrip, pipeline_llm_training_prep,
+        # multimodal_payload_dedup, knn_pq_adc, embedding_pq_codes,
+        # dedup_lsh_band_sweep, entity_resolution_clusters,
+        # epoch_shuffle_plan, leakage_safe_splits, bpe_pair_merge_stats,
+        # twap_user_value, multi_touch_attribution,
+        # events_hourly_resample, equi_depth_histogram, table_profile,
+        # trigram_substring_search, graph_pagerank_converged,
+        # pq_trained_codebook_encode, bm25_search, dedup_prefix_filter);
+        # every family keeps windowed rows (asserted by
+        # test_check_window_spans_every_family).
+        # The 28 entries FIRST graded in r07 stay pinned a 2nd round:
         "dedup_span_excision", "events_gapfill_interpolate",
         "events_robust_outliers", "hybrid_search_rerank",
         "skyline_price_size", "session_path_analysis",
@@ -123,18 +109,25 @@ def test_check_window_covers_the_round1_dark_families():
         "q2_min_cost_supplier", "q7_volume_shipping",
         "q9_product_type_profit", "events_heavy_hitter_profile",
         "text_quality_score",
-        # r7-new surface graded same-round:
         "dedup_span_excision_minlen", "skyline_3d_grid",
         "quality_classifier_linear", "ingest_manifest_pipeline",
         "cms_heavy_hitter_estimates", "hybrid_rrf_fusion",
         "schema_evolution_roundtrip", "seasonal_naive_backtest",
         "snapshot_diff_census",
-        # late-r7 second swap — same-round evidence for the last three
-        # r7 operators (OUT text_stats / events_json_extract /
-        # dedup_exact, each green >=5 straight rounds):
         "dedup_semdedup", "dsir_importance_select", "graph_bfs_reach",
-        # third swap (OUT q3_shipping_priority, green r1-r6): the
-        # decontamination family regains a windowed row
         "bloom_ngram_decontamination",
+        # r8 IN: the nine r7 operators staged at the r7 freeze
+        "bpe_train_merges", "embedding_pca_power",
+        "collocation_pmi_topk", "events_decayed_engagement",
+        "knn_jl_recall_eval", "weighted_priority_sample",
+        "leakage_safe_splits_neardup", "multimodal_payload_simhash",
+        "mr_distributed_grep",
+        # r8 IN: the thirteen oldest never-graded residents
+        "q8_market_share", "q11_important_value_parts",
+        "q20_dominant_part_shippers", "q21_waiting_sole_late_supplier",
+        "pipeline_corpus_prep", "skew_salted_join", "csv_roundtrip",
+        "jsonl_roundtrip", "lang_breakdown", "unigram_commonness",
+        "term_frequencies", "events_props_typed",
+        "events_attribution_join",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))
