@@ -1,0 +1,182 @@
+"""Measured scaling datapoint (VERDICT r7 #2): build a ~10x corpus and
+time the six most expensive headline queries at 1x (sf0.1) and 10x,
+reporting t(10x)/t(1x) per query. Converts the repo's plan-shape
+scaling claims into numbers.
+
+Corpus construction — the point is that the 10x corpus scales VOLUME
+linearly without changing the per-copy workload DENSITY, so a linear
+plan should land near ratio 10 and anything well above it is engine
+superlinearity (per-partition sorts, window frames, pair blowups):
+
+- 10 copies of each table with interleaved re-keyed ids
+  (id*10 + copy), so id-ordering-derived structures (semdedup's
+  first-k centroids) sample every copy;
+- documents: copy 0 keeps the original text (the trigram needle's
+  corpus); copies 1-9 get every whitespace token suffixed with
+  "_<copy>" — a consistent per-copy renaming, so WITHIN-copy
+  similarity structure (shingle/token/n-gram overlap) is preserved
+  exactly while CROSS-copy similarity collapses to ~0. A naive
+  self-union would instead hand every dedup operator 10 exact copies
+  of everything (dup-rate 10x, per-group pair count 45x) — a density
+  change masquerading as a scale change;
+- embeddings: per-copy deterministic +-1 sign pattern multiplied
+  elementwise (xxhash64(copy, dim) parity). Sign flips cancel inside
+  within-copy dot products (s.a · s.b = a·b, norms unchanged) and
+  decorrelate cross-copy cosines — same trick, vector-space edition;
+- lineitem: orderkey and partkey both re-keyed per copy, so the
+  co-purchase graph becomes 10 disjoint copies of the 1x graph
+  (triangle counting scales linearly iff the engine does).
+
+dedup_semdedup is probed through the operator with k scaled 8 -> 80,
+matching its documented 100 TB contract ("k grows with the corpus so
+per-cluster fan-out stays bounded"); everything else runs the
+registered query unchanged against the 10x directory.
+
+Writes NOTHING outside /tmp. Run:
+    python scripts/scale_probe.py            # build (if absent) + measure
+    python scripts/scale_probe.py --rebuild
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/spark_graft_scale10"
+COPIES = 10
+
+
+def build(spark) -> None:
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = []
+    for i in range(COPIES):
+        txt = (
+            F.col("text")
+            if i == 0
+            else F.regexp_replace("text", r"(\S+)", f"$1_{i}")
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") * COPIES + i).alias("doc_id"),
+                txt.alias("text"),
+                "lang",
+                "source",
+                F.length(txt).cast("bigint").alias("n_chars"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    parts = []
+    for i in range(COPIES):
+        vec = (
+            F.col("embedding")
+            if i == 0
+            else F.expr(
+                "transform(embedding, (x, j) -> "
+                f"x * CAST(1 - 2 * pmod(xxhash64({i} * 131 + j), 2) AS FLOAT))"
+            )
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") * COPIES + i).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(
+        f"{OUT}/embeddings.parquet"
+    )
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    parts = []
+    for i in range(COPIES):
+        parts.append(
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") * COPIES + i
+            ).withColumn("l_partkey", F.col("l_partkey") * COPIES + i)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT}/lineitem.parquet"
+    )
+
+
+def main() -> None:
+    from ds_mapreduce_spark.operators.dedup import semdedup_verdicts
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.session import get_spark
+    from ds_mapreduce_spark.sources.catalog import load_table
+
+    spark = get_spark("scale-probe")
+    registry = load_all()
+
+    if "--rebuild" in sys.argv or not os.path.isdir(f"{OUT}/documents.parquet"):
+        t0 = time.monotonic()
+        build(spark)
+        print(f"built 10x corpus in {time.monotonic() - t0:.1f}s -> {OUT}")
+
+    names = [
+        "dedup_semdedup",
+        "graph_triangle_count",
+        "dedup_lsh_band_sweep",
+        "dedup_span_excision",
+        "dedup_prefix_filter",
+        "trigram_substring_search",
+    ]
+
+    def run(name: str, sf_dir: str, k_semdedup: int) -> float:
+        t0 = time.monotonic()
+        if name == "dedup_semdedup":
+            df = semdedup_verdicts(
+                load_table(spark, sf_dir, "embeddings"),
+                k=k_semdedup,
+                threshold=0.45,
+            )
+        else:
+            df = registry[name].fn(spark, sf_dir)
+        n = df.count()
+        return time.monotonic() - t0, n
+
+    results = {}
+    for name in names:
+        # warm codegen/readers on the tiny SF first (bench.py convention)
+        try:
+            run(name, "/root/testdata/sf0.001", 8)
+        except Exception:
+            pass
+        t1, n1 = run(name, BASE, 8)
+        t10, n10 = run(name, OUT, 80)
+        results[name] = {
+            "t_1x_sec": round(t1, 3),
+            "t_10x_sec": round(t10, 3),
+            "ratio": round(t10 / t1, 2),
+            "rows_1x": n1,
+            "rows_10x": n10,
+        }
+        print(
+            f"{name:28s} 1x {t1:7.2f}s ({n1} rows)   "
+            f"10x {t10:7.2f}s ({n10} rows)   ratio {t10 / t1:5.2f}"
+        )
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
