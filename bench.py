@@ -145,10 +145,48 @@ def calibration_probes(spark) -> dict[str, float]:
     return out
 
 
+def detect_foreign_spark_jvms() -> list[int]:
+    """Pids of Spark driver JVMs that are NOT this process's own —
+    the calibration probes' blind spot (PLANS.md): they detect a
+    slower VM, not a BUSY one, and a bench run sharing the box with
+    pytest or ad-hoc Spark sessions inflates individual queries 3-5×
+    while calibration barely moves. Called BEFORE this bench creates
+    its own SparkSession, so any Spark JVM found is foreign. Readable
+    failure mode: /proc scan errors return [] (never kill the bench).
+    """
+    pids: list[int] = []
+    try:
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\x00", b" ")
+            except OSError:
+                continue
+            if b"org.apache.spark.deploy.SparkSubmit" in cmd:
+                pids.append(int(entry))
+    except OSError:
+        return []
+    return pids
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # probe BEFORE our own JVM exists: anything found is another
+    # driver's, and the recorded timings are suspect (3-5× inflation
+    # measured in r7 — see PLANS.md calibration notes)
+    foreign = detect_foreign_spark_jvms()
+    if foreign:
+        print(
+            f"WARNING: {len(foreign)} foreign Spark JVM(s) alive "
+            f"(pids {foreign}) — timings will be inflated; recorded as "
+            'busy=true in the JSON line',
+            file=sys.stderr,
+        )
 
     spark = get_spark("ds-mapreduce-spark-bench")
     registry = load_all()
@@ -194,6 +232,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "calibration": calibration,
+        "busy": bool(foreign),
+        "foreign_spark_pids": foreign,
         "sf": sf,
     }
     if errors:

@@ -1467,3 +1467,96 @@ def run_streaming_pca_gramian(
         )
     gram = spark.read.parquet(f"{state_dir}/v{final}/gram")
     return pca_power_from_gramian(gram)
+
+
+#: The streaming-twin census (VERDICT r7 #6): one row per streaming
+#: job, naming the batch query whose results it must reproduce, the
+#: state contract it maintains across micro-batches, and the
+#: equivalence test that proves it. QUERIES.md's "Streaming twins"
+#: section is GENERATED from this table (scripts/gen_queries_md.py);
+#: tests/test_streaming_census.py asserts it is complete (every
+#: run_streaming_* function appears) and truthful (every batch query
+#: is registered, every test exists). ``fn`` names the callable in
+#: THIS module unless ``module`` says otherwise.
+TWINS: tuple[dict, ...] = (
+    dict(fn="run_streaming_wordcount", batch="wordcount",
+         state="running per-word counts in the state store (update mode)",
+         test="test_streaming_wordcount_matches_batch"),
+    dict(fn="run_streaming_tumbling_window", batch="events_tumbling_window",
+         state="windowed counts + watermark; append emits closed windows",
+         test="test_streaming_tumbling_window_matches_batch"),
+    dict(fn="run_streaming_session_window",
+         batch="events_native_session_window",
+         state="native session-window store; merged session emitted once "
+               "its close clears the watermark",
+         test="test_streaming_native_session_window_matches_batch"),
+    dict(fn="run_streaming_sessionize", module="sessionize",
+         batch="events_sessionization",
+         state="per-user open-session state (applyInPandasWithState); "
+               "emits CLOSED sessions, open ones stay in the store",
+         test="test_streaming_sessionize_matches_batch"),
+    dict(fn="run_streaming_dedup", batch="dedup_exact",
+         state="dropDuplicates first-seen key set (watermark-boundable)",
+         test="test_streaming_dedup_keeps_one_per_key"),
+    dict(fn="run_streaming_attribution_join", batch="events_attribution_join",
+         state="stream-stream interval-join buffers bounded by "
+               "watermark + horizon",
+         test="test_streaming_attribution_join_matches_batch"),
+    dict(fn="run_streaming_cdc_merge", batch="cdc_latest_wins_merge",
+         state="landed latest-version table, latest_wins_merge per batch "
+               "(foreachBatch, versioned parquet)",
+         test="test_streaming_cdc_merge_matches_batch"),
+    dict(fn="run_streaming_pii_scrub", batch="pii_redaction",
+         state="stateless — the batch pii_scrub_rows expressions applied "
+               "per arriving row",
+         test="test_streaming_pii_scrub_matches_batch"),
+    dict(fn="run_streaming_incremental_dedup", batch="dedup_incremental",
+         state="accumulated (md5 fingerprint -> keep_id) store, "
+               "incremental_dedup reduction per batch",
+         test="test_streaming_incremental_dedup_kept_set_is_chunking_invariant"),
+    dict(fn="run_streaming_shard_plan", batch="corpus_shard_plan",
+         state="running token total; batches pack into shards continuing "
+               "from the accumulated cursor",
+         test="test_streaming_shard_plan_matches_batch"),
+    dict(fn="run_streaming_mv_maintenance", batch="incremental_agg_maintenance",
+         state="landed aggregate-MV partials, mv_partial/mv_merge per batch",
+         test="test_streaming_mv_maintenance_matches_batch"),
+    dict(fn="run_streaming_scd2", batch="scd2_user_value_history",
+         state="keyed (user, instant) version rows; validity intervals "
+               "re-derived after each merge (late data safe)",
+         test="test_streaming_scd2_matches_batch_with_late_data"),
+    dict(fn="run_streaming_hourly_resample", batch="events_hourly_resample",
+         state="per-(user, hour) count + exact-cents partials "
+               "(hourly_cents_rollup, shared with the batch query)",
+         test="test_streaming_hourly_resample_matches_batch_with_late_data"),
+    dict(fn="run_streaming_heavy_hitters", batch="events_heavy_hitter_profile",
+         state="landed (key, n_events) counts, keycount partial/merge",
+         test="test_streaming_heavy_hitters_matches_batch"),
+    dict(fn="run_streaming_bm25_index", batch="bm25_search",
+         state="four associative index tables (postings, doc stats, "
+               "doc-frequency, corpus stats) merged per batch",
+         test="test_streaming_bm25_index_matches_batch"),
+    dict(fn="run_streaming_robust_outliers", batch="events_robust_outliers",
+         state="mergeable exact per-user value-count state; median/MAD "
+               "recomputed from counts (exact causal twin, not a sketch)",
+         test="test_streaming_robust_outliers_matches_batch"),
+    dict(fn="run_streaming_minhash_lsh", batch="dedup_minhash_lsh",
+         state="accumulated LSH band index; each batch probed against it "
+               "(near-dedup at ingest)",
+         test="test_streaming_minhash_lsh_matches_batch"),
+    dict(fn="run_streaming_ingest_manifest", batch="ingest_manifest_pipeline",
+         state="kept-fingerprint store + running manifest cumsum "
+               "(scrub -> gate -> dedup -> shard, composed)",
+         test="test_streaming_ingest_manifest_matches_batch"),
+    dict(fn="run_streaming_ivf_index", batch="knn_ivf",
+         state="landed IVF posting lists (centroid assignment per batch)",
+         test="test_streaming_ivf_index_matches_batch"),
+    dict(fn="run_streaming_dsir_selection", batch="dsir_importance_select",
+         state="two associative tables (hashed-unigram bucket counts for "
+               "target and raw profiles) merged per batch",
+         test="test_streaming_dsir_selection_matches_batch"),
+    dict(fn="run_streaming_pca_gramian", batch="embedding_pca_power",
+         state="(pi, pj, g) exact-integer Gramian partial merged per batch; "
+               "power iteration re-run from landed state",
+         test="test_streaming_pca_gramian_matches_batch"),
+)
