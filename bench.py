@@ -98,6 +98,11 @@ HEADLINE = [
     "bloom_ngram_decontamination",
     "bpe_train_merges",
     "embedding_pca_power",
+    # round 8: the exact-L ExactSubstr variant (its delta vs the two
+    # rows above isolates the 20-gram + md5-key cost) and SemDeDup
+    # with its paper-true Lloyd training prefix
+    "dedup_span_excision_exact20",
+    "dedup_semdedup_trained",
 ]
 
 

@@ -845,7 +845,11 @@ def prefix_filter_jaccard_pairs(
 
 
 def duplicate_span_excision(
-    docs: DataFrame, n: int = 5, min_count: int = 2, min_span_tokens: int = 0
+    docs: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    min_span_tokens: int = 0,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Corpus-level duplicate-SPAN removal (the ExactSubstr dedup of
     Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -876,7 +880,24 @@ def duplicate_span_excision(
     cut. Approximation vs the paper: two distinct short duplicated
     substrings that overlap or touch merge into one island and are
     length-tested TOGETHER — the granularity cost of marking via
-    n-grams rather than a suffix array.
+    n-grams rather than a suffix array. That caveat VANISHES when the
+    floor is encoded in the gram size instead (set n = L,
+    min_span_tokens = 0): "position p lies in some corpus-duplicated
+    substring of length >= L" is EXACTLY "p is covered by some
+    duplicated L-gram" — any duplicated substring of length m >= L
+    contains, around each of its positions, a length-L window that is
+    itself duplicated (substrings of duplicated strings are
+    duplicated), and conversely a duplicated L-gram IS a duplicated
+    substring of length L. So n = L computes Lee et al.'s
+    suffix-array excision-set semantics with no suffix array and no
+    island-level test (`dedup_span_excision_exact20`).
+
+    ``hash_grams=True`` replaces the gram STRING with its md5 as the
+    census/join key — at L-gram sizes the raw key is ~6L bytes and the
+    hash a fixed 32, so the count-then-filter shuffle carries 10x less
+    at L=50 (the standard practice in distributed ExactSubstr
+    implementations; a 128-bit collision inside one corpus is
+    ~2^-64-improbable, and the hash never reaches the output).
 
     Plan shape (the classic count-then-filter two-pass, like C4
     boilerplate): pass 1 counts positional n-gram occurrences (one
@@ -909,10 +930,12 @@ def duplicate_span_excision(
     from ds_mapreduce_spark.functions.text import tokens
 
     base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
-    )
+
+    def gram(i):
+        g = F.concat_ws(" ", F.slice(F.col("toks"), i, n))
+        return F.md5(g) if hash_grams else g
+
+    grams = F.transform(F.sequence(F.lit(1), F.size("toks") - (n - 1)), gram)
     occ = (
         base.where(F.size("toks") >= n)
         .select("doc_id", F.posexplode(grams).alias("p0", "g"))
@@ -1011,7 +1034,11 @@ def duplicate_span_excision(
 
 
 def semdedup_verdicts(
-    emb: DataFrame, k: int = 8, threshold: float = 0.45, quant: int = 10_000
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.45,
+    quant: int = 10_000,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): semantic near-dup
@@ -1030,7 +1057,12 @@ def semdedup_verdicts(
     Engine-exact determinism: cluster assignment uses the repo's
     integer-quantized squared-L2 convention (components floor(x*quant)
     BIGINT, distances exact integer folds — `kmeans_lloyd_refine`),
-    seeded by the first k vec_ids; pair verification uses raw-float
+    seeded by the first k vec_ids — or, when ``centroids`` (cid, cv
+    BIGINT-array) is passed, against TRAINED centroids (the r7
+    paper-fidelity gap closed in r8: `operators.similarity.
+    lloyd_centroids` runs the paper's actual k-means step and the
+    verdicts hang off its output; see `dedup_semdedup_trained`);
+    pair verification uses raw-float
     cosine ROUND(6) (the `dedup_embedding_cosine` convention, threshold
     chosen with >= 1e-4 margin); keep rule is (dist DESC, vec_id ASC)
     over exact integers — every tie deterministic, so a DuckDB oracle
@@ -1066,14 +1098,15 @@ def semdedup_verdicts(
     # the k centroids packed into ONE row: array<struct<cid, cv>>,
     # cid-sorted so the argmin fold's strict < keeps the lowest cid on
     # distance ties
-    cent_packed = (
-        v.where(F.col("vec_id") < k)
-        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("cid", "cv"))
-            ).alias("cs")
+    cent = (
+        centroids.select("cid", "cv")
+        if centroids is not None
+        else v.where(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
         )
+    )
+    cent_packed = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cs")
     )
     zero = F.lit(0).cast("bigint")
 

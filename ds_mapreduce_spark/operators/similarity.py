@@ -413,3 +413,70 @@ def pca_power_from_gramian(
         (F.col("i") + 1).cast("bigint").alias("dim_i"),
         F.col("val").alias("loading"),
     )
+
+
+def lloyd_centroids(
+    emb: DataFrame, k: int = 8, iters: int = 2, quant: int = 10_000
+) -> DataFrame:
+    """Lloyd k-means centroid TRAINING in exact integer arithmetic —
+    the (cid, cv) table `kmeans_lloyd_refine` derives its final
+    assignment from, extracted so other consumers (trained-centroid
+    SemDeDup) share one implementation and one set of conventions:
+    components quantized floor(x*quant) BIGINT, squared-L2 distances
+    exact integer folds, assignment argmin tie-broken (dist, cid),
+    per-dim centroid means floor(double-div of exactly-representable
+    ints) — every step bit-identical in DuckDB, so callers can unroll
+    the training loop into an oracle CTE chain.
+
+    Seeds: the first k vec_ids. Per iteration: broadcast k centroids ×
+    one corpus scan (row_number argmin window), posexplode to
+    (cid, dim) partial means, collect back to k rows — new centroids
+    localCheckpoint'ed so iteration plans stay constant-size (the
+    pagerank discipline). 100 TB: scan-dominated with k-row
+    broadcasts; mini-batch drop-in if iterations must shrink.
+    """
+    v = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * quant).cast("bigint"),
+        ).alias("qv"),
+    )
+    cent = v.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    zero = F.lit(0).cast("bigint")
+
+    def dist_col():
+        return F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(iters):
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        assigned = (
+            v.crossJoin(F.broadcast(cent))
+            .select("vec_id", "qv", "cid", dist_col().alias("dist"))
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+        )
+        cent = (
+            assigned.select("cid", F.posexplode("qv").alias("i", "val"))
+            .groupBy("cid", "i")
+            .agg(
+                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent

@@ -892,29 +892,36 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _span_excision_oracle(min_span_tokens: int = 0) -> str:
-    """Generated DuckDB oracle for duplicate_span_excision — one
-    template for both the unfloored query and the Lee-et-al length-
-    floored variant, so the two can never drift apart. The only
-    difference is a HAVING on the merged-island length (the floor is
-    tested AFTER the gaps-and-islands merge, mirroring the operator)."""
+def _span_excision_oracle(
+    min_span_tokens: int = 0, n: int = 5, hash_grams: bool = False
+) -> str:
+    """Generated DuckDB oracle for duplicate_span_excision — ONE
+    template for the unfloored query, the Lee-et-al post-merge floor
+    variant, and the exact-L variant (floor encoded as the gram size,
+    optionally md5-keyed), so none can drift apart. The differences:
+    a HAVING on the merged-island length (floor tested AFTER the
+    gaps-and-islands merge, mirroring the operator), the gram width,
+    and an md5 around the gram key."""
     having = (
         f"HAVING MAX(e) - MIN(s) + 1 >= {min_span_tokens}"
         if min_span_tokens > 0
         else ""
     )
+    g = f"array_to_string(t[i:i+{n - 1}], ' ')"
+    if hash_grams:
+        g = f"md5({g})"
     return rf"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
   FROM documents
 ),
 occ AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS s, array_to_string(t[i:i+4], ' ') AS g
-  FROM toks, UNNEST(range(1, len(t) - 3)) u(i)
-  WHERE len(t) >= 5
+  SELECT doc_id, CAST(i AS BIGINT) AS s, {g} AS g
+  FROM toks, UNNEST(range(1, len(t) - {n - 2})) u(i)
+  WHERE len(t) >= {n}
 ),
 dup AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 2),
-hits AS (SELECT o.doc_id, o.s, o.s + 4 AS e FROM occ o JOIN dup USING (g)),
+hits AS (SELECT o.doc_id, o.s, o.s + {n - 1} AS e FROM occ o JOIN dup USING (g)),
 isl AS (
   SELECT doc_id, s, e,
          CASE WHEN s > COALESCE(MAX(e) OVER (
@@ -1025,6 +1032,37 @@ def q_dedup_span_excision_minlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_span_excision_exact20",
+    oracle=_span_excision_oracle(n=20, hash_grams=True),
+    doc="EXACT ExactSubstr excision set (r8, VERDICT r7 #4a) — the "
+    "suffix-array semantics of Lee et al. 2022 with no suffix array: "
+    "encode the length floor IN the gram size (n = L = 20) instead of "
+    "testing merged islands against it. Theorem (operator docstring): "
+    "a position lies in some corpus-duplicated substring of length "
+    ">= L iff it is covered by some duplicated L-gram — any "
+    "duplicated substring of length m >= L contains, around each of "
+    "its positions, a length-L window that is itself duplicated, and "
+    "a duplicated L-gram IS such a substring. This removes the "
+    "_minlen variant's documented over-excision (two short dups that "
+    "touch were length-tested TOGETHER); its excision set here is "
+    "exactly the paper's. Grams are md5-keyed (hash_grams=True): at "
+    "L=20 the raw key is ~120 bytes vs a fixed 32-char hash, so the "
+    "count-then-filter shuffle carries ~4x less — the standard "
+    "distributed-ExactSubstr practice; the hash never reaches the "
+    "output and md5 ≙ md5 across engines. L=20 matches the _minlen "
+    "floor (docs avg ~55 tokens; the paper's 50 scaled); plan shape "
+    "identical to dedup_span_excision (same budget lock). See "
+    "operators/dedup.py:duplicate_span_excision.",
+)
+def q_dedup_span_excision_exact20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import duplicate_span_excision
+
+    return duplicate_span_excision(
+        load_table(spark, sf_dir, "documents"), n=20, min_count=2, hash_grams=True
+    )
+
+
 _SEMDEDUP_ORACLE = """
 WITH RECURSIVE qv AS (
   SELECT vec_id,
@@ -1093,6 +1131,120 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return semdedup_verdicts(
         load_table(spark, sf_dir, "embeddings"), k=8, threshold=0.45
+    )
+
+
+def _semdedup_trained_oracle(iters: int = 2, k: int = 8) -> str:
+    """Generated oracle for dedup_semdedup_trained: kmeans_lloyd_refine's
+    unrolled integer-exact Lloyd CTE chain (same arithmetic, same
+    constants — floor(x*1e4) quantization, (dist, cid) argmin
+    tie-break, floor-of-double-div means) feeding _SEMDEDUP_ORACLE's
+    assignment + cosine-pair + recursive-closure + keep-window tail.
+    The two generators share their conventions with the operators, per
+    the one-place-only rule."""
+    dist = (
+        "list_sum(list_transform(range(1, len(v.qv) + 1), "
+        "i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])))"
+    )
+    ctes = [
+        """qv AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS e,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, qv AS cv FROM qv WHERE vec_id < """
+        + str(k)
+        + ")"
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT v.vec_id, v.qv, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS r
+    FROM qv v JOIN c{i - 1} c ON TRUE
+  ) WHERE r = 1
+),
+c{i} AS (
+  SELECT cid, list(m ORDER BY i) AS cv FROM (
+    SELECT cid, i, CAST(floor(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+    FROM a{i}, UNNEST(range(1, len(qv) + 1)) u(i)
+    GROUP BY cid, i
+  ) GROUP BY cid
+)"""
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f""",
+dists AS (
+  SELECT v.vec_id, v.e, c.cid,
+         CAST({dist} AS BIGINT) AS dist
+  FROM qv v CROSS JOIN c{iters} c
+),
+asg AS (
+  SELECT vec_id, e, cid, dist
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r
+        FROM dists)
+  WHERE r = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.45
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+reach(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+),
+comp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id)
+SELECT a.vec_id,
+       a.cid AS cluster_id,
+       CAST(COALESCE(c.comp, a.vec_id) AS BIGINT) AS comp_id,
+       a.dist AS dist_to_centroid,
+       (ROW_NUMBER() OVER (PARTITION BY COALESCE(c.comp, a.vec_id)
+                           ORDER BY a.dist DESC, a.vec_id) = 1) AS is_kept
+FROM asg a LEFT JOIN comp c ON c.id = a.vec_id
+"""
+    )
+
+
+@register(
+    "dedup_semdedup_trained",
+    oracle=_semdedup_trained_oracle(2, 8),
+    doc="SemDeDup with TRAINED centroids (r8, VERDICT r7 #4b) — closes "
+    "dedup_semdedup's one paper-fidelity gap: Abbas et al. run k-means "
+    "before deduplicating, while the r7 query seeded clusters with the "
+    "first k vectors. Here operators.similarity.lloyd_centroids (the "
+    "SAME training loop kmeans_lloyd_refine now calls — one "
+    "implementation, one set of integer-exact conventions) runs 2 "
+    "Lloyd iterations at k=8 and semdedup_verdicts assigns, pairs, "
+    "closes, and keeps against ITS output. Every step stays engine-"
+    "deterministic (quantized BIGINT distances, floor-of-double-div "
+    "means, (dist, cid) tie-breaks), so the oracle unrolls training + "
+    "dedup into one CTE chain and matches bit-for-bit. Plan: the "
+    "training iterations run on constant-size checkpointed k-row "
+    "tables; the dedup phase is dedup_semdedup's unchanged map-only "
+    "packed-centroid assignment + cluster-bounded pair join + CC. "
+    "100 TB: identical to dedup_semdedup plus 2 scan-dominated "
+    "training passes. See operators/dedup.py:semdedup_verdicts.",
+)
+def q_dedup_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import semdedup_verdicts
+    from ds_mapreduce_spark.operators.similarity import lloyd_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_verdicts(
+        emb, k=8, threshold=0.45, centroids=lloyd_centroids(emb, k=8, iters=2)
     )
 
 

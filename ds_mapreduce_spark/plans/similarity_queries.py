@@ -281,6 +281,8 @@ FROM final GROUP BY cid"""
 def q_kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ds_mapreduce_spark.operators.similarity import lloyd_centroids
+
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
@@ -289,46 +291,23 @@ def q_kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 10000).cast("bigint"),
         ).alias("qv"),
     )
-    cent = v.where(F.col("vec_id") < N_KMEANS).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    # training loop shared with dedup_semdedup_trained (r8) — one
+    # implementation of the integer-exact Lloyd conventions
+    cent = lloyd_centroids(emb, k=N_KMEANS, iters=2)
+
+    zero = F.lit(0).cast("bigint")
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        zero,
+        lambda acc, x: acc + x,
     )
-
-    def dist_col():
-        zero = F.lit(0).cast("bigint")
-        return F.aggregate(
-            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-            zero,
-            lambda acc, x: acc + x,
-        )
-
-    def assign(cent_df):
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            v.crossJoin(F.broadcast(cent_df))
-            .select("vec_id", "qv", "cid", dist_col().alias("dist"))
-            .withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
-        )
-
-    for _ in range(2):
-        assigned = assign(cent)
-        cent = (
-            assigned.select("cid", F.posexplode("qv").alias("i", "val"))
-            .groupBy("cid", "i")
-            .agg(
-                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("m")
-            )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
-                ).alias("cv")
-            )
-            .localCheckpoint(eager=True)
-        )
-    final = assign(cent)
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    final = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "qv", "cid", dist.alias("dist"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+    )
     return final.groupBy(F.col("cid").alias("centroid_id")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("vec_id").cast("bigint").alias("id_checksum"),

@@ -182,6 +182,12 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # identical post-checkpoint shape; the length floor is one
         # filter on the merged span table before the checkpoint
         ("dedup_span_excision_minlen", 3),
+        # r8: floor-in-the-gram-size variant — same two-pass shape,
+        # md5 gram keys change bytes shuffled, not exchanges
+        ("dedup_span_excision_exact20", 3),
+        # r8: training iterations live inside k-row checkpoints, so
+        # the budget equals dedup_semdedup's
+        ("dedup_semdedup_trained", 3),
         # late-r7 locks at measured values — regression tripwires:
         # pair self-join sort + CC-label join + keep window (assignment
         # is map-only post-fix; a 4th shuffle means the packed-centroid

@@ -119,3 +119,74 @@ def test_min_span_floor_zero_is_identity(spark):
     base = _run(spark, rows)
     floored = _run_floored(spark, rows, floor=0)
     assert base == floored
+
+
+def _ref_excised_positions(docs_tokens: dict, L: int) -> dict:
+    """Independent brute-force reference for the exact-L semantics:
+    a position is excised iff it lies inside SOME substring of length
+    >= L that occurs >= 2 times corpus-wide (all lengths enumerated —
+    the operator only ever looks at length-L windows, so agreement is
+    the n=L equivalence theorem, not the same algorithm twice)."""
+    from collections import Counter
+
+    max_len = max((len(t) for t in docs_tokens.values()), default=0)
+    marked = {d: set() for d in docs_tokens}
+    for m in range(L, max_len + 1):
+        cnt = Counter()
+        for toks in docs_tokens.values():
+            for i in range(len(toks) - m + 1):
+                cnt[tuple(toks[i : i + m])] += 1
+        for d, toks in docs_tokens.items():
+            for i in range(len(toks) - m + 1):
+                if cnt[tuple(toks[i : i + m])] >= 2:
+                    marked[d].update(range(i, i + m))
+    return marked
+
+
+def test_exact_L_equals_bruteforce_duplicated_substring_semantics(spark):
+    """dedup_span_excision_exact20's semantics (floor encoded in the
+    gram size, md5-keyed): excised positions == positions inside some
+    corpus-duplicated substring of length >= L, for EVERY length —
+    checked against a reference that enumerates all lengths."""
+    L = 6
+    texts = {
+        # dup1 (3 toks, docs 1+2) touching dup2 (3 toks, docs 1+3):
+        # the island in doc 1 is 6 tokens long but NO duplicated
+        # substring of length >= 6 exists — exact-L must excise nothing
+        1: "p1 p2 s1 s2 s3 t1 t2 t3 q1 q2",
+        2: "m1 s1 s2 s3 m2 m3 m4 m5 m6 m7",
+        3: "n1 n2 n3 t1 t2 t3 n4 n5 n6 n7",
+        # docs 4+5 share a 7-token run -> two overlapping 6-windows,
+        # merged span of 7 in each
+        4: "a1 a2 a3 a4 a5 a6 a7 b1 b2 b3",
+        5: "c1 c2 a1 a2 a3 a4 a5 a6 a7 c3",
+        6: "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0",  # clean
+    }
+    toks = {d: t.split() for d, t in texts.items()}
+    ref = _ref_excised_positions(toks, L)
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in duplicate_span_excision(
+            docs, n=L, min_count=2, hash_grams=True
+        ).collect()
+    }
+    for d in texts:
+        assert out[d]["n_tokens_removed"] == len(ref[d]), (d, ref[d])
+        kept = " ".join(
+            t for i, t in enumerate(toks[d]) if i not in ref[d]
+        )
+        assert out[d]["retained_md5"] == _md5(kept), d
+    # the discriminating case: the post-merge-floor variant (n=3,
+    # floor=6) length-tests the touching short dups TOGETHER and
+    # over-excises doc 1; exact-L does not
+    floored = {
+        r["doc_id"]: r.asDict()
+        for r in duplicate_span_excision(
+            docs, n=3, min_count=2, min_span_tokens=L
+        ).collect()
+    }
+    assert floored[1]["n_tokens_removed"] == 6  # the merged island
+    assert out[1]["n_tokens_removed"] == 0      # the paper's semantics
