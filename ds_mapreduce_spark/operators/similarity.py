@@ -415,68 +415,127 @@ def pca_power_from_gramian(
     )
 
 
-def lloyd_centroids(
-    emb: DataFrame, k: int = 8, iters: int = 2, quant: int = 10_000
-) -> DataFrame:
-    """Lloyd k-means centroid TRAINING in exact integer arithmetic —
-    the (cid, cv) table `kmeans_lloyd_refine` derives its final
-    assignment from, extracted so other consumers (trained-centroid
-    SemDeDup) share one implementation and one set of conventions:
-    components quantized floor(x*quant) BIGINT, squared-L2 distances
-    exact integer folds, assignment argmin tie-broken (dist, cid),
-    per-dim centroid means floor(double-div of exactly-representable
-    ints) — every step bit-identical in DuckDB, so callers can unroll
-    the training loop into an oracle CTE chain.
-
-    Seeds: the first k vec_ids. Per iteration: broadcast k centroids ×
-    one corpus scan (row_number argmin window), posexplode to
-    (cid, dim) partial means, collect back to k rows — new centroids
-    localCheckpoint'ed so iteration plans stay constant-size (the
-    pagerank discipline). 100 TB: scan-dominated with k-row
-    broadcasts; mini-batch drop-in if iterations must shrink.
-    """
-    v = emb.select(
+def quantize_embeddings(emb: DataFrame, quant: int = 10_000) -> DataFrame:
+    """(vec_id, qv): components quantized floor(x*quant) BIGINT — the
+    repo's exact-integer embedding convention (kmeans/SemDeDup/PQ)."""
+    return emb.select(
         "vec_id",
         F.transform(
             F.col("embedding"),
             lambda x: F.floor(x.cast("double") * quant).cast("bigint"),
         ).alias("qv"),
     )
+
+
+def lloyd_seed_centroids(emb: DataFrame, k: int, quant: int = 10_000) -> DataFrame:
+    """The deterministic seeds (first k vec_ids) as a (cid, cv) table."""
+    return (
+        quantize_embeddings(emb, quant)
+        .where(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+    )
+
+
+def lloyd_assign(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """Argmin assignment of quantized vectors to broadcast centroids:
+    (vec_id, qv, cid, dist), exact-integer squared L2, ties (dist, cid)."""
+    zero = F.lit(0).cast("bigint")
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "qv", "cid", dist.alias("dist"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .drop("r")
+    )
+
+
+def lloyd_step_partial(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """The ASSOCIATIVE partial of one Lloyd update against FROZEN
+    centroids: per-(cid, dim) component sum + member count,
+    (cid, i, s, c). Partials from any chunking of the corpus merge by
+    summation (`lloyd_step_merge`) to the full-corpus statistic — the
+    contract the streaming twin's state maintenance rests on."""
+    return (
+        lloyd_assign(v, cent)
+        .select("cid", F.posexplode("qv").alias("i", "val"))
+        .groupBy("cid", "i")
+        .agg(
+            F.sum("val").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+    )
+
+
+def lloyd_step_merge(*parts: DataFrame) -> DataFrame:
+    """Merge (cid, i, s, c) partials by summation (associative,
+    commutative — any micro-batching converges)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("cid", "i").agg(
+        F.sum("s").cast("bigint").alias("s"),
+        F.sum("c").cast("bigint").alias("c"),
+    )
+
+
+def lloyd_step_centroids(state: DataFrame) -> DataFrame:
+    """Fold merged (cid, i, s, c) state into the next centroids
+    (cid, cv): per-dim mean floor(double-div of exactly-representable
+    ints) — bit-identical in DuckDB."""
+    return (
+        state.select(
+            "cid",
+            "i",
+            F.floor(F.col("s").cast("double") / F.col("c"))
+            .cast("bigint")
+            .alias("m"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    )
+
+
+def lloyd_centroids(
+    emb: DataFrame, k: int = 8, iters: int = 2, quant: int = 10_000
+) -> DataFrame:
+    """Lloyd k-means centroid TRAINING in exact integer arithmetic —
+    the (cid, cv) table `kmeans_lloyd_refine` derives its final
+    assignment from, extracted so other consumers (trained-centroid
+    SemDeDup, the streaming twin) share one implementation and one set
+    of conventions: components quantized floor(x*quant) BIGINT,
+    squared-L2 distances exact integer folds, assignment argmin
+    tie-broken (dist, cid), per-dim centroid means floor(double-div of
+    exactly-representable ints) — every step bit-identical in DuckDB,
+    so callers can unroll the training loop into an oracle CTE chain.
+
+    Seeds: the first k vec_ids. Per iteration: broadcast k centroids ×
+    one corpus scan (row_number argmin window), posexplode to
+    (cid, dim) partial means, collect back to k rows — new centroids
+    localCheckpoint'ed so iteration plans stay constant-size (the
+    pagerank discipline). Each iteration composes
+    ``lloyd_step_partial`` -> ``lloyd_step_merge`` ->
+    ``lloyd_step_centroids``, the SAME functions
+    ``run_streaming_kmeans_centroids`` maintains incrementally.
+    100 TB: scan-dominated with k-row broadcasts; mini-batch drop-in
+    if iterations must shrink.
+    """
+    v = quantize_embeddings(emb, quant)
     cent = v.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
-    zero = F.lit(0).cast("bigint")
-
-    def dist_col():
-        return F.aggregate(
-            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-            zero,
-            lambda acc, x: acc + x,
-        )
-
     for _ in range(iters):
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        assigned = (
-            v.crossJoin(F.broadcast(cent))
-            .select("vec_id", "qv", "cid", dist_col().alias("dist"))
-            .withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
-        )
-        cent = (
-            assigned.select("cid", F.posexplode("qv").alias("i", "val"))
-            .groupBy("cid", "i")
-            .agg(
-                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("m")
-            )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
-            )
-            .localCheckpoint(eager=True)
-        )
+        cent = lloyd_step_centroids(
+            lloyd_step_merge(lloyd_step_partial(v, cent))
+        ).localCheckpoint(eager=True)
     return cent

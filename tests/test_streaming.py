@@ -566,6 +566,7 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
     edge (ADVICE r6): drive each through a spent checkpoint + fresh
     state dir (no micro-batch fires, no landed state) and require an
     empty result with the normal run's schema."""
+    from ds_mapreduce_spark.operators.similarity import lloyd_seed_centroids
     from ds_mapreduce_spark.sources.catalog import load_table
     from ds_mapreduce_spark.streaming import jobs as J
 
@@ -623,6 +624,15 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
             emb_dir,
             spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
                 "vec_id < 16"
+            ),
+            state,
+            ckpt,
+        ),
+        "kmeans": lambda state, ckpt: J.run_streaming_kmeans_centroids(
+            spark,
+            emb_dir,
+            lloyd_seed_centroids(
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=8
             ),
             state,
             ckpt,
@@ -904,3 +914,38 @@ def test_streaming_dsir_and_pca_resume_with_nothing_new(spark, sf_dir, tmp_path)
         assert first, name
         resumed = sorted(map(tuple, run(spark, feed, state, ckpt).collect()))
         assert resumed == first, name
+
+
+def test_streaming_kmeans_centroids_matches_batch(spark, sf_dir, tmp_path):
+    """The maintained Lloyd-step state (per-(cid, dim) component
+    sum + member count against frozen seeds — associative, shared
+    lloyd_step_* functions) must reproduce lloyd_centroids(iters=1)
+    EXACTLY under a chunked, arrival-order-shuffled feed, and a
+    resume over the spent checkpoint must return the landed answer."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.operators.similarity import (
+        lloyd_centroids,
+        lloyd_seed_centroids,
+    )
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = lloyd_centroids(emb, k=8, iters=1)
+    seeds = lloyd_seed_centroids(emb, k=8).localCheckpoint(eager=True)
+    feed_dir = str(tmp_path / "emb_feed")
+    emb.orderBy(F.md5(F.col("vec_id").cast("string"))).repartition(4).write.parquet(
+        feed_dir
+    )
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    streamed = run_streaming_kmeans_centroids(spark, feed_dir, seeds, state, ckpt)
+    srows = sorted((r["cid"], tuple(r["cv"])) for r in streamed.collect())
+    brows = sorted((r["cid"], tuple(r["cv"])) for r in batch.collect())
+    assert streamed.columns == batch.columns
+    assert srows == brows
+    assert len(srows) == 8
+
+    resumed = run_streaming_kmeans_centroids(spark, feed_dir, seeds, state, ckpt)
+    rrows = sorted((r["cid"], tuple(r["cv"])) for r in resumed.collect())
+    assert rrows == srows
