@@ -140,6 +140,7 @@ def main() -> None:
         "dedup_span_excision",
         "dedup_prefix_filter",
         "trigram_substring_search",
+        "dedup_span_excision_exact20",  # r8: md5-keyed 20-gram variant
     ]
 
     def run(name: str, sf_dir: str, k_semdedup: int) -> float:
