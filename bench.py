@@ -103,6 +103,9 @@ HEADLINE = [
     # with its paper-true Lloyd training prefix
     "dedup_span_excision_exact20",
     "dedup_semdedup_trained",
+    # the tokenizer APPLY side (train + vocab-lookup join + doc agg);
+    # its delta vs bpe_train_merges isolates the encode join's cost
+    "bpe_encode_census",
 ]
 
 

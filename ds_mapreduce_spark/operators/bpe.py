@@ -41,50 +41,43 @@ def _merge_pair(syms, a: str, b: str):
     )
 
 
-def bpe_train_merges(
-    docs: DataFrame, pattern: str, n_merges: int = 3
-) -> DataFrame:
-    """Train ``n_merges`` BPE merge rules; one output row per learned
-    rule: (step, sym_a, sym_b, merged, n_occurrences,
-    n_symbol_occurrences) where n_occurrences is the winning pair's
-    corpus-weighted adjacency count BEFORE the merge and
-    n_symbol_occurrences the corpus symbol total AFTER it (each merge
-    occurrence shrinks the total by its non-overlapping apply count).
+def _train_vocab(docs: DataFrame, pattern: str, n_merges: int):
+    """The shared training loop: distinct-word vocab (w, syms, freq)
+    folded through ``n_merges`` argmax merges. Returns
+    (final_vocab, rules) where rules = [(a, b, cnt), ...] in learn
+    order — ``bpe_train_merges`` reports the rules,
+    ``bpe_encode_census`` joins the final vocab back onto the corpus.
 
-    Per iteration: (1) adjacent-pair census over the symbol arrays
-    weighted by word freq (one shuffle, map-side partial agg absorbs
-    the hot pairs); (2) argmax via TakeOrdered(1) → one bounded driver
-    row, tie-broken (count DESC, a ASC, b ASC) identically to the
-    oracle; (3) map-only fold applies the merge; the new vocab state is
-    localCheckpoint'ed so iteration plans stay constant-size (the
-    pagerank discipline). Ties and folds are engine-deterministic, so
-    the DuckDB oracle unrolls the same loop with list_reduce.
+    Words containing U+001F are excluded from training on BOTH sides:
+    the oracle's fold joins symbols with chr(31), and a separator-
+    bearing "word" (a lone control char under _BPE_PATTERN) would
+    round-trip through string_split as two empty symbols. A control
+    char is tokenizer noise, not a merge candidate — dropping it is
+    the semantics we want, mirrored in the shared oracle CTEs.
+
+    Symbols split by CODEPOINT (regexp_extract_all with '.', which
+    Java regex matches per code point): split(w, '') would yield
+    UTF-16 code units, handing a single astral-plane char (emoji) a
+    2-symbol surrogate-half array — a bogus pair the codepoint-based
+    DuckDB oracle (substr(w, i, 1)) never sees. Words contain no \\s
+    by _BPE_PATTERN construction, so '.' always matches.
     """
-    # Words containing U+001F are excluded from training on BOTH sides:
-    # the oracle's fold joins symbols with chr(31), and a separator-
-    # bearing "word" (a lone control char under _BPE_PATTERN) would
-    # round-trip through string_split as two empty symbols. A control
-    # char is tokenizer noise, not a merge candidate — dropping it is
-    # the semantics we want, mirrored in _bpe_train_oracle's words CTE.
     words = docs.select(
         F.explode(F.regexp_extract_all("text", F.lit(pattern), 1)).alias("w")
     ).where(~F.col("w").contains("\x1f"))
-    # Codepoint-based symbol split (regexp_extract_all with '.', which
-    # Java regex matches per CODE POINT): split(w, '') would yield
-    # UTF-16 code units, handing a single astral-plane char (emoji) a
-    # 2-symbol surrogate-half array — a bogus pair the codepoint-based
-    # DuckDB oracle (substr(w, i, 1)) never sees. Words contain no \s
-    # by _BPE_PATTERN construction, so '.' always matches.
     vocab = (
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
-            F.expr("regexp_extract_all(w, '(.)', 1)").alias("syms"), "freq"
+            "w",
+            F.expr("regexp_extract_all(w, '(.)', 1)").alias("syms"),
+            "freq",
         )
         .localCheckpoint(eager=True)
     )
-    step_rows = []
-    for step in range(1, n_merges + 1):
+    rules = []
+    vocabs = [vocab]
+    for _ in range(n_merges):
         pairs = vocab.where(F.size("syms") >= 2).select(
             F.explode(
                 F.transform(
@@ -106,10 +99,39 @@ def bpe_train_merges(
             .limit(1)
             .first()
         )
-        a, b, cnt = best["a"], best["b"], best["cnt"]
+        rules.append((best["a"], best["b"], best["cnt"]))
         vocab = vocab.select(
-            _merge_pair(F.col("syms"), a, b).alias("syms"), "freq"
+            "w", _merge_pair(F.col("syms"), best["a"], best["b"]).alias("syms"),
+            "freq",
         ).localCheckpoint(eager=True)
+        vocabs.append(vocab)
+    return vocabs, rules
+
+
+def bpe_train_merges(
+    docs: DataFrame, pattern: str, n_merges: int = 3
+) -> DataFrame:
+    """Train ``n_merges`` BPE merge rules; one output row per learned
+    rule: (step, sym_a, sym_b, merged, n_occurrences,
+    n_symbol_occurrences) where n_occurrences is the winning pair's
+    corpus-weighted adjacency count BEFORE the merge and
+    n_symbol_occurrences the corpus symbol total AFTER it (each merge
+    occurrence shrinks the total by its non-overlapping apply count).
+
+    Per iteration (see ``_train_vocab``, shared with
+    ``bpe_encode_census``): (1) adjacent-pair census over the symbol
+    arrays weighted by word freq (one shuffle, map-side partial agg
+    absorbs the hot pairs); (2) argmax via TakeOrdered(1) → one
+    bounded driver row, tie-broken (count DESC, a ASC, b ASC)
+    identically to the oracle; (3) map-only fold applies the merge;
+    the new vocab state is localCheckpoint'ed so iteration plans stay
+    constant-size (the pagerank discipline). Ties and folds are
+    engine-deterministic, so the DuckDB oracle unrolls the same loop
+    with list_reduce.
+    """
+    vocabs, rules = _train_vocab(docs, pattern, n_merges)
+    step_rows = []
+    for step, ((a, b, cnt), vocab) in enumerate(zip(rules, vocabs[1:]), 1):
         step_rows.append(
             vocab.agg(
                 F.sum(F.col("freq") * F.size("syms"))
@@ -128,3 +150,59 @@ def bpe_train_merges(
     for r in step_rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def bpe_encode_census(
+    docs: DataFrame, pattern: str, n_merges: int = 3
+) -> DataFrame:
+    """ENCODE the corpus with the learned merges — the apply side of
+    tokenizer training, closing the loop bpe_train_merges opens: train
+    ``n_merges`` rules (same ``_train_vocab`` call, bit-identical
+    rules), then score every document by what the tokenizer does to
+    it. One row per document that has >= 1 trainable word:
+      (doc_id, lang, n_words, n_char_tokens, n_bpe_tokens, saved_bp)
+    where n_char_tokens is the pre-merge symbol count (codepoints),
+    n_bpe_tokens the post-merge count, and saved_bp the half-up
+    basis-point compression the merges bought.
+
+    The classic distributed-tokenizer-apply shape: segmentation is
+    computed ONCE PER DISTINCT WORD (the final vocab already holds
+    each word's merged symbol array — encoding is a lookup, not a
+    re-fold), then joined back onto the (doc_id, word) stream on the
+    word key — a vocab-sized join (Heaps' law: vocab ~ millions at
+    100 TB), NOT broadcast, AQE decides; the corpus pays one
+    re-tokenize scan + one doc_id agg. Exact integer output only.
+    """
+    vocabs, _ = _train_vocab(docs, pattern, n_merges)
+    final = vocabs[-1].select(
+        "w",
+        F.expr("size(regexp_extract_all(w, '(.)', 1))")
+        .cast("bigint")
+        .alias("n_char"),
+        F.size("syms").cast("bigint").alias("n_bpe"),
+    )
+    dw = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.regexp_extract_all("text", F.lit(pattern), 1)).alias("w"),
+    ).where(~F.col("w").contains("\x1f"))
+    return (
+        dw.join(final, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_char").cast("bigint").alias("n_char_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            "n_char_tokens",
+            "n_bpe_tokens",
+            F.expr(
+                "(20000 * (n_char_tokens - n_bpe_tokens) + n_char_tokens)"
+                " DIV (2 * n_char_tokens)"
+            ).alias("saved_bp"),
+        )
+    )

@@ -2672,6 +2672,24 @@ def _bpe_train_oracle(n_merges: int = 3) -> str:
     (regexp_extract_all(w, '(.)', 1) ≙ substr(w, i, 1)); a UTF-16
     code-unit split would hand Spark a 2-symbol array for a single
     astral-plane char (emoji) where DuckDB sees one symbol."""
+    ctes, selects = _bpe_vocab_ctes(n_merges), []
+    for i in range(1, n_merges + 1):
+        selects.append(
+            f"""SELECT CAST({i} AS BIGINT) AS step, a AS sym_a, b AS sym_b,
+       a || b AS merged, cnt AS n_occurrences,
+       (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) FROM v{i})
+         AS n_symbol_occurrences
+FROM b{i}"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_vocab_ctes(n_merges: int) -> list[str]:
+    """The CTE chain both BPE oracles share (training + encode —
+    one implementation so they can never drift): filtered word census,
+    codepoint-split v0, and per-merge p{i} (pair census) / b{i}
+    (argmax rule) / v{i} (fold-applied vocab, carrying w so the encode
+    oracle can join segmentations back onto the corpus)."""
     ctes = [
         f"""words AS (
   SELECT w
@@ -2681,12 +2699,11 @@ def _bpe_train_oracle(n_merges: int = 3) -> str:
 ),
 vw AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
 v0 AS (
-  SELECT list_transform(range(1, len(w) + 1),
-                        i -> substr(w, CAST(i AS INTEGER), 1)) AS syms, freq
+  SELECT w, list_transform(range(1, len(w) + 1),
+                           i -> substr(w, CAST(i AS INTEGER), 1)) AS syms, freq
   FROM vw
 )"""
     ]
-    selects = []
     for i in range(1, n_merges + 1):
         p = i - 1
         ctes.append(
@@ -2700,7 +2717,7 @@ b{i} AS (
   FROM p{i} GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1
 ),
 v{i} AS (
-  SELECT string_split(
+  SELECT w, string_split(
     list_reduce(syms, (acc, s) ->
       CASE WHEN string_split(acc, chr(31))[-1] = b{i}.a AND s = b{i}.b
            THEN substr(acc, 1, len(acc) - len(b{i}.a)) || b{i}.a || b{i}.b
@@ -2708,14 +2725,39 @@ v{i} AS (
   FROM v{p} CROSS JOIN b{i}
 )"""
         )
-        selects.append(
-            f"""SELECT CAST({i} AS BIGINT) AS step, a AS sym_a, b AS sym_b,
-       a || b AS merged, cnt AS n_occurrences,
-       (SELECT CAST(SUM(freq * len(syms)) AS BIGINT) FROM v{i})
-         AS n_symbol_occurrences
-FROM b{i}"""
-        )
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    return ctes
+
+
+def _bpe_encode_oracle(n_merges: int = 3) -> str:
+    """Encode-census oracle: the shared training CTE chain, then the
+    final vocab's per-word segmentation joined back onto the
+    (doc_id, word) stream and aggregated per document."""
+    ctes = _bpe_vocab_ctes(n_merges)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+stats AS (
+  SELECT w, CAST(len(w) AS BIGINT) AS n_char,
+         CAST(len(syms) AS BIGINT) AS n_bpe
+  FROM v{n_merges}
+),
+dw AS (
+  SELECT doc_id, lang, w
+  FROM (SELECT doc_id, lang,
+               unnest(regexp_extract_all(text, '{_BPE_PATTERN}', 1)) AS w
+        FROM documents)
+  WHERE strpos(w, chr(31)) = 0
+)
+SELECT dw.doc_id, dw.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(s.n_char) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(s.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST((20000 * (SUM(s.n_char) - SUM(s.n_bpe)) + SUM(s.n_char))
+            // (2 * SUM(s.n_char)) AS BIGINT) AS saved_bp
+FROM dw JOIN stats s USING (w)
+GROUP BY dw.doc_id, dw.lang"""
+    )
 
 
 @register(
@@ -2739,6 +2781,34 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_mapreduce_spark.operators.bpe import bpe_train_merges
 
     return bpe_train_merges(
+        load_table(spark, sf_dir, "documents"), _BPE_PATTERN, n_merges=3
+    )
+
+
+@register(
+    "bpe_encode_census",
+    oracle=_bpe_encode_oracle(3),
+    doc="BPE tokenizer APPLY (r8) — the encode side that closes the "
+    "training loop: learn the same 3 merge rules as bpe_train_merges "
+    "(shared _train_vocab, bit-identical argmax), then score every "
+    "document by what the tokenizer does to it — pre-merge codepoint "
+    "token count, post-merge BPE token count, and the half-up "
+    "basis-point compression the merges bought. The classic "
+    "distributed-apply shape: segmentation is computed ONCE PER "
+    "DISTINCT WORD (the final vocab already holds each word's merged "
+    "symbol array — encoding is a lookup, not a per-occurrence "
+    "re-fold), joined back onto the (doc_id, word) stream on the word "
+    "key — a vocab-sized join (Heaps' law: millions of words at "
+    "100 TB), NOT broadcast, AQE decides — and one doc_id agg. "
+    "Oracle: the shared training CTE chain (_bpe_vocab_ctes — the "
+    "fold carries each word through the merges) plus the same "
+    "join-back and census; exact integers only. See "
+    "operators/bpe.py:bpe_encode_census.",
+)
+def q_bpe_encode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.bpe import bpe_encode_census
+
+    return bpe_encode_census(
         load_table(spark, sf_dir, "documents"), _BPE_PATTERN, n_merges=3
     )
 

@@ -49,14 +49,20 @@ def nasty_sf_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("nasty_docs")
     pq.write_table(
         pa.table(
-            {"doc_id": list(range(len(NASTY_TEXTS))), "text": NASTY_TEXTS}
+            {
+                "doc_id": list(range(len(NASTY_TEXTS))),
+                "text": NASTY_TEXTS,
+                "lang": ["en", "de", "fr", "en"],
+            }
         ),
         str(d / "documents.parquet"),
     )
     return str(d)
 
 
-@pytest.mark.parametrize("name", ["bpe_pair_merge_stats", "bpe_train_merges"])
+@pytest.mark.parametrize(
+    "name", ["bpe_pair_merge_stats", "bpe_train_merges", "bpe_encode_census"]
+)
 def test_bpe_parity_on_metacharacter_corpus(spark, nasty_sf_dir, name):
     """Spark and the DuckDB oracle agree on a corpus with regex
     metacharacters, backslashes, a chr(31) control word, and emoji."""

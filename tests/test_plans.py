@@ -188,6 +188,9 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # r8: training iterations live inside k-row checkpoints, so
         # the budget equals dedup_semdedup's
         ("dedup_semdedup_trained", 3),
+        # r8: tokenizer apply — vocab lookup join + ONE doc agg; the
+        # training loop runs inside the vocab checkpoints
+        ("bpe_encode_census", 1),
         # late-r7 locks at measured values — regression tripwires:
         # pair self-join sort + CC-label join + keep window (assignment
         # is map-only post-fix; a 4th shuffle means the packed-centroid
