@@ -106,6 +106,9 @@ HEADLINE = [
     # the tokenizer APPLY side (train + vocab-lookup join + doc agg);
     # its delta vs bpe_train_merges isolates the encode join's cost
     "bpe_encode_census",
+    # real codec-free media decode (wave-module WAV roundtrip through
+    # two Arrow passes) — times the Python-seam byte throughput
+    "multimodal_wav_roundtrip",
 ]
 
 

@@ -5,11 +5,18 @@ typed metadata struct; heavy per-item work (decode, resize,
 frame-sample, feature-extract) runs as Arrow-batched ``mapInPandas``
 so bytes move executor→Python once per batch, never per row.
 
-The decode step itself is STUBBED: the media libraries (PIL/ffmpeg/
-torchaudio) are not in this container, so ``decode_stub`` raises
-``NotImplementedError`` when asked for a real decode and otherwise
-produces a deterministic fake feature set — the Spark-side plumbing
-(schema, batching, partitioning, UDF signature) is real and tested.
+Two decode tiers (r8): for CODEC-FREE container formats — WAV/PCM16
+(stdlib ``wave``) and binary PPM (header + raw bytes) — the decode is
+REAL: genuine containers are encoded and the decoder parses the
+container header rather than assuming it (``encode_wav``/
+``decode_wav_features``, ``encode_ppm``/``decode_ppm_features``),
+with oracle parity proving the roundtrip preserves every sample.
+For formats that genuinely need codecs (JPEG/MP3/H.264 — the
+libraries are not in this container) ``decode_stub`` raises
+``NotImplementedError`` at the documented seam and otherwise
+produces a deterministic fake feature set — there the Spark-side
+plumbing (schema, batching, partitioning, UDF signature) is what is
+real and tested.
 
 Scale notes (100 TB): binary payloads dominate row width, so
 ``spark.sql.files.maxPartitionBytes`` (not row counts) sizes tasks;
@@ -194,3 +201,187 @@ def payload_simhash_pairs(
     return simhash_pairs_from_signatures(sh, bits=32, chunks=chunks).where(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec-free decode (r8): WAV/PCM16 and binary PPM need no media
+# library — `wave` is stdlib and PPM is a 3-line header + raw bytes — so
+# for these container formats the decode seam is NOT a stub: payloads
+# are genuine containers produced by a real encoder, and the decoder
+# parses the container header (channels/rate/frame count, image
+# dimensions) instead of assuming it. The NotImplementedError seam
+# above remains only for formats that genuinely need codecs
+# (JPEG/MP3/H.264). Samples/pixels are synthesized from a deterministic
+# integer formula shared with the DuckDB oracles, so oracle parity
+# PROVES the encode->decode roundtrip preserved every sample bit-for-
+# bit — the oracle computes features analytically from the formula and
+# never sees the container.
+# ---------------------------------------------------------------------------
+
+#: shared constants — the plans module formats its oracles from THESE
+#: (one-place-only rule); Knuth/xxhash-style odd multipliers
+PCM_A = 2654435761
+PCM_B = 2246822519
+WAV_SAMPLE_RATE = 8000
+WAV_N_SAMPLES = 1024
+PPM_WIDTH = 24
+PPM_HEIGHT = 16
+
+
+def synth_pcm_samples(docs: DataFrame) -> DataFrame:
+    """(doc_id, samples): deterministic PCM16 samples in [-32768, 32767],
+    sample i = ((doc_id*PCM_A + i*PCM_B) mod 2^16) - 2^15 — pure JVM
+    expression, exactly reproducible in ANSI SQL."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {WAV_N_SAMPLES - 1}), i -> "
+            f"CAST((doc_id * {PCM_A}L + i * {PCM_B}L) % 65536 - 32768 AS INT))"
+        ).alias("samples"),
+    )
+
+
+def encode_wav(df: DataFrame) -> DataFrame:
+    """REAL WAV encoder (stdlib ``wave``): (doc_id, samples) ->
+    (doc_id, payload) where payload is a complete RIFF/WAVE container
+    (44-byte header + PCM16LE mono frames). Arrow-batched, map-only."""
+    import io
+    import struct
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for samples in batch["samples"]:
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_SAMPLE_RATE)
+                    w.writeframes(
+                        struct.pack(f"<{len(samples)}h", *samples)
+                    )
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].values, "payload": payloads}
+            )
+
+    return df.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+WAV_FEATURE_SCHEMA = (
+    "doc_id bigint, sample_rate bigint, n_samples bigint, "
+    "peak_abs bigint, sum_abs bigint, sum_sq bigint"
+)
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL WAV decoder: parses the RIFF header (channel count, sample
+    width, frame rate all read from the CONTAINER, not assumed),
+    unpacks the PCM frames, and emits exact-integer amplitude features.
+    Raises on a malformed container or unexpected layout — a corrupt
+    payload fails loudly instead of producing silent garbage."""
+    import io
+    import struct
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples",
+                "peak_abs", "sum_abs", "sum_sq",
+            )}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        raise ValueError(
+                            f"doc {doc_id}: expected mono PCM16, got "
+                            f"{w.getnchannels()}ch/{w.getsampwidth()}B"
+                        )
+                    n = w.getnframes()
+                    samples = struct.unpack(f"<{n}h", w.readframes(n))
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(w.getframerate())
+                rows["n_samples"].append(n)
+                rows["peak_abs"].append(max(abs(s) for s in samples))
+                rows["sum_abs"].append(sum(abs(s) for s in samples))
+                rows["sum_sq"].append(sum(s * s for s in samples))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
+
+
+def synth_ppm_pixels(docs: DataFrame) -> DataFrame:
+    """(doc_id, px): deterministic RGB bytes, px[i] =
+    (doc_id*PCM_A + i*PCM_B) mod 256 for i < W*H*3."""
+    n = PPM_WIDTH * PPM_HEIGHT * 3
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {n - 1}), i -> "
+            f"CAST((doc_id * {PCM_A}L + i * {PCM_B}L) % 256 AS INT))"
+        ).alias("px"),
+    )
+
+
+def encode_ppm(df: DataFrame) -> DataFrame:
+    """REAL binary-PPM (P6) encoder: header + raw RGB bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P6\n{PPM_WIDTH} {PPM_HEIGHT}\n255\n".encode()
+        for batch in batches:
+            payloads = [header + bytes(list(px)) for px in batch["px"]]
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].values, "payload": payloads}
+            )
+
+    return df.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+PPM_FEATURE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def decode_ppm_features(media: DataFrame) -> DataFrame:
+    """REAL PPM decoder: parses the P6 header (magic, dimensions,
+    maxval — from the container), validates the pixel-buffer length
+    against the parsed dimensions, and emits per-channel exact sums."""
+
+    def parse(payload: bytes):
+        if not payload.startswith(b"P6"):
+            raise ValueError("not a binary PPM (P6) payload")
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        px = payload[pos:]
+        if maxval != 255 or len(px) != w * h * 3:
+            raise ValueError(
+                f"bad PPM: maxval={maxval} len={len(px)} for {w}x{h}"
+            )
+        return w, h, px
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+            )}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                w, h, px = parse(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(sum(px[0::3]))
+                rows["sum_g"].append(sum(px[1::3]))
+                rows["sum_b"].append(sum(px[2::3]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=PPM_FEATURE_SCHEMA)

@@ -76,10 +76,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: residents — never-graded backlog drops 43 -> 21. The 28 entries
 #: first graded in r07 stay pinned for a second consecutive green.
 #: Every IN entry is green under the in-repo DuckDB parity gate at
-#: sf0.001 AND sf0.01 (verified this session, 192/192). The three
+#: sf0.001 AND sf0.01 (verified this session, 192/192). The five
 #: r8-new registrations (dedup_span_excision_exact20,
-#: dedup_semdedup_trained, bpe_encode_census) wait for the r9
-#: rotation — the window is full of never-graded entries and no
+#: dedup_semdedup_trained, bpe_encode_census,
+#: multimodal_wav_roundtrip, multimodal_ppm_roundtrip) wait for the
+#: r9 rotation — the window is full of never-graded entries and no
 #: current resident has >=2 consecutive greens to trade.
 PRIORITY: tuple[str, ...] = (
     # ---- 28 entries first graded in r07, pinned for a 2nd green ----

@@ -1,0 +1,79 @@
+"""The r8 codec-free decode tier is REAL: these tests feed the
+decoders containers built BY HAND (raw RIFF bytes / raw P6 bytes, not
+our own encoders), so passing proves the parser reads the container
+format, not a private convention — and corrupt payloads fail loudly
+instead of producing silent garbage. The oracle-parity gate separately
+proves the encode->decode roundtrip preserves every sample.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from ds_mapreduce_spark.operators.multimodal import (
+    decode_ppm_features,
+    decode_wav_features,
+)
+
+
+def _hand_built_wav(samples: list[int], rate: int) -> bytes:
+    """A RIFF/WAVE container written byte-by-byte from the spec —
+    deliberately NOT via the `wave` module the operator uses."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_decoder_reads_foreign_containers(spark):
+    samples = [0, 100, -32768, 32767, -1]
+    payload = _hand_built_wav(samples, rate=44100)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    row = decode_wav_features(df).first()
+    assert row["sample_rate"] == 44100  # parsed from the header
+    assert row["n_samples"] == 5
+    assert row["peak_abs"] == 32768
+    assert row["sum_abs"] == sum(abs(s) for s in samples)
+    assert row["sum_sq"] == sum(s * s for s in samples)
+
+
+def test_ppm_decoder_reads_foreign_containers(spark):
+    # 2x2 image, hand-written header with the optional comment-free form
+    px = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    payload = b"P6\n2 2\n255\n" + px
+    df = spark.createDataFrame(
+        [(3, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    row = decode_ppm_features(df).first()
+    assert (row["width"], row["height"]) == (2, 2)
+    assert row["sum_r"] == 10 + 40 + 70 + 100
+    assert row["sum_g"] == 20 + 50 + 80 + 110
+    assert row["sum_b"] == 30 + 60 + 90 + 120
+
+
+@pytest.mark.parametrize(
+    "decoder,payload",
+    [
+        (decode_wav_features, b"RIFF garbage that is not a wav"),
+        (decode_ppm_features, b"P5\n2 2\n255\n" + bytes(12)),  # wrong magic
+        (decode_ppm_features, b"P6\n2 2\n255\n" + bytes(5)),  # truncated
+    ],
+)
+def test_corrupt_payloads_fail_loudly(spark, decoder, payload):
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(Exception):
+        decoder(df).collect()

@@ -191,6 +191,10 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # r8: tokenizer apply — vocab lookup join + ONE doc agg; the
         # training loop runs inside the vocab checkpoints
         ("bpe_encode_census", 1),
+        # r8: real codec-free decode roundtrips — two chained
+        # mapInPandas, map-only, zero shuffles by construction
+        ("multimodal_wav_roundtrip", 0),
+        ("multimodal_ppm_roundtrip", 0),
         # late-r7 locks at measured values — regression tripwires:
         # pair self-join sort + CC-label join + keep window (assignment
         # is map-only post-fix; a 4th shuffle means the packed-centroid
