@@ -118,6 +118,27 @@ def build(spark) -> None:
         f"{OUT}/lineitem.parquet"
     )
 
+    # events — the table that IS 100 TB in production: user_id and
+    # event_id re-keyed per copy (10 disjoint user populations, same
+    # time span, so per-user event counts / session shapes / window
+    # partition sizes match the 1x workload exactly; a re-used user_id
+    # would instead 10x every user's history — a density change)
+    from ds_mapreduce_spark.sources.catalog import load_table as _lt
+
+    ev = _lt(spark, BASE, "events")
+    parts = []
+    for i in range(COPIES):
+        parts.append(
+            ev.withColumn("user_id", F.col("user_id") * COPIES + i)
+            .withColumn("event_id", F.col("event_id") * COPIES + i)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT}/events.parquet"
+    )
+
 
 def main() -> None:
     from ds_mapreduce_spark.operators.dedup import semdedup_verdicts
@@ -141,6 +162,12 @@ def main() -> None:
         "dedup_prefix_filter",
         "trigram_substring_search",
         "dedup_span_excision_exact20",  # r8: md5-keyed 20-gram variant
+        # the events fact table (the one that IS 100 TB in production):
+        # resample (per-user hour spine + forward fill), robust census
+        # (exact median/MAD), session paths (window + transition agg)
+        "events_hourly_resample",
+        "events_robust_outliers",
+        "session_path_analysis",
     ]
 
     def run(name: str, sf_dir: str, k_semdedup: int) -> float:
