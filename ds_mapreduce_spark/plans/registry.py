@@ -82,6 +82,21 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: multimodal_wav_roundtrip, multimodal_ppm_roundtrip) wait for the
 #: r9 rotation — the window is full of never-graded entries and no
 #: current resident has >=2 consecutive greens to trade.
+#:
+#: STAGED r9 ROTATION (execute if CORRECTNESS_r08 grades this window
+#: green): after r8, never-graded = 26 (the 21 backlog residents not
+#: rotated in this round + the 5 r8-new above) and the 28 pinned
+#: entries will hold 2 consecutive greens — enough OUT capacity to
+#: rotate ALL 26 in and reach FULL 196/196 ever-graded coverage.
+#: IN: the 5 r8-new + array_functions, boilerplate_ngram_coverage,
+#: compaction_rebalance, deterministic_sample, doc_fingerprint,
+#: doc_repetition_stats, domain_quota_sample, embedding_norm_stats,
+#: events_dow_hour_profile, events_hierarchical_rollup, events_pivot,
+#: events_unpivot, events_user_activity, events_value_histogram,
+#: fuzzy_name_pairs, knn_quality_gated, length_bucketed_batching,
+#: map_functions, table_antientropy_checksums, token_count,
+#: vocab_oov_rates. OUT: 26 of the 28 twice-green pinned entries
+#: (keep 2 whose families would otherwise lose every windowed row).
 PRIORITY: tuple[str, ...] = (
     # ---- 28 entries first graded in r07, pinned for a 2nd green ----
     "dedup_span_excision",        # r6: ExactSubstr duplicate-span cut
