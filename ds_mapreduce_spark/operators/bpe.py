@@ -44,9 +44,12 @@ def _merge_pair(syms, a: str, b: str):
 def _train_vocab(docs: DataFrame, pattern: str, n_merges: int):
     """The shared training loop: distinct-word vocab (w, syms, freq)
     folded through ``n_merges`` argmax merges. Returns
-    (final_vocab, rules) where rules = [(a, b, cnt), ...] in learn
-    order — ``bpe_train_merges`` reports the rules,
-    ``bpe_encode_census`` joins the final vocab back onto the corpus.
+    (vocabs, rules): ``vocabs`` is the LIST of n_merges+1 checkpointed
+    vocab states (v0 .. v_n — ``bpe_train_merges`` reports each step's
+    symbol census from its own state, which is why intermediates are
+    returned; ``bpe_encode_census`` uses only ``vocabs[-1]``, each a
+    small vocab-sized checkpoint) and ``rules`` = [(a, b, cnt), ...]
+    in learn order.
 
     Words containing U+001F are excluded from training on BOTH sides:
     the oracle's fold joins symbols with chr(31), and a separator-

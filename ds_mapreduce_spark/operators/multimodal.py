@@ -230,13 +230,19 @@ PPM_HEIGHT = 16
 
 def synth_pcm_samples(docs: DataFrame) -> DataFrame:
     """(doc_id, samples): deterministic PCM16 samples in [-32768, 32767],
-    sample i = ((doc_id*PCM_A + i*PCM_B) mod 2^16) - 2^15 — pure JVM
-    expression, exactly reproducible in ANSI SQL."""
+    sample i = (((doc_id mod 2^16)*PCM_A + i*PCM_B) mod 2^16) - 2^15 —
+    pure JVM expression, exactly reproducible in ANSI SQL. doc_id is
+    pre-reduced mod 2^16 BEFORE the multiply (identical result —
+    (d mod m)*A ≡ d*A (mod m) — and the product then tops out at
+    ~1.7e14, inside the BIGINT budget at ANY doc_id; the raw
+    doc_id*PCM_A form would silently wrap in Spark and raise in DuckDB
+    once doc_id passes ~3.5e9 — the CLAUDE.md 128-bit rule)."""
     return docs.select(
         "doc_id",
         F.expr(
             f"transform(sequence(0, {WAV_N_SAMPLES - 1}), i -> "
-            f"CAST((doc_id * {PCM_A}L + i * {PCM_B}L) % 65536 - 32768 AS INT))"
+            f"CAST(((doc_id % 65536) * {PCM_A}L + i * {PCM_B}L) % 65536"
+            " - 32768 AS INT))"
         ).alias("samples"),
     )
 
@@ -313,13 +319,15 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
 
 def synth_ppm_pixels(docs: DataFrame) -> DataFrame:
     """(doc_id, px): deterministic RGB bytes, px[i] =
-    (doc_id*PCM_A + i*PCM_B) mod 256 for i < W*H*3."""
+    ((doc_id mod 256)*PCM_A + i*PCM_B) mod 256 for i < W*H*3 — doc_id
+    pre-reduced mod 256 for the same BIGINT-budget reason as
+    synth_pcm_samples (identical values, overflow-proof)."""
     n = PPM_WIDTH * PPM_HEIGHT * 3
     return docs.select(
         "doc_id",
         F.expr(
             f"transform(sequence(0, {n - 1}), i -> "
-            f"CAST((doc_id * {PCM_A}L + i * {PCM_B}L) % 256 AS INT))"
+            f"CAST(((doc_id % 256) * {PCM_A}L + i * {PCM_B}L) % 256 AS INT))"
         ).alias("px"),
     )
 

@@ -531,9 +531,7 @@ def lloyd_centroids(
     if iterations must shrink.
     """
     v = quantize_embeddings(emb, quant)
-    cent = v.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
-    )
+    cent = lloyd_seed_centroids(emb, k, quant)
     for _ in range(iters):
         cent = lloyd_step_centroids(
             lloyd_step_merge(lloyd_step_partial(v, cent))

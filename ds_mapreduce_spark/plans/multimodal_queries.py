@@ -201,7 +201,7 @@ def _wav_oracle() -> str:
     return f"""
 WITH s AS (
   SELECT doc_id,
-         ((doc_id * {PCM_A} + i * {PCM_B}) % 65536) - 32768 AS v
+         (((doc_id % 65536) * {PCM_A} + i * {PCM_B}) % 65536) - 32768 AS v
   FROM documents, UNNEST(range(0, {WAV_N_SAMPLES})) t(i)
 )
 SELECT doc_id,
@@ -255,7 +255,7 @@ def _ppm_oracle() -> str:
     n = PPM_WIDTH * PPM_HEIGHT * 3
     return f"""
 WITH px AS (
-  SELECT doc_id, i, (doc_id * {PCM_A} + i * {PCM_B}) % 256 AS v
+  SELECT doc_id, i, ((doc_id % 256) * {PCM_A} + i * {PCM_B}) % 256 AS v
   FROM documents, UNNEST(range(0, {n})) t(i)
 )
 SELECT doc_id,

@@ -279,35 +279,18 @@ FROM final GROUP BY cid"""
     "driver-side math.",
 )
 def q_kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ds_mapreduce_spark.operators.similarity import lloyd_centroids
+    from ds_mapreduce_spark.operators.similarity import (
+        lloyd_assign,
+        lloyd_centroids,
+        quantize_embeddings,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * 10000).cast("bigint"),
-        ).alias("qv"),
-    )
-    # training loop shared with dedup_semdedup_trained (r8) — one
-    # implementation of the integer-exact Lloyd conventions
+    # training loop + assignment shared with dedup_semdedup_trained and
+    # the streaming twin (r8) — ONE implementation of the integer-exact
+    # Lloyd conventions, no inline copies
     cent = lloyd_centroids(emb, k=N_KMEANS, iters=2)
-
-    zero = F.lit(0).cast("bigint")
-    dist = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        zero,
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    final = (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "qv", "cid", dist.alias("dist"))
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-    )
+    final = lloyd_assign(quantize_embeddings(emb), cent)
     return final.groupBy(F.col("cid").alias("centroid_id")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("vec_id").cast("bigint").alias("id_checksum"),

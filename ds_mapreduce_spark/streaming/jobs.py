@@ -1518,8 +1518,9 @@ def run_streaming_kmeans_centroids(
         if batch_id > 0:
             prev = sess.read.parquet(f"{state_dir}/v{batch_id - 1}")
             part = lloyd_step_merge(prev, part)
-        else:
-            part = lloyd_step_merge(part)
+        # batch 0: the partial IS the state — lloyd_step_partial already
+        # ends in the same groupBy(cid, i) aggregate lloyd_step_merge
+        # would re-apply, so no merge wrapper is needed
         part.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
         last_version[0] = max(last_version[0], batch_id)
 
@@ -1533,13 +1534,12 @@ def run_streaming_kmeans_centroids(
     q.awaitTermination()
     final = _resolve_final_version(spark, state_dir, last_version[0])
     if final is None:  # empty feed, no prior state: no members, no means
-        state = lloyd_step_merge(
+        return lloyd_step_centroids(
             lloyd_step_partial(
                 quantize_embeddings(spark.createDataFrame([], schema), quant),
                 seeds,
             )
         )
-        return lloyd_step_centroids(state)
     return lloyd_step_centroids(spark.read.parquet(f"{state_dir}/v{final}"))
 
 

@@ -1,7 +1,9 @@
 """Measured scaling datapoint (VERDICT r7 #2): build a ~10x corpus and
-time the six most expensive headline queries at 1x (sf0.1) and 10x,
-reporting t(10x)/t(1x) per query. Converts the repo's plan-shape
-scaling claims into numbers.
+time the most expensive headline queries (the ``names`` list below —
+six dedup/graph/text rows originally, extended in r8 with the exact-L
+excision variant and the three heaviest events queries) at 1x (sf0.1)
+and 10x, reporting t(10x)/t(1x) per query. Converts the repo's
+plan-shape scaling claims into numbers.
 
 Corpus construction — the point is that the 10x corpus scales VOLUME
 linearly without changing the per-copy workload DENSITY, so a linear
@@ -170,7 +172,7 @@ def main() -> None:
         "session_path_analysis",
     ]
 
-    def run(name: str, sf_dir: str, k_semdedup: int) -> float:
+    def run(name: str, sf_dir: str, k_semdedup: int) -> tuple[float, int]:
         t0 = time.monotonic()
         if name == "dedup_semdedup":
             df = semdedup_verdicts(
