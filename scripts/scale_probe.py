@@ -51,14 +51,18 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = "/tmp/spark_graft_scale10"
-COPIES = 10
+#: measurement tiers: (scale factor, corpus dir, semdedup k) — k scales
+#: with the corpus per the operator's documented contract
+TIERS = (
+    (3, "/tmp/spark_graft_scale3", 24),
+    (10, "/tmp/spark_graft_scale10", 80),
+)
 
 
-def build(spark) -> None:
+def build(spark, out_dir: str, copies: int) -> None:
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     parts = []
-    for i in range(COPIES):
+    for i in range(copies):
         txt = (
             F.col("text")
             if i == 0
@@ -66,7 +70,7 @@ def build(spark) -> None:
         )
         parts.append(
             docs.select(
-                (F.col("doc_id") * COPIES + i).alias("doc_id"),
+                (F.col("doc_id") * copies + i).alias("doc_id"),
                 txt.alias("text"),
                 "lang",
                 "source",
@@ -77,12 +81,12 @@ def build(spark) -> None:
     for p in parts[1:]:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(
-        f"{OUT}/documents.parquet"
+        f"{out_dir}/documents.parquet"
     )
 
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     parts = []
-    for i in range(COPIES):
+    for i in range(copies):
         vec = (
             F.col("embedding")
             if i == 0
@@ -93,7 +97,7 @@ def build(spark) -> None:
         )
         parts.append(
             emb.select(
-                (F.col("vec_id") * COPIES + i).alias("vec_id"),
+                (F.col("vec_id") * copies + i).alias("vec_id"),
                 vec.alias("embedding"),
                 "label",
             )
@@ -102,22 +106,22 @@ def build(spark) -> None:
     for p in parts[1:]:
         out = out.unionByName(p)
     out.repartition(8).write.mode("overwrite").parquet(
-        f"{OUT}/embeddings.parquet"
+        f"{out_dir}/embeddings.parquet"
     )
 
     li = spark.read.parquet(f"{BASE}/lineitem.parquet")
     parts = []
-    for i in range(COPIES):
+    for i in range(copies):
         parts.append(
             li.withColumn(
-                "l_orderkey", F.col("l_orderkey") * COPIES + i
-            ).withColumn("l_partkey", F.col("l_partkey") * COPIES + i)
+                "l_orderkey", F.col("l_orderkey") * copies + i
+            ).withColumn("l_partkey", F.col("l_partkey") * copies + i)
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(
-        f"{OUT}/lineitem.parquet"
+        f"{out_dir}/lineitem.parquet"
     )
 
     # events — the table that IS 100 TB in production: user_id and
@@ -129,16 +133,16 @@ def build(spark) -> None:
 
     ev = _lt(spark, BASE, "events")
     parts = []
-    for i in range(COPIES):
+    for i in range(copies):
         parts.append(
-            ev.withColumn("user_id", F.col("user_id") * COPIES + i)
-            .withColumn("event_id", F.col("event_id") * COPIES + i)
+            ev.withColumn("user_id", F.col("user_id") * copies + i)
+            .withColumn("event_id", F.col("event_id") * copies + i)
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(
-        f"{OUT}/events.parquet"
+        f"{out_dir}/events.parquet"
     )
 
 
@@ -151,10 +155,16 @@ def main() -> None:
     spark = get_spark("scale-probe")
     registry = load_all()
 
-    if "--rebuild" in sys.argv or not os.path.isdir(f"{OUT}/documents.parquet"):
-        t0 = time.monotonic()
-        build(spark)
-        print(f"built 10x corpus in {time.monotonic() - t0:.1f}s -> {OUT}")
+    for copies, out_dir, _k in TIERS:
+        if "--rebuild" in sys.argv or not os.path.isdir(
+            f"{out_dir}/documents.parquet"
+        ):
+            t0 = time.monotonic()
+            build(spark, out_dir, copies)
+            print(
+                f"built {copies}x corpus in {time.monotonic() - t0:.1f}s"
+                f" -> {out_dir}"
+            )
 
     names = [
         "dedup_semdedup",
@@ -193,18 +203,16 @@ def main() -> None:
         except Exception:
             pass
         t1, n1 = run(name, BASE, 8)
-        t10, n10 = run(name, OUT, 80)
-        results[name] = {
-            "t_1x_sec": round(t1, 3),
-            "t_10x_sec": round(t10, 3),
-            "ratio": round(t10 / t1, 2),
-            "rows_1x": n1,
-            "rows_10x": n10,
-        }
-        print(
-            f"{name:28s} 1x {t1:7.2f}s ({n1} rows)   "
-            f"10x {t10:7.2f}s ({n10} rows)   ratio {t10 / t1:5.2f}"
-        )
+        row = {"t_1x_sec": round(t1, 3), "rows_1x": n1}
+        line = f"{name:28s} 1x {t1:6.2f}s"
+        for copies, out_dir, k in TIERS:
+            t, n = run(name, out_dir, k)
+            row[f"t_{copies}x_sec"] = round(t, 3)
+            row[f"ratio_{copies}x"] = round(t / t1, 2)
+            row[f"rows_{copies}x"] = n
+            line += f"   {copies}x {t:6.2f}s (r {t / t1:5.2f})"
+        results[name] = row
+        print(line)
     print(json.dumps(results))
 
 
