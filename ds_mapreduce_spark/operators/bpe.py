@@ -58,12 +58,17 @@ def _train_vocab(docs: DataFrame, pattern: str, n_merges: int):
     char is tokenizer noise, not a merge candidate — dropping it is
     the semantics we want, mirrored in the shared oracle CTEs.
 
-    Symbols split by CODEPOINT (regexp_extract_all with '.', which
-    Java regex matches per code point): split(w, '') would yield
+    Symbols split by CODEPOINT (regexp_extract_all with DOTALL '.',
+    which Java regex matches per code point): split(w, '') would yield
     UTF-16 code units, handing a single astral-plane char (emoji) a
     2-symbol surrogate-half array — a bogus pair the codepoint-based
-    DuckDB oracle (substr(w, i, 1)) never sees. Words contain no \\s
-    by _BPE_PATTERN construction, so '.' always matches.
+    DuckDB oracle (substr(w, i, 1)) never sees. '(?s)' is REQUIRED:
+    plain '.' excludes the Unicode line terminators U+2028/U+2029/
+    U+0085, which Java \\s does NOT cover, so _BPE_PATTERN's
+    [^a-zA-Z0-9\\s] branch still extracts them as 1-char words — an
+    undotted split returns syms=[] for those words (Spark) while the
+    substr-based oracle sees one symbol, and an all-terminator doc
+    then divides by n_char_tokens=0 in ``bpe_encode_census``.
     """
     words = docs.select(
         F.explode(F.regexp_extract_all("text", F.lit(pattern), 1)).alias("w")
@@ -73,7 +78,7 @@ def _train_vocab(docs: DataFrame, pattern: str, n_merges: int):
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
             "w",
-            F.expr("regexp_extract_all(w, '(.)', 1)").alias("syms"),
+            F.expr("regexp_extract_all(w, '(?s)(.)', 1)").alias("syms"),
             "freq",
         )
         .localCheckpoint(eager=True)
@@ -179,7 +184,7 @@ def bpe_encode_census(
     vocabs, _ = _train_vocab(docs, pattern, n_merges)
     final = vocabs[-1].select(
         "w",
-        F.expr("size(regexp_extract_all(w, '(.)', 1))")
+        F.expr("size(regexp_extract_all(w, '(?s)(.)', 1))")
         .cast("bigint")
         .alias("n_char"),
         F.size("syms").cast("bigint").alias("n_bpe"),

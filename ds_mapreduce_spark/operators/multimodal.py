@@ -298,6 +298,9 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
                 "peak_abs", "sum_abs", "sum_sq",
             )}
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                # All container reads stay INSIDE the with block — the
+                # wave module does not document post-close param access
+                # (ADVICE r8 item 2).
                 with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
                     if w.getnchannels() != 1 or w.getsampwidth() != 2:
                         raise ValueError(
@@ -306,10 +309,13 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
                         )
                     n = w.getnframes()
                     samples = struct.unpack(f"<{n}h", w.readframes(n))
+                    rate = w.getframerate()
                 rows["doc_id"].append(doc_id)
-                rows["sample_rate"].append(w.getframerate())
+                rows["sample_rate"].append(rate)
                 rows["n_samples"].append(n)
-                rows["peak_abs"].append(max(abs(s) for s in samples))
+                # A zero-frame WAV is a LEGAL container: features are 0,
+                # not a bare ValueError from max() on empty.
+                rows["peak_abs"].append(max((abs(s) for s in samples), default=0))
                 rows["sum_abs"].append(sum(abs(s) for s in samples))
                 rows["sum_sq"].append(sum(s * s for s in samples))
             yield pd.DataFrame(rows)
@@ -362,8 +368,16 @@ def decode_ppm_features(media: DataFrame) -> DataFrame:
             raise ValueError("not a binary PPM (P6) payload")
         fields, pos = [], 2
         while len(fields) < 3:
-            while pos < len(payload) and payload[pos : pos + 1].isspace():
-                pos += 1
+            # Skip whitespace AND '#'-to-newline comments — both are
+            # spec-legal between header fields (ADVICE r8 item 3).
+            while pos < len(payload):
+                if payload[pos : pos + 1].isspace():
+                    pos += 1
+                elif payload[pos : pos + 1] == b"#":
+                    nl = payload.find(b"\n", pos)
+                    pos = len(payload) if nl < 0 else nl + 1
+                else:
+                    break
             start = pos
             while pos < len(payload) and not payload[pos : pos + 1].isspace():
                 pos += 1

@@ -1841,16 +1841,18 @@ def q_bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 1)).alias("w")
     )
-    # Codepoint-based pairing (syms array via regexp_extract_all '.'):
-    # Spark's length()/substr() count UTF-16 code units, so an astral-
-    # plane char (emoji) would read as a 2-unit "word" and emit a bogus
-    # surrogate-half pair the codepoint-based DuckDB oracle never sees.
+    # Codepoint-based pairing (syms array via DOTALL regexp_extract_all
+    # '(?s)(.)'): Spark's length()/substr() count UTF-16 code units, so
+    # an astral-plane char (emoji) would read as a 2-unit "word" and
+    # emit a bogus surrogate-half pair the codepoint-based DuckDB
+    # oracle never sees; DOTALL keeps U+2028/U+2029/U+0085 words (one
+    # symbol on both engines — plain '.' drops them on Spark only).
     # The array is aliased BEFORE element_at indexing (CLAUDE.md
     # gotcha: inlined builders re-evaluate per index).
     vocab = (
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.expr("regexp_extract_all(w, '(.)', 1)").alias("syms"), "freq")
+        .select(F.expr("regexp_extract_all(w, '(?s)(.)', 1)").alias("syms"), "freq")
     )
     pairs = (
         vocab.where(F.size("syms") >= 2)

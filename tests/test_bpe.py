@@ -17,7 +17,13 @@ data-dependent on corpus regeneration:
 - astral-plane chars (emoji) split into UTF-16 surrogate halves under
   Spark's split(w, '')/length()/substr() but into codepoints under
   DuckDB's substr (fixed: both BPE queries now split via
-  regexp_extract_all(w, '(.)', 1) — codepoint-based in Java regex).
+  regexp_extract_all(w, '(?s)(.)', 1) — codepoint-based in Java regex);
+- the Unicode line terminators U+2028/U+2029/U+0085 are NOT Java \\s,
+  so _BPE_PATTERN extracts them as 1-char words, but a non-DOTALL '.'
+  refuses to match them — Spark split syms=[] vs oracle substr one
+  symbol, and an all-terminator doc makes bpe_encode_census divide by
+  n_char_tokens=0 (fixed: '(?s)' DOTALL at every per-codepoint split —
+  ADVICE r8 item 1).
 
 These tests pin each fix with a corpus that CONTAINS the hostile
 inputs, so the gate no longer depends on what the driver generates.
@@ -41,6 +47,13 @@ NASTY_TEXTS = [
     "hello \\( \\) \\\\ !!! ??? $1 $2 world hello",
     "aaa aaab \U0001f600\U0001f600 \U0001f600 data data123 456 hello world",
     "ab ab ab abc abc \x1f weird",
+    # Unicode line terminators: LINE SEPARATOR, PARAGRAPH SEPARATOR,
+    # NEXT LINE — not Java \s, so they become 1-char words that only a
+    # DOTALL codepoint split sees (ADVICE r8 item 1).
+    "edge \u2028 \u2029 \x85 case \u2028\u2029 hello world",
+    # A doc whose ONLY trainable words are line terminators: without
+    # DOTALL, n_char_tokens = 0 here and saved_bp divides by zero.
+    "\u2028 \u2029 \x85",
 ]
 
 
@@ -52,7 +65,7 @@ def nasty_sf_dir(tmp_path_factory):
             {
                 "doc_id": list(range(len(NASTY_TEXTS))),
                 "text": NASTY_TEXTS,
-                "lang": ["en", "de", "fr", "en"],
+                "lang": ["en", "de", "fr", "en", "en", "de"],
             }
         ),
         str(d / "documents.parquet"),

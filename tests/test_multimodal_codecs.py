@@ -77,3 +77,32 @@ def test_corrupt_payloads_fail_loudly(spark, decoder, payload):
     )
     with pytest.raises(Exception):
         decoder(df).collect()
+
+
+def test_wav_decoder_zero_frame_container(spark):
+    """A zero-frame WAV is a legal container: features come back 0
+    instead of a bare ValueError from max() on empty (ADVICE r8)."""
+    payload = _hand_built_wav([], rate=8000)
+    df = spark.createDataFrame(
+        [(11, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    row = decode_wav_features(df).first()
+    assert row["sample_rate"] == 8000
+    assert row["n_samples"] == 0
+    assert (row["peak_abs"], row["sum_abs"], row["sum_sq"]) == (0, 0, 0)
+
+
+def test_ppm_decoder_skips_header_comments(spark):
+    """'#'-to-newline comments between P6 header fields are spec-legal
+    and must parse (ADVICE r8) — including one directly after the
+    magic and one between width and height."""
+    px = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    payload = (
+        b"P6\n# made by hand\n2 # width\n# then height\n2\n255\n" + px
+    )
+    df = spark.createDataFrame(
+        [(5, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    row = decode_ppm_features(df).first()
+    assert (row["width"], row["height"]) == (2, 2)
+    assert row["sum_r"] == 10 + 40 + 70 + 100
