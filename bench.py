@@ -7,6 +7,13 @@ Prints exactly ONE JSON line:
 
 Execution is forced with a noop-format write (full computation, no
 driver-side collect — the honest way to time a distributed plan).
+
+Per-query numbers are the MEDIAN OF 3 timed runs (override with
+$SPARK_GRAFT_BENCH_REPEATS): three identical-code r8 runs spanned
+63-95 s total on this VM (PLANS.md noise notes), so a single sample
+makes the cross-round 2x gate track page-cache/VM drift instead of
+plans. The calibration probes already used median-of-3; the headline
+queries now match them.
 """
 
 from __future__ import annotations
@@ -219,13 +226,17 @@ def main() -> None:
             except Exception as exc:  # recorded at timing time too; warm best-effort
                 errors[name] = f"warm: {type(exc).__name__}: {exc}"[:500]
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float | None] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        t0 = time.monotonic()
+        samples: list[float] = []
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.monotonic() - t0, 3)
+            for _ in range(repeats):
+                t0 = time.monotonic()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.monotonic() - t0)
+            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         except Exception as exc:
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -242,6 +253,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "repeats": repeats,
         "calibration": calibration,
         "busy": bool(foreign),
         "foreign_spark_pids": foreign,

@@ -60,74 +60,36 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: Everything NOT listed still registers (after these) and stays under
 #: the in-repo parity gate; tests/test_driver_contract.py locks the
 #: family coverage of this window.
-#: Round-8 rotation (VERDICT r7 #1 — burn the never-graded backlog
-#: below 25): OUT all 22 window entries hash-green in BOTH r6 and r7
-#: (wordcount, q1_pricing_summary, kv_text_roundtrip,
-#: pipeline_llm_training_prep, multimodal_payload_dedup, knn_pq_adc,
-#: embedding_pq_codes, dedup_lsh_band_sweep, entity_resolution_clusters,
-#: epoch_shuffle_plan, leakage_safe_splits, bpe_pair_merge_stats,
-#: twap_user_value, multi_touch_attribution, events_hourly_resample,
-#: equi_depth_histogram, table_profile, trigram_substring_search,
-#: graph_pagerank_converged, pq_trained_codebook_encode, bm25_search,
-#: dedup_prefix_filter — wordcount/q1 at seven straight greens carry no
-#: marginal evidence; every family keeps windowed rows, verified by
-#: test_check_window_spans_every_family). IN: the nine never-graded r7
-#: operators staged last round plus the THIRTEEN oldest never-graded
-#: residents — never-graded backlog drops 43 -> 21. The 28 entries
-#: first graded in r07 stay pinned for a second consecutive green.
-#: Every IN entry is green under the in-repo DuckDB parity gate at
-#: sf0.001 AND sf0.01 (verified this session, 192/192). The five
-#: r8-new registrations (dedup_span_excision_exact20,
-#: dedup_semdedup_trained, bpe_encode_census,
-#: multimodal_wav_roundtrip, multimodal_ppm_roundtrip) wait for the
-#: r9 rotation — the window is full of never-graded entries and no
-#: current resident has >=2 consecutive greens to trade.
-#:
-#: STAGED r9 ROTATION (execute if CORRECTNESS_r08 grades this window
-#: green): after r8, never-graded = 26 (the 21 backlog residents not
-#: rotated in this round + the 5 r8-new above) and the 28 pinned
-#: entries will hold 2 consecutive greens — enough OUT capacity to
-#: rotate ALL 26 in and reach FULL 196/196 ever-graded coverage.
-#: IN: the 5 r8-new + array_functions, boilerplate_ngram_coverage,
-#: compaction_rebalance, deterministic_sample, doc_fingerprint,
-#: doc_repetition_stats, domain_quota_sample, embedding_norm_stats,
-#: events_dow_hour_profile, events_hierarchical_rollup, events_pivot,
-#: events_unpivot, events_user_activity, events_value_histogram,
-#: fuzzy_name_pairs, knn_quality_gated, length_bucketed_batching,
-#: map_functions, table_antientropy_checksums, token_count,
-#: vocab_oov_rates. OUT: 26 of the 28 twice-green pinned entries
-#: (keep 2 whose families would otherwise lose every windowed row).
+#: Round-9 rotation (VERDICT r8 #1 — the staged plan, executed):
+#: CORRECTNESS_r08 graded the r8 window 50/50 hash-green, so OUT go
+#: 26 of the 28 twice-green r7-cohort entries (dedup_span_excision,
+#: events_robust_outliers, hybrid_search_rerank, skyline_price_size,
+#: session_path_analysis, mr_inverted_index_capped, orc_roundtrip,
+#: customer_rfm_segments, market_basket_pairs, q2_min_cost_supplier,
+#: q7_volume_shipping, q9_product_type_profit,
+#: events_heavy_hitter_profile, text_quality_score,
+#: dedup_span_excision_minlen, skyline_3d_grid,
+#: quality_classifier_linear, ingest_manifest_pipeline,
+#: cms_heavy_hitter_estimates, hybrid_rrf_fusion,
+#: schema_evolution_roundtrip, snapshot_diff_census, dedup_semdedup,
+#: dsir_importance_select, graph_bfs_reach,
+#: bloom_ngram_decontamination); events_gapfill_interpolate and
+#: seasonal_naive_backtest stay — they are the ONLY temporal_queries
+#: rows in the window, and rotating both out would leave that family
+#: ungraded (test_check_window_spans_every_family). IN come ALL 26
+#: never-driver-graded entries — the five r8-new registrations plus
+#: the 21 remaining backlog residents — so after this round EVERY
+#: registered query has driver-grade evidence: 196/196 ever-graded,
+#: zero backlog. The 22 entries first graded in r08 stay pinned for a
+#: second consecutive green. Every IN entry is green under the
+#: in-repo DuckDB parity gate at sf0.001 AND sf0.01 (196/196,
+#: re-verified this session).
 PRIORITY: tuple[str, ...] = (
-    # ---- 28 entries first graded in r07, pinned for a 2nd green ----
-    "dedup_span_excision",        # r6: ExactSubstr duplicate-span cut
+    # ---- kept from the r7 cohort: sole temporal_queries coverage ----
     "events_gapfill_interpolate",  # r6: linear-interp gap fill
-    "events_robust_outliers",     # r6: exact median/MAD census
-    "hybrid_search_rerank",       # r6: BM25 retrieve + dense rerank
-    "skyline_price_size",         # r6: 2-D Pareto skyline
-    "session_path_analysis",      # top transition paths
-    "mr_inverted_index_capped",   # df-capped postings
-    "orc_roundtrip",              # ORC source/sink
-    "customer_rfm_segments",      # RFM quintile segments
-    "market_basket_pairs",        # co-occurrence lift
-    "q2_min_cost_supplier",       # TPC-H correlated min
-    "q7_volume_shipping",         # TPC-H bi-nation flow
-    "q9_product_type_profit",     # TPC-H profit rollup
-    "events_heavy_hitter_profile",  # has streaming twin
-    "text_quality_score",         # doc quality heuristics
-    "dedup_span_excision_minlen",  # r7: Lee et al. length floor
-    "skyline_3d_grid",            # r7: d-dim grid/BNL skyline
-    "quality_classifier_linear",  # r7: hashed linear quality model
-    "ingest_manifest_pipeline",   # r7: composed ingest admission tier
-    "cms_heavy_hitter_estimates",  # r7: Count-Min mergeable sketch
-    "hybrid_rrf_fusion",          # r7: reciprocal-rank fusion
-    "schema_evolution_roundtrip",  # r7: mergeSchema generational read
     "seasonal_naive_backtest",    # r7: forecast-baseline backtest
-    "snapshot_diff_census",       # r7: generational reconciliation
-    "dedup_semdedup",             # r7: cluster-bounded semantic dedup
-    "dsir_importance_select",     # r7: hashed importance resampling
-    "graph_bfs_reach",            # r7: bounded multi-source BFS
-    "bloom_ngram_decontamination",  # r7: bitmap-prescreen decontam
-    # ---- r8 IN: the nine r7 operators staged at the r7 freeze ----
+    # ---- 22 entries first graded in r08, pinned for a 2nd green ----
+    # (the nine r7 operators staged at the r7 freeze:)
     "bpe_train_merges",           # r7: 3-rule BPE training loop
     "embedding_pca_power",        # r7: PCA top-eigenvector power iter
     "collocation_pmi_topk",       # r7: 128-bit exact fixed-point PMI
@@ -137,7 +99,7 @@ PRIORITY: tuple[str, ...] = (
     "leakage_safe_splits_neardup",  # r7: split leakage w/ near-dup CC
     "multimodal_payload_simhash",  # r7: byte-level payload near-dup
     "mr_distributed_grep",        # r7: MapReducer-trait grep
-    # ---- r8 IN: the thirteen oldest never-graded residents ----
+    # (the thirteen backlog residents rotated in at r8:)
     "q8_market_share",            # TPC-H nation market share
     "q11_important_value_parts",  # TPC-H group-HAVING-scalar
     "q20_dominant_part_shippers",  # TPC-H nested semi-join
@@ -151,6 +113,34 @@ PRIORITY: tuple[str, ...] = (
     "term_frequencies",           # per-term tf census
     "events_props_typed",         # typed JSON prop extraction (E14)
     "events_attribution_join",    # temporal attribution join (E13)
+    # ---- r9 IN: the five r8-new registrations ----
+    "dedup_span_excision_exact20",  # r8: exact-L ExactSubstr excision
+    "dedup_semdedup_trained",     # r8: Lloyd-trained-centroid SemDeDup
+    "bpe_encode_census",          # r8: tokenizer APPLY-side census
+    "multimodal_wav_roundtrip",   # r8: real RIFF/WAVE encode->decode
+    "multimodal_ppm_roundtrip",   # r8: real binary-PPM encode->decode
+    # ---- r9 IN: the 21 remaining never-graded backlog residents ----
+    "array_functions",            # array expression suite
+    "map_functions",              # map expression suite
+    "events_pivot",               # typed pivot to wide columns
+    "events_unpivot",             # stack back to long form
+    "events_user_activity",       # per-user activity census
+    "events_value_histogram",     # fixed-bin value histogram
+    "events_dow_hour_profile",    # day-of-week x hour profile
+    "events_hierarchical_rollup",  # multi-level rollup census
+    "fuzzy_name_pairs",           # blocked edit-distance pairs
+    "doc_fingerprint",            # winnowing doc fingerprints
+    "doc_repetition_stats",       # intra-doc repetition profile
+    "boilerplate_ngram_coverage",  # cross-doc boilerplate share
+    "domain_quota_sample",        # per-domain quota sampling
+    "deterministic_sample",       # md5-keyed reproducible sample
+    "token_count",                # whitespace+BPE-ish token census
+    "vocab_oov_rates",            # vocab out-of-vocabulary rates
+    "embedding_norm_stats",       # embedding norm profile
+    "knn_quality_gated",          # quality-gated brute-force kNN
+    "length_bucketed_batching",   # length-bucketed batch packing
+    "compaction_rebalance",       # small-file compaction planner
+    "table_antientropy_checksums",  # per-table anti-entropy digests
 )
 
 

@@ -37,6 +37,9 @@ registered query unchanged against the 10x directory.
 Writes NOTHING outside /tmp. Run:
     python scripts/scale_probe.py            # build (if absent) + measure
     python scripts/scale_probe.py --rebuild
+    python scripts/scale_probe.py --t30      # 30x tier for the two
+                                             # steepest 10x curves only
+                                             # (VERDICT r8 #6)
 """
 
 from __future__ import annotations
@@ -59,91 +62,103 @@ TIERS = (
 )
 
 
-def build(spark, out_dir: str, copies: int) -> None:
-    docs = spark.read.parquet(f"{BASE}/documents.parquet")
-    parts = []
-    for i in range(copies):
-        txt = (
-            F.col("text")
-            if i == 0
-            else F.regexp_replace("text", r"(\S+)", f"$1_{i}")
-        )
-        parts.append(
-            docs.select(
-                (F.col("doc_id") * copies + i).alias("doc_id"),
-                txt.alias("text"),
-                "lang",
-                "source",
-                F.length(txt).cast("bigint").alias("n_chars"),
+def build(
+    spark,
+    out_dir: str,
+    copies: int,
+    tables: tuple[str, ...] = ("documents", "embeddings", "lineitem", "events"),
+) -> None:
+    """``tables`` lets a tier build only what its queries read — the
+    30x tier measures two queries (documents + events) and skipping
+    the unused 30x embeddings/lineitem keeps the build bounded."""
+    if "documents" in tables:
+        docs = spark.read.parquet(f"{BASE}/documents.parquet")
+        parts = []
+        for i in range(copies):
+            txt = (
+                F.col("text")
+                if i == 0
+                else F.regexp_replace("text", r"(\S+)", f"$1_{i}")
             )
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") * copies + i).alias("doc_id"),
+                    txt.alias("text"),
+                    "lang",
+                    "source",
+                    F.length(txt).cast("bigint").alias("n_chars"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/documents.parquet"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/documents.parquet"
-    )
 
-    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
-    parts = []
-    for i in range(copies):
-        vec = (
-            F.col("embedding")
-            if i == 0
-            else F.expr(
-                "transform(embedding, (x, j) -> "
-                f"x * CAST(1 - 2 * pmod(xxhash64({i} * 131 + j), 2) AS FLOAT))"
+    if "embeddings" in tables:
+        emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+        parts = []
+        for i in range(copies):
+            vec = (
+                F.col("embedding")
+                if i == 0
+                else F.expr(
+                    "transform(embedding, (x, j) -> "
+                    f"x * CAST(1 - 2 * pmod(xxhash64({i} * 131 + j), 2) AS FLOAT))"
+                )
             )
-        )
-        parts.append(
-            emb.select(
-                (F.col("vec_id") * copies + i).alias("vec_id"),
-                vec.alias("embedding"),
-                "label",
+            parts.append(
+                emb.select(
+                    (F.col("vec_id") * copies + i).alias("vec_id"),
+                    vec.alias("embedding"),
+                    "label",
+                )
             )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(8).write.mode("overwrite").parquet(
+            f"{out_dir}/embeddings.parquet"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(8).write.mode("overwrite").parquet(
-        f"{out_dir}/embeddings.parquet"
-    )
 
-    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
-    parts = []
-    for i in range(copies):
-        parts.append(
-            li.withColumn(
-                "l_orderkey", F.col("l_orderkey") * copies + i
-            ).withColumn("l_partkey", F.col("l_partkey") * copies + i)
+    if "lineitem" in tables:
+        li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+        parts = []
+        for i in range(copies):
+            parts.append(
+                li.withColumn(
+                    "l_orderkey", F.col("l_orderkey") * copies + i
+                ).withColumn("l_partkey", F.col("l_partkey") * copies + i)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/lineitem.parquet"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/lineitem.parquet"
-    )
 
     # events — the table that IS 100 TB in production: user_id and
     # event_id re-keyed per copy (10 disjoint user populations, same
     # time span, so per-user event counts / session shapes / window
     # partition sizes match the 1x workload exactly; a re-used user_id
     # would instead 10x every user's history — a density change)
-    from ds_mapreduce_spark.sources.catalog import load_table as _lt
+    if "events" in tables:
+        from ds_mapreduce_spark.sources.catalog import load_table as _lt
 
-    ev = _lt(spark, BASE, "events")
-    parts = []
-    for i in range(copies):
-        parts.append(
-            ev.withColumn("user_id", F.col("user_id") * copies + i)
-            .withColumn("event_id", F.col("event_id") * copies + i)
+        ev = _lt(spark, BASE, "events")
+        parts = []
+        for i in range(copies):
+            parts.append(
+                ev.withColumn("user_id", F.col("user_id") * copies + i)
+                .withColumn("event_id", F.col("event_id") * copies + i)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/events.parquet"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/events.parquet"
-    )
 
 
 def main() -> None:
@@ -154,6 +169,44 @@ def main() -> None:
 
     spark = get_spark("scale-probe")
     registry = load_all()
+
+    if "--t30" in sys.argv:
+        # VERDICT r8 #6: a third datapoint for the two steepest 10x
+        # curves (dedup_prefix_filter 3.63, events_hourly_resample
+        # 2.50) — turns "concave so far" into a three-point trend.
+        # Only the two tables those queries read are built at 30x.
+        out_dir = "/tmp/spark_graft_scale30"
+        if "--rebuild" in sys.argv or not os.path.isdir(
+            f"{out_dir}/documents.parquet"
+        ):
+            t0 = time.monotonic()
+            build(spark, out_dir, 30, tables=("documents", "events"))
+            print(f"built 30x corpus in {time.monotonic() - t0:.1f}s")
+        results = {}
+        for name in ("dedup_prefix_filter", "events_hourly_resample"):
+            try:
+                registry[name].fn(spark, "/root/testdata/sf0.001").count()
+            except Exception:
+                pass
+            t0 = time.monotonic()
+            n1 = registry[name].fn(spark, BASE).count()
+            t1 = time.monotonic() - t0
+            t0 = time.monotonic()
+            n30 = registry[name].fn(spark, out_dir).count()
+            t30 = time.monotonic() - t0
+            results[name] = {
+                "t_1x_sec": round(t1, 3),
+                "t_30x_sec": round(t30, 3),
+                "ratio_30x": round(t30 / t1, 2),
+                "rows_1x": n1,
+                "rows_30x": n30,
+            }
+            print(
+                f"{name:28s} 1x {t1:6.2f}s   30x {t30:6.2f}s "
+                f"(r {t30 / t1:5.2f})"
+            )
+        print(json.dumps(results))
+        return
 
     for copies, out_dir, _k in TIERS:
         if "--rebuild" in sys.argv or not os.path.isdir(

@@ -88,46 +88,39 @@ def test_check_window_covers_the_round1_dark_families():
     test_check_window_spans_every_family); entries graded for the FIRST
     time last round stay pinned one more round."""
     must_grade = {
-        # Round-8 rotation (VERDICT r7 #1): the 22 entries hash-green in
-        # BOTH r6 and r7 rotated out (wordcount, q1_pricing_summary,
-        # kv_text_roundtrip, pipeline_llm_training_prep,
-        # multimodal_payload_dedup, knn_pq_adc, embedding_pq_codes,
-        # dedup_lsh_band_sweep, entity_resolution_clusters,
-        # epoch_shuffle_plan, leakage_safe_splits, bpe_pair_merge_stats,
-        # twap_user_value, multi_touch_attribution,
-        # events_hourly_resample, equi_depth_histogram, table_profile,
-        # trigram_substring_search, graph_pagerank_converged,
-        # pq_trained_codebook_encode, bm25_search, dedup_prefix_filter);
-        # every family keeps windowed rows (asserted by
-        # test_check_window_spans_every_family).
-        # The 28 entries FIRST graded in r07 stay pinned a 2nd round:
-        "dedup_span_excision", "events_gapfill_interpolate",
-        "events_robust_outliers", "hybrid_search_rerank",
-        "skyline_price_size", "session_path_analysis",
-        "mr_inverted_index_capped", "orc_roundtrip",
-        "customer_rfm_segments", "market_basket_pairs",
-        "q2_min_cost_supplier", "q7_volume_shipping",
-        "q9_product_type_profit", "events_heavy_hitter_profile",
-        "text_quality_score",
-        "dedup_span_excision_minlen", "skyline_3d_grid",
-        "quality_classifier_linear", "ingest_manifest_pipeline",
-        "cms_heavy_hitter_estimates", "hybrid_rrf_fusion",
-        "schema_evolution_roundtrip", "seasonal_naive_backtest",
-        "snapshot_diff_census",
-        "dedup_semdedup", "dsir_importance_select", "graph_bfs_reach",
-        "bloom_ngram_decontamination",
-        # r8 IN: the nine r7 operators staged at the r7 freeze
+        # Round-9 rotation (VERDICT r8 #1, the staged plan executed):
+        # 26 of the 28 twice-green r7-cohort entries rotated out;
+        # events_gapfill_interpolate + seasonal_naive_backtest stay as
+        # the only temporal_queries rows in the window (family coverage
+        # asserted by test_check_window_spans_every_family). ALL 26
+        # never-driver-graded entries rotate in -> 196/196 ever-graded.
+        "events_gapfill_interpolate", "seasonal_naive_backtest",
+        # The 22 entries FIRST graded in r08 stay pinned a 2nd round:
         "bpe_train_merges", "embedding_pca_power",
         "collocation_pmi_topk", "events_decayed_engagement",
         "knn_jl_recall_eval", "weighted_priority_sample",
         "leakage_safe_splits_neardup", "multimodal_payload_simhash",
         "mr_distributed_grep",
-        # r8 IN: the thirteen oldest never-graded residents
         "q8_market_share", "q11_important_value_parts",
         "q20_dominant_part_shippers", "q21_waiting_sole_late_supplier",
         "pipeline_corpus_prep", "skew_salted_join", "csv_roundtrip",
         "jsonl_roundtrip", "lang_breakdown", "unigram_commonness",
         "term_frequencies", "events_props_typed",
         "events_attribution_join",
+        # r9 IN: the five r8-new registrations
+        "dedup_span_excision_exact20", "dedup_semdedup_trained",
+        "bpe_encode_census", "multimodal_wav_roundtrip",
+        "multimodal_ppm_roundtrip",
+        # r9 IN: the 21 remaining never-graded backlog residents
+        "array_functions", "map_functions", "events_pivot",
+        "events_unpivot", "events_user_activity",
+        "events_value_histogram", "events_dow_hour_profile",
+        "events_hierarchical_rollup", "fuzzy_name_pairs",
+        "doc_fingerprint", "doc_repetition_stats",
+        "boilerplate_ngram_coverage", "domain_quota_sample",
+        "deterministic_sample", "token_count", "vocab_oov_rates",
+        "embedding_norm_stats", "knn_quality_gated",
+        "length_bucketed_batching", "compaction_rebalance",
+        "table_antientropy_checksums",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))
