@@ -160,6 +160,64 @@ def bpe_train_merges(
     return out
 
 
+def segment_words_with_rules(words: DataFrame, rules) -> DataFrame:
+    """(w) -> (w, n_char, n_bpe): apply FROZEN merge rules to each
+    distinct word via the shared ``_merge_pair`` fold — rule
+    application is deterministic per word and corpus-independent, so
+    this reproduces exactly the symbol counts the training vocab holds
+    for any word the rules were trained on. This is the tokenizer
+    APPLY primitive the streaming twin needs: a stream cannot re-train,
+    it encodes against rules learned offline (the IVF/kmeans
+    frozen-artifact pattern). Map-only; cost O(|rules| · word_len) per
+    DISTINCT word."""
+    syms = F.expr("regexp_extract_all(w, '(?s)(.)', 1)")
+    out = words.select("w", syms.alias("syms"))
+    for a, b, *_ in rules:
+        out = out.select("w", _merge_pair(F.col("syms"), a, b).alias("syms"))
+    return words.select(
+        "w",
+        F.expr("size(regexp_extract_all(w, '(?s)(.)', 1))")
+        .cast("bigint")
+        .alias("n_char"),
+    ).join(out.select("w", F.size("syms").cast("bigint").alias("n_bpe")), "w")
+
+
+def encode_census_rows(
+    docs: DataFrame, pattern: str, segmented: DataFrame
+) -> DataFrame:
+    """The shared encode tail (batch query AND streaming twin): join
+    the (doc_id, word) stream onto a precomputed per-word segmentation
+    table ``segmented`` = (w, n_char, n_bpe) and aggregate per doc.
+    Vocab-sized join (Heaps' law), AQE decides the strategy; the
+    corpus pays one tokenize scan + one doc_id agg. Exact integers;
+    saved_bp is half-up fixed-point (CLAUDE.md ratio rule)."""
+    dw = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.regexp_extract_all("text", F.lit(pattern), 1)).alias("w"),
+    ).where(~F.col("w").contains("\x1f"))
+    return (
+        dw.join(segmented, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_char").cast("bigint").alias("n_char_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            "n_char_tokens",
+            "n_bpe_tokens",
+            F.expr(
+                "(20000 * (n_char_tokens - n_bpe_tokens) + n_char_tokens)"
+                " DIV (2 * n_char_tokens)"
+            ).alias("saved_bp"),
+        )
+    )
+
+
 def bpe_encode_census(
     docs: DataFrame, pattern: str, n_merges: int = 3
 ) -> DataFrame:
@@ -189,28 +247,4 @@ def bpe_encode_census(
         .alias("n_char"),
         F.size("syms").cast("bigint").alias("n_bpe"),
     )
-    dw = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(F.regexp_extract_all("text", F.lit(pattern), 1)).alias("w"),
-    ).where(~F.col("w").contains("\x1f"))
-    return (
-        dw.join(final, "w")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.sum("n_char").cast("bigint").alias("n_char_tokens"),
-            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "n_words",
-            "n_char_tokens",
-            "n_bpe_tokens",
-            F.expr(
-                "(20000 * (n_char_tokens - n_bpe_tokens) + n_char_tokens)"
-                " DIV (2 * n_char_tokens)"
-            ).alias("saved_bp"),
-        )
-    )
+    return encode_census_rows(docs, pattern, final)

@@ -1543,6 +1543,82 @@ def run_streaming_kmeans_centroids(
     return lloyd_step_centroids(spark.read.parquet(f"{state_dir}/v{final}"))
 
 
+def run_streaming_bpe_encode(
+    spark: SparkSession,
+    docs_dir: str,
+    rules,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Tokenizer APPLY as a stream (r9): documents arrive as
+    micro-batches and are encoded against FROZEN merge ``rules``
+    learned offline (the IVF-centroid / kmeans-seed pattern — a stream
+    cannot re-train; rules are the artifact training exists to
+    produce). Rule application is deterministic per word and
+    corpus-independent (``operators.bpe.segment_words_with_rules``,
+    the same ``_merge_pair`` fold training applies), so each batch's
+    per-doc census — computed by the SAME ``encode_census_rows`` tail
+    the batch query uses — is independent of every other batch, and
+    the union over any chunking of the feed is bit-equal to the batch
+    ``bpe_encode_census`` whose training produced the rules (the
+    equivalence test pins it). Per batch: distinct-word segmentation
+    (batch-vocab-sized, map-only fold) + one word join + one doc agg;
+    results land append-only in versioned parquet (idempotent per
+    batch id — a retried batch overwrites its own dir, never
+    double-counts). 100 TB: this is the always-on ingest tokenizer —
+    throughput is scan-bound, state is zero (rules are broadcast-sized
+    and frozen), and a vocabulary drift large enough to matter ships
+    as NEW rules through the same offline loop."""
+    from ds_mapreduce_spark.operators.bpe import (
+        encode_census_rows,
+        segment_words_with_rules,
+    )
+    from ds_mapreduce_spark.plans.text_queries import _BPE_PATTERN
+
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if docs_dir.endswith(".parquet"):
+        base, _, fname = docs_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        docs_dir = base
+    stream = reader.parquet(docs_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        words = (
+            batch_df.select(
+                F.explode(
+                    F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 1)
+                ).alias("w")
+            )
+            .where(~F.col("w").contains("\x1f"))
+            .distinct()
+        )
+        seg = segment_words_with_rules(words, rules)
+        encode_census_rows(batch_df, _BPE_PATTERN, seg).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/v{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    versions = existing_state_versions(spark, state_dir)
+    if not versions:  # empty feed, nothing landed in any run
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, lang string, n_words bigint, "
+            "n_char_tokens bigint, n_bpe_tokens bigint, saved_bp bigint",
+        )
+    # per-doc rows are independent across batches (docs never split
+    # across files): the result is the UNION of all landed versions,
+    # unlike the merge-state twins that read only the latest
+    return spark.read.parquet(*[f"{state_dir}/v{v}" for v in versions])
+
+
 #: The streaming-twin census (VERDICT r7 #6): one row per streaming
 #: job, naming the batch query whose results it must reproduce, the
 #: state contract it maintains across micro-batches, and the
@@ -1638,4 +1714,10 @@ TWINS: tuple[dict, ...] = (
                "seeds merged per batch; next centroids folded from state "
                "(shared lloyd_step_* functions)",
          test="test_streaming_kmeans_centroids_matches_batch"),
+    dict(fn="run_streaming_bpe_encode", batch="bpe_encode_census",
+         state="zero state — frozen offline-trained merge rules applied "
+               "per batch (shared segment_words_with_rules / "
+               "encode_census_rows); per-doc results land append-only "
+               "in versioned parquet, idempotent per batch id",
+         test="test_streaming_bpe_encode_matches_batch"),
 )

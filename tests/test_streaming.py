@@ -949,3 +949,61 @@ def test_streaming_kmeans_centroids_matches_batch(spark, sf_dir, tmp_path):
     resumed = run_streaming_kmeans_centroids(spark, feed_dir, seeds, state, ckpt)
     rrows = sorted((r["cid"], tuple(r["cv"])) for r in resumed.collect())
     assert rrows == srows
+
+
+def test_streaming_bpe_encode_matches_batch(spark, sf_dir, tmp_path):
+    """The tokenizer APPLY stream: frozen offline-trained merge rules
+    applied per micro-batch (shared segment_words_with_rules /
+    encode_census_rows) must reproduce the batch bpe_encode_census
+    EXACTLY under a chunked, arrival-order-shuffled feed — rule
+    application is deterministic per word and corpus-independent, so
+    per-doc rows are batch-independent and their union is the batch
+    answer. A resume over the spent checkpoint returns the landed
+    results instead of crashing."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.operators.bpe import _train_vocab, bpe_encode_census
+    from ds_mapreduce_spark.plans.text_queries import _BPE_PATTERN
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_bpe_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = bpe_encode_census(docs, _BPE_PATTERN, n_merges=3)
+    _, rules = _train_vocab(docs, _BPE_PATTERN, 3)
+
+    feed_dir = str(tmp_path / "docs_feed")
+    docs.orderBy(F.md5(F.col("doc_id").cast("string"))).repartition(
+        4
+    ).write.parquet(feed_dir)
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    streamed = run_streaming_bpe_encode(spark, feed_dir, rules, state, ckpt)
+    cols = [
+        "doc_id", "lang", "n_words", "n_char_tokens", "n_bpe_tokens",
+        "saved_bp",
+    ]
+    assert sorted(streamed.columns) == sorted(batch.columns)
+    srows = _rows(streamed, cols)
+    assert srows == _rows(batch, cols)
+    assert len(srows) > 0
+
+    resumed = run_streaming_bpe_encode(spark, feed_dir, rules, state, ckpt)
+    assert _rows(resumed, cols) == srows
+
+
+def test_streaming_bpe_encode_empty_feed(spark, tmp_path):
+    """An empty feed returns an empty result with the contract schema
+    (no landed state, no crash)."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_bpe_encode
+
+    feed_dir = str(tmp_path / "empty_feed")
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string"
+    ).write.parquet(feed_dir)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    out = run_streaming_bpe_encode(
+        spark, feed_dir, [("h", "e", 1)], state, ckpt
+    )
+    assert out.count() == 0
+    assert "saved_bp" in out.columns
