@@ -116,6 +116,10 @@ HEADLINE = [
     # real codec-free media decode (wave-module WAV roundtrip through
     # two Arrow passes) — times the Python-seam byte throughput
     "multimodal_wav_roundtrip",
+    # round 9: the winnowing prescreen evaluation — its delta vs the
+    # three excision rows above isolates the screen census's cost
+    # (winnowing-density fp shuffle vs every-position md5 grams)
+    "dedup_span_winnow_screen",
 ]
 
 

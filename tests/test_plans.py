@@ -195,6 +195,12 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # mapInPandas, map-only, zero shuffles by construction
         ("multimodal_wav_roundtrip", 0),
         ("multimodal_ppm_roundtrip", 0),
+        # r9: winnowing screen vs exact-20 truth — gram census +
+        # truth distinct + fp census + flagged distinct + 1-row
+        # summary (SinglePartition bounded scalar); the four
+        # semi/left joins are AQE broadcasts of Aggregate/Distinct-
+        # bounded sides, never the fact side
+        ("dedup_span_winnow_screen", 5),
         # late-r7 locks at measured values — regression tripwires:
         # pair self-join sort + CC-label join + keep window (assignment
         # is map-only post-fix; a 4th shuffle means the packed-centroid
