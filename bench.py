@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -240,7 +241,7 @@ def main() -> None:
                 t0 = time.monotonic()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(time.monotonic() - t0)
-            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+            timings[name] = round(statistics.median(samples), 3)
         except Exception as exc:
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]

@@ -168,18 +168,22 @@ def segment_words_with_rules(words: DataFrame, rules) -> DataFrame:
     for any word the rules were trained on. This is the tokenizer
     APPLY primitive the streaming twin needs: a stream cannot re-train,
     it encodes against rules learned offline (the IVF/kmeans
-    frozen-artifact pattern). Map-only; cost O(|rules| · word_len) per
-    DISTINCT word."""
-    syms = F.expr("regexp_extract_all(w, '(?s)(.)', 1)")
-    out = words.select("w", syms.alias("syms"))
+    frozen-artifact pattern). Map-only — n_char is captured from the
+    pre-merge split and THREADED through the fold as a column (no
+    self-join, no second derivation of the input); cost
+    O(|rules| · word_len) per input word. Callers pass DISTINCT
+    words; a duplicate input row simply yields a duplicate output
+    row (per-row map, nothing multiplies)."""
+    out = words.select(
+        "w", F.expr("regexp_extract_all(w, '(?s)(.)', 1)").alias("syms")
+    ).select("w", F.size("syms").cast("bigint").alias("n_char"), "syms")
     for a, b, *_ in rules:
-        out = out.select("w", _merge_pair(F.col("syms"), a, b).alias("syms"))
-    return words.select(
-        "w",
-        F.expr("size(regexp_extract_all(w, '(?s)(.)', 1))")
-        .cast("bigint")
-        .alias("n_char"),
-    ).join(out.select("w", F.size("syms").cast("bigint").alias("n_bpe")), "w")
+        out = out.select(
+            "w", "n_char", _merge_pair(F.col("syms"), a, b).alias("syms")
+        )
+    return out.select(
+        "w", "n_char", F.size("syms").cast("bigint").alias("n_bpe")
+    )
 
 
 def encode_census_rows(

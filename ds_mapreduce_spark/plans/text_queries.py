@@ -2671,9 +2671,11 @@ def _bpe_train_oracle(n_merges: int = 3) -> str:
     depends on that argument (tests/test_bpe.py pins both the
     invariant and fold parity on a metacharacter-laden corpus).
     Both engines split words into symbols by CODEPOINT
-    (regexp_extract_all(w, '(.)', 1) ≙ substr(w, i, 1)); a UTF-16
-    code-unit split would hand Spark a 2-symbol array for a single
-    astral-plane char (emoji) where DuckDB sees one symbol."""
+    (DOTALL regexp_extract_all(w, '(?s)(.)', 1) ≙ substr(w, i, 1) —
+    '(?s)' is load-bearing: plain '.' skips the U+2028/U+2029/U+0085
+    line-terminator words, ADVICE r8 item 1); a UTF-16 code-unit
+    split would hand Spark a 2-symbol array for a single astral-plane
+    char (emoji) where DuckDB sees one symbol."""
     ctes, selects = _bpe_vocab_ctes(n_merges), []
     for i in range(1, n_merges + 1):
         selects.append(

@@ -176,8 +176,12 @@ def main() -> None:
         # 2.50) — turns "concave so far" into a three-point trend.
         # Only the two tables those queries read are built at 30x.
         out_dir = "/tmp/spark_graft_scale30"
-        if "--rebuild" in sys.argv or not os.path.isdir(
-            f"{out_dir}/documents.parquet"
+        # presence check covers EVERY table the tier builds — a build
+        # interrupted between the documents and events writes must not
+        # read as complete (code-review r9)
+        if "--rebuild" in sys.argv or not all(
+            os.path.isdir(f"{out_dir}/{t}.parquet")
+            for t in ("documents", "events")
         ):
             t0 = time.monotonic()
             build(spark, out_dir, 30, tables=("documents", "events"))

@@ -119,16 +119,20 @@ def main() -> None:
     spark = get_spark("skew-probe")
     registry = load_all()
 
-    if "--rebuild" in sys.argv or not os.path.isdir(
-        f"{UNIFORM_DIR}/documents.parquet"
+    # presence checks cover EVERY table each build writes — a build
+    # interrupted mid-way must not read as complete (code-review r9)
+    if "--rebuild" in sys.argv or not all(
+        os.path.isdir(f"{UNIFORM_DIR}/{t}.parquet")
+        for t in ("documents", "embeddings", "lineitem", "events")
     ):
         from scale_probe import build  # sibling script, same /tmp tiers
 
         t0 = time.monotonic()
         build(spark, UNIFORM_DIR, COPIES)
         print(f"built uniform 10x in {time.monotonic() - t0:.1f}s")
-    if "--rebuild" in sys.argv or not os.path.isdir(
-        f"{SKEW_DIR}/documents.parquet"
+    if "--rebuild" in sys.argv or not all(
+        os.path.isdir(f"{SKEW_DIR}/{t}.parquet")
+        for t in ("documents", "events")
     ):
         t0 = time.monotonic()
         build_skew(spark)
