@@ -358,38 +358,43 @@ PPM_FEATURE_SCHEMA = (
 )
 
 
+def _parse_ppm(payload: bytes):
+    """Parse a binary-PPM (P6) container: returns (width, height, px).
+    Skips spec-legal '#'-to-newline header comments; raises on a bad
+    magic, non-255 maxval, or a pixel buffer that disagrees with the
+    parsed dimensions. Shared by the feature decoder and the real
+    resize (both must read the SAME container format)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        # Skip whitespace AND '#'-to-newline comments — both are
+        # spec-legal between header fields (ADVICE r8 item 3).
+        while pos < len(payload):
+            if payload[pos : pos + 1].isspace():
+                pos += 1
+            elif payload[pos : pos + 1] == b"#":
+                nl = payload.find(b"\n", pos)
+                pos = len(payload) if nl < 0 else nl + 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    px = payload[pos:]
+    if maxval != 255 or len(px) != w * h * 3:
+        raise ValueError(f"bad PPM: maxval={maxval} len={len(px)} for {w}x{h}")
+    return w, h, px
+
+
 def decode_ppm_features(media: DataFrame) -> DataFrame:
     """REAL PPM decoder: parses the P6 header (magic, dimensions,
     maxval — from the container), validates the pixel-buffer length
     against the parsed dimensions, and emits per-channel exact sums."""
-
-    def parse(payload: bytes):
-        if not payload.startswith(b"P6"):
-            raise ValueError("not a binary PPM (P6) payload")
-        fields, pos = [], 2
-        while len(fields) < 3:
-            # Skip whitespace AND '#'-to-newline comments — both are
-            # spec-legal between header fields (ADVICE r8 item 3).
-            while pos < len(payload):
-                if payload[pos : pos + 1].isspace():
-                    pos += 1
-                elif payload[pos : pos + 1] == b"#":
-                    nl = payload.find(b"\n", pos)
-                    pos = len(payload) if nl < 0 else nl + 1
-                else:
-                    break
-            start = pos
-            while pos < len(payload) and not payload[pos : pos + 1].isspace():
-                pos += 1
-            fields.append(int(payload[start:pos]))
-        pos += 1  # the single whitespace after maxval
-        w, h, maxval = fields
-        px = payload[pos:]
-        if maxval != 255 or len(px) != w * h * 3:
-            raise ValueError(
-                f"bad PPM: maxval={maxval} len={len(px)} for {w}x{h}"
-            )
-        return w, h, px
+    parse = _parse_ppm
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -407,3 +412,82 @@ def decode_ppm_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=PPM_FEATURE_SCHEMA)
+
+
+def resize_ppm_nearest(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image resize, codec-free tier (r9): parse the P6 container
+    (shared ``_parse_ppm`` — same parser as the feature decoder),
+    nearest-neighbor downsample by integer ``factor``
+    (out(x, y) = in(factor·x, factor·y), the top-left convention), and
+    RE-ENCODE a genuine P6 container at the new dimensions. Closes the
+    'resize' leg of the mandated decode/feature/resize/frame-sample
+    surface with a real container->container transform instead of the
+    signature stub (``resize_stub`` remains the seam for true-codec
+    formats). Arrow-batched, map-only; output payload is ~factor²
+    smaller, so downstream feature scans shrink accordingly. Corrupt
+    or dimension-mismatched containers raise via the shared parser."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for payload in batch["payload"]:
+                w, h, px = _parse_ppm(bytes(payload))
+                nw, nh = w // factor, h // factor
+                if nw < 1 or nh < 1:
+                    raise ValueError(
+                        f"resize factor {factor} collapses {w}x{h} to zero"
+                    )
+                out = bytearray()
+                for y in range(nh):
+                    row0 = y * factor * w
+                    for x in range(nw):
+                        i = (row0 + x * factor) * 3
+                        out += px[i : i + 3]
+                header = f"P6\n{nw} {nh}\n255\n".encode()
+                payloads.append(header + bytes(out))
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].values, "payload": payloads}
+            )
+
+    return media.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def decimate_wav(media: DataFrame, stride: int = 4) -> DataFrame:
+    """REAL audio frame-sampling, codec-free tier (r9): parse the
+    RIFF/WAVE container with the stdlib ``wave`` reader (channels /
+    width / rate / frame count all from the header, mismatches raise),
+    keep every ``stride``-th sample (classic decimation — the audio
+    form of video frame-sampling), and RE-ENCODE a genuine WAV at
+    rate // stride. Closes the 'frame-sample' leg of the mandated
+    multimodal surface with a real container->container transform.
+    Arrow-batched, map-only; output payloads shrink ~stride×."""
+    import io
+    import struct
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as r:
+                    if r.getnchannels() != 1 or r.getsampwidth() != 2:
+                        raise ValueError(
+                            f"doc {doc_id}: expected mono PCM16, got "
+                            f"{r.getnchannels()}ch/{r.getsampwidth()}B"
+                        )
+                    n = r.getnframes()
+                    samples = struct.unpack(f"<{n}h", r.readframes(n))
+                    rate = r.getframerate()
+                kept = samples[::stride]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wout:
+                    wout.setnchannels(1)
+                    wout.setsampwidth(2)
+                    wout.setframerate(max(1, rate // stride))
+                    wout.writeframes(struct.pack(f"<{len(kept)}h", *kept))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].values, "payload": payloads}
+            )
+
+    return media.mapInPandas(run, schema="doc_id bigint, payload binary")

@@ -290,3 +290,121 @@ def q_multimodal_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return decode_ppm_features(encode_ppm(synth_ppm_pixels(docs)))
+
+
+def _ppm_resize_oracle(factor: int = 2) -> str:
+    from ds_mapreduce_spark.operators.multimodal import (
+        PCM_A,
+        PCM_B,
+        PPM_HEIGHT,
+        PPM_WIDTH,
+    )
+
+    nw, nh = PPM_WIDTH // factor, PPM_HEIGHT // factor
+    return f"""
+WITH px AS (
+  SELECT doc_id, c,
+         ((doc_id % 256) * {PCM_A}
+          + (({factor} * y * {PPM_WIDTH} + {factor} * x) * 3 + c) * {PCM_B})
+         % 256 AS v
+  FROM documents,
+       UNNEST(range(0, {nh})) ty(y),
+       UNNEST(range(0, {nw})) tx(x),
+       UNNEST(range(0, 3)) tc(c)
+)
+SELECT doc_id,
+       CAST({nw} AS BIGINT) AS width,
+       CAST({nh} AS BIGINT) AS height,
+       CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id
+"""
+
+
+@register(
+    "multimodal_ppm_resize_real",
+    oracle=_ppm_resize_oracle(2),
+    doc="REAL image resize, codec-free tier (r9): the r8 roundtrip "
+    "chain with a genuine container->container transform in the "
+    "middle — synth pixels -> real P6 encode -> PARSE the container "
+    "(shared _parse_ppm), nearest-neighbor downsample by 2 "
+    "(out(x,y) = in(2x, 2y)), RE-ENCODE a real 12x8 P6 -> the real "
+    "feature decoder. The oracle computes the downsampled channel "
+    "sums analytically from the synth formula (pixel index "
+    "(2y*24 + 2x)*3 + c) and never sees a container byte, so parity "
+    "proves the full parse->resample->re-encode->parse chain "
+    "preserved exactly the expected pixels. Closes the 'resize' leg "
+    "of the mandated multimodal surface as REAL (the stub remains "
+    "only for true-codec formats). Three chained mapInPandas, "
+    "map-only, zero shuffles; resize shrinks payloads 4x so the "
+    "second decode scans a quarter of the bytes. See "
+    "operators/multimodal.py:resize_ppm_nearest.",
+)
+def q_multimodal_ppm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.multimodal import (
+        decode_ppm_features,
+        encode_ppm,
+        resize_ppm_nearest,
+        synth_ppm_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_ppm_features(
+        resize_ppm_nearest(encode_ppm(synth_ppm_pixels(docs)), factor=2)
+    )
+
+
+def _wav_decimate_oracle(stride: int = 4) -> str:
+    from ds_mapreduce_spark.operators.multimodal import (
+        PCM_A,
+        PCM_B,
+        WAV_N_SAMPLES,
+        WAV_SAMPLE_RATE,
+    )
+
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         (((doc_id % 65536) * {PCM_A} + i * {PCM_B}) % 65536) - 32768 AS v
+  FROM documents, UNNEST(range(0, {WAV_N_SAMPLES}, {stride})) t(i)
+)
+SELECT doc_id,
+       CAST({WAV_SAMPLE_RATE // stride} AS BIGINT) AS sample_rate,
+       CAST({(WAV_N_SAMPLES + stride - 1) // stride} AS BIGINT) AS n_samples,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM s GROUP BY doc_id
+"""
+
+
+@register(
+    "multimodal_wav_decimate_real",
+    oracle=_wav_decimate_oracle(4),
+    doc="REAL audio frame-sampling, codec-free tier (r9): synth PCM16 "
+    "-> real RIFF/WAVE encode -> PARSE the container (stdlib wave "
+    "reader, header-validated), keep every 4th sample (decimation — "
+    "the audio form of video frame-sampling), RE-ENCODE a genuine "
+    "WAV at rate/4 -> the real feature decoder, which reads the NEW "
+    "rate (2000) and frame count (256) from the re-encoded header. "
+    "The oracle computes the decimated features analytically "
+    "(UNNEST(range(0, 1024, 4))) and never sees a WAV byte — parity "
+    "proves the parse->decimate->re-encode->parse chain bit-exact. "
+    "Closes the 'frame-sample' leg of the mandated multimodal "
+    "surface as REAL. Three chained mapInPandas, map-only, zero "
+    "shuffles; decimation shrinks payloads ~4x. See "
+    "operators/multimodal.py:decimate_wav.",
+)
+def q_multimodal_wav_decimate_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.multimodal import (
+        decimate_wav,
+        decode_wav_features,
+        encode_wav,
+        synth_pcm_samples,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_wav_features(
+        decimate_wav(encode_wav(synth_pcm_samples(docs)), stride=4)
+    )

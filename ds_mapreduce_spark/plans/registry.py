@@ -83,10 +83,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: zero backlog. The 22 entries first graded in r08 stay pinned for a
 #: second consecutive green. Every IN entry is green under the
 #: in-repo DuckDB parity gate at sf0.001 AND sf0.01 (196/196,
-#: re-verified this session). The one r9-new registration
-#: (dedup_span_winnow_screen — the VERDICT r8 #7 comparison row)
-#: registers after this window and stages for the r10 rotation,
-#: green under the in-repo gate at both scales.
+#: re-verified this session). The three r9-new registrations
+#: (dedup_span_winnow_screen — the VERDICT r8 #7 comparison row —
+#: plus multimodal_ppm_resize_real / multimodal_wav_decimate_real,
+#: which make the mandated resize/frame-sample legs REAL
+#: container->container transforms) register after this window and
+#: stage for the r10 rotation, green under the in-repo gate at both
+#: scales.
 PRIORITY: tuple[str, ...] = (
     # ---- kept from the r7 cohort: sole temporal_queries coverage ----
     "events_gapfill_interpolate",  # r6: linear-interp gap fill

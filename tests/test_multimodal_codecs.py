@@ -106,3 +106,63 @@ def test_ppm_decoder_skips_header_comments(spark):
     row = decode_ppm_features(df).first()
     assert (row["width"], row["height"]) == (2, 2)
     assert row["sum_r"] == 10 + 40 + 70 + 100
+
+
+def test_ppm_resize_reads_and_writes_real_containers(spark):
+    """Real nearest-neighbor resize: a hand-built 4x2 P6 downsampled by
+    2 keeps exactly pixels (0,0) and (2,0), and the output is itself a
+    parseable P6 at the new dimensions (r9)."""
+    from ds_mapreduce_spark.operators.multimodal import (
+        _parse_ppm,
+        resize_ppm_nearest,
+    )
+
+    # 4x2 image; pixel (x, y) has RGB (10x+y, 100+10x+y, 200+10x+y)
+    px = bytes(
+        b
+        for y in range(2)
+        for x in range(4)
+        for b in (10 * x + y, 100 + 10 * x + y, 200 + 10 * x + y)
+    )
+    payload = b"P6\n4 2\n255\n" + px
+    df = spark.createDataFrame(
+        [(9, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    out = resize_ppm_nearest(df, factor=2).first()
+    w, h, opx = _parse_ppm(bytes(out["payload"]))
+    assert (w, h) == (2, 1)
+    # nearest-neighbor top-left: out(0,0)=in(0,0), out(1,0)=in(2,0)
+    assert list(opx) == [0, 100, 200, 20, 120, 220]
+
+
+def test_wav_decimate_reads_and_writes_real_containers(spark):
+    """Real decimation: a hand-built WAV strided by 2 keeps every other
+    sample and the re-encoded header carries the halved rate (r9)."""
+    import io
+    import struct
+    import wave
+
+    from ds_mapreduce_spark.operators.multimodal import decimate_wav
+
+    samples = [0, 1000, -2000, 3000, -32768, 32767, 7]
+    payload = _hand_built_wav(samples, rate=8000)
+    df = spark.createDataFrame(
+        [(13, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    out = decimate_wav(df, stride=2).first()
+    with wave.open(io.BytesIO(bytes(out["payload"])), "rb") as r:
+        assert r.getframerate() == 4000
+        n = r.getnframes()
+        got = struct.unpack(f"<{n}h", r.readframes(n))
+    assert list(got) == samples[::2]
+
+
+def test_resize_rejects_corrupt_containers(spark):
+    from ds_mapreduce_spark.operators.multimodal import resize_ppm_nearest
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"P6\n4 2\n255\n" + bytes(5)))],
+        "doc_id bigint, payload binary",
+    )
+    with pytest.raises(Exception):
+        resize_ppm_nearest(df, factor=2).collect()

@@ -195,6 +195,10 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # mapInPandas, map-only, zero shuffles by construction
         ("multimodal_wav_roundtrip", 0),
         ("multimodal_ppm_roundtrip", 0),
+        # r9: real container->container transforms — three chained
+        # mapInPandas, still map-only, zero shuffles by construction
+        ("multimodal_ppm_resize_real", 0),
+        ("multimodal_wav_decimate_real", 0),
         # r9: winnowing screen vs exact-20 truth — gram census +
         # truth distinct + fp census + flagged distinct + 1-row
         # summary (SinglePartition bounded scalar); the four
