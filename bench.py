@@ -121,6 +121,10 @@ HEADLINE = [
     # three excision rows above isolates the screen census's cost
     # (winnowing-density fp shuffle vs every-position md5 grams)
     "dedup_span_winnow_screen",
+    # round 9: the real compressed codec (PNG encode+decode, stdlib
+    # zlib) — its delta vs multimodal_wav_roundtrip isolates
+    # DEFLATE + per-row filter prediction vs raw-PCM packing
+    "multimodal_png_roundtrip",
 ]
 
 

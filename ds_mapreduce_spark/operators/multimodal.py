@@ -11,8 +11,11 @@ REAL: genuine containers are encoded and the decoder parses the
 container header rather than assuming it (``encode_wav``/
 ``decode_wav_features``, ``encode_ppm``/``decode_ppm_features``),
 with oracle parity proving the roundtrip preserves every sample.
-For formats that genuinely need codecs (JPEG/MP3/H.264 — the
-libraries are not in this container) ``decode_stub`` raises
+A third tier (r9) is a REAL COMPRESSED codec: PNG, implemented from
+the spec with stdlib zlib (``encode_png``/``decode_png_features`` —
+DEFLATE scanlines, all five predictive filters, CRC-verified chunks).
+For formats that genuinely need external codec libraries (lossy
+JPEG/MP3/H.264 — not in this container) ``decode_stub`` raises
 ``NotImplementedError`` at the documented seam and otherwise
 produces a deterministic fake feature set — there the Spark-side
 plumbing (schema, batching, partitioning, UDF signature) is what is
@@ -450,6 +453,241 @@ def resize_ppm_nearest(media: DataFrame, factor: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed codec (r9): PNG. Unlike WAV/PPM (raw-sample
+# containers), PNG is a genuine codec — DEFLATE-compressed scanlines,
+# per-row predictive filters, CRC-32 chunk integrity — and the whole
+# format is implementable from the spec with stdlib zlib/struct, no
+# external library. The encoder below writes standard 8-bit RGB PNGs
+# (any viewer opens them) and deliberately cycles through ALL FIVE
+# scanline filters (y % 5) so the decoder's unfilter arithmetic —
+# Sub/Up/Average/Paeth prediction, the hard part of PNG — is exercised
+# on every image, not just the trivial None path. The decoder verifies
+# every chunk CRC, parses IHDR, inflates IDAT, and unfilters; corrupt
+# bytes, bad CRCs, truncated streams, and unsupported subsets (non-8-bit,
+# non-RGB, Adam7 interlace) all raise. This narrows the
+# NotImplementedError seam to LOSSY codecs only (JPEG/MP3/H.264).
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor exactly as specified (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_line(line: bytes, prev: bytes, ft: int, bpp: int = 3) -> bytes:
+    """Apply scanline filter ``ft`` (forward direction, encoder side)."""
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:
+            pred = _paeth(a, b, c)
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int = 3) -> bytes:
+    """Reverse the per-scanline filters (decoder side): each row starts
+    with a filter-type byte; Sub/Up/Average/Paeth reconstruct from the
+    already-reconstructed left/up/up-left neighbors (spec §9)."""
+    stride = w * bpp
+    out = bytearray()
+    prev: bytes = bytes(stride)
+    pos = 0
+    for _ in range(h):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if len(line) != stride:
+            raise ValueError("truncated scanline")
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out += line
+        prev = bytes(line)
+    return bytes(out)
+
+
+def _encode_png_bytes(px: bytes, w: int, h: int) -> bytes:
+    """A complete standard PNG: signature + IHDR + IDAT + IEND, 8-bit
+    RGB, filter schedule y % 5 (all five filter types on every image
+    taller than 4 rows), zlib level 9."""
+    import struct
+    import zlib
+
+    stride = w * 3
+    if len(px) != stride * h:
+        raise ValueError(f"pixel buffer {len(px)} != {w}x{h} RGB")
+    raw = bytearray()
+    prev: bytes = bytes(stride)
+    for y in range(h):
+        line = px[y * stride : (y + 1) * stride]
+        ft = y % 5
+        raw.append(ft)
+        raw += _png_filter_line(line, prev, ft)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(payload: bytes):
+    """Parse a PNG container: returns (width, height, pixel bytes).
+
+    Walks the chunk stream verifying EVERY chunk's CRC-32, reads
+    geometry/depth/color-type from IHDR, concatenates IDAT segments
+    (multi-IDAT is spec-legal), inflates, and unfilters. Raises on a
+    bad signature, CRC mismatch, truncation, a decompressed size that
+    disagrees with IHDR, or the unsupported-subset cases (non-8-bit,
+    non-RGB, nonzero compression/filter method, Adam7 interlace) —
+    the same fail-loudly contract as the WAV/PPM parsers. Unknown
+    ancillary chunks (tEXt, gAMA, ...) are CRC-checked then skipped."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, seen_iend = 8, None, bytearray(), False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(data) != length or len(crc_bytes) != 4:
+            raise ValueError(f"truncated {typ!r} chunk")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != struct.unpack(">I", crc_bytes)[0]:
+            raise ValueError(f"CRC mismatch in {typ!r} chunk")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, fmeth, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 2:
+                raise ValueError(
+                    f"unsupported PNG subset: depth={depth} color_type={ctype} "
+                    "(only 8-bit RGB)"
+                )
+            if comp != 0 or fmeth != 0:
+                raise ValueError("nonstandard compression/filter method")
+            if interlace != 0:
+                raise ValueError("Adam7 interlace unsupported")
+            ihdr = (w, h)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or not seen_iend:
+        raise ValueError("missing IHDR or IEND")
+    w, h = ihdr
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + w * 3):
+        raise ValueError(
+            f"decompressed size {len(raw)} != expected {h * (1 + w * 3)}"
+        )
+    return w, h, _png_unfilter(raw, w, h)
+
+
+def encode_png(df: DataFrame) -> DataFrame:
+    """REAL PNG encoder: (doc_id, px flat RGB ints) -> (doc_id, payload)
+    where payload is a standard, any-viewer-openable PNG (DEFLATE
+    scanlines, all-five-filter schedule, CRC'd chunks). Arrow-batched,
+    map-only. Scale note: per-byte Python filtering is fine at these
+    thumbnail dims; production-size rasters would numpy-vectorize the
+    filter loops inside the SAME mapInPandas batch — the plan shape
+    (zero shuffles, payload written columnar) is the part that carries
+    to 100 TB unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = [
+                _encode_png_bytes(bytes(list(px)), PPM_WIDTH, PPM_HEIGHT)
+                for px in batch["px"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"].values, "payload": payloads}
+            )
+
+    return df.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """REAL PNG decoder: full container parse (_parse_png — CRC-verified
+    chunks, IHDR geometry, multi-IDAT inflate, all-five-filter
+    reconstruction) then per-channel exact sums. Same feature schema as
+    the PPM decoder, so the analytic oracle is shared verbatim: parity
+    proves DEFLATE + filter prediction round-tripped every pixel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+            )}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                w, h, px = _parse_png(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(sum(px[0::3]))
+                rows["sum_g"].append(sum(px[1::3]))
+                rows["sum_b"].append(sum(px[2::3]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=PPM_FEATURE_SCHEMA)
 
 
 def decimate_wav(media: DataFrame, stride: int = 4) -> DataFrame:

@@ -355,6 +355,39 @@ def q_multimodal_ppm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_png_roundtrip",
+    oracle=_ppm_oracle(),
+    doc="REAL compressed-codec decode (r9): PNG, implemented from the "
+    "spec with stdlib zlib — no external library. The same synth RGB "
+    "pixels as the PPM roundtrip are encoded into a STANDARD 8-bit RGB "
+    "PNG (DEFLATE-compressed scanlines; the filter schedule cycles "
+    "through ALL FIVE predictive filters None/Sub/Up/Average/Paeth, "
+    "y % 5, so the decoder's prediction arithmetic is exercised on "
+    "every image; CRC-32 on every chunk) and decoded back by a full "
+    "container parse: signature check, per-chunk CRC verification, "
+    "IHDR geometry/depth/color-type, multi-IDAT inflate, five-filter "
+    "unfiltering. The oracle is the SAME analytic channel-sum SQL as "
+    "multimodal_ppm_roundtrip (identical pixels, shared constants — "
+    "one-place rule), so parity proves DEFLATE + filter prediction "
+    "preserved every pixel bit-for-bit. This moves the family's "
+    "NotImplementedError seam to LOSSY codecs only (JPEG/MP3/H.264): "
+    "lossless image compression is now real. Plan: two chained "
+    "mapInPandas, map-only, ZERO shuffles; compressed payloads shrink "
+    "the bytes that cross executor->Python. See "
+    "operators/multimodal.py:_parse_png.",
+)
+def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.multimodal import (
+        decode_png_features,
+        encode_png,
+        synth_ppm_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_png_features(encode_png(synth_ppm_pixels(docs)))
+
+
 def _wav_decimate_oracle(stride: int = 4) -> str:
     from ds_mapreduce_spark.operators.multimodal import (
         PCM_A,

@@ -157,6 +157,112 @@ def test_wav_decimate_reads_and_writes_real_containers(spark):
     assert list(got) == samples[::2]
 
 
+def _png_chunk_bytes(typ: bytes, data: bytes) -> bytes:
+    """Chunk writer duplicated INLINE from the spec so the test shares
+    no code with the operator under test."""
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _hand_built_png() -> tuple[bytes, tuple[int, int, int]]:
+    """A 2x5 8-bit RGB PNG written byte-by-byte from the spec with one
+    row per filter type (0..4); every filtered byte below was computed
+    BY HAND from the spec's prediction formulas, not by our encoder.
+    Returns (payload, (sum_r, sum_g, sum_b)) for the pixel rows
+    [10,20,30,40,50,60] / [5,5,5,7,8,9] / [15,25,35,45,55,65] /
+    [100,110,120,130,140,150] / [200,210,220,10,20,30]."""
+    import struct
+    import zlib
+
+    raw = (
+        b"\x00" + bytes([10, 20, 30, 40, 50, 60])          # None
+        + b"\x01" + bytes([5, 5, 5, 2, 3, 4])              # Sub
+        + b"\x02" + bytes([10, 20, 30, 38, 47, 56])        # Up
+        + b"\x03" + bytes([93, 98, 103, 58, 58, 58])       # Average
+        + b"\x04" + bytes([100, 100, 100, 66, 66, 66])     # Paeth
+    )
+    ihdr = struct.pack(">IIBBBBB", 2, 5, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk_bytes(b"IHDR", ihdr)
+        # spec-legal ancillary chunk the decoder must CRC-check and skip
+        + _png_chunk_bytes(b"tEXt", b"Comment\x00hand built")
+        + _png_chunk_bytes(b"IDAT", zlib.compress(raw))
+        + _png_chunk_bytes(b"IEND", b"")
+    )
+    return payload, (562, 643, 724)
+
+
+def test_png_decoder_reads_foreign_containers(spark):
+    """The PNG decoder must reconstruct all five filter types from a
+    container it did not produce (r9): hand-written chunk stream,
+    hand-computed filtered bytes, an ancillary tEXt chunk in the way."""
+    from ds_mapreduce_spark.operators.multimodal import decode_png_features
+
+    payload, (sr, sg, sb) = _hand_built_png()
+    df = spark.createDataFrame(
+        [(21, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    row = decode_png_features(df).first()
+    assert (row["width"], row["height"]) == (2, 5)
+    assert (row["sum_r"], row["sum_g"], row["sum_b"]) == (sr, sg, sb)
+
+
+def test_png_encoder_output_parses_as_standard_png():
+    """encode_png's bytes round-trip through the spec-side parser and
+    carry the PNG signature + IEND trailer of a standard file."""
+    from ds_mapreduce_spark.operators.multimodal import (
+        _encode_png_bytes,
+        _parse_png,
+    )
+
+    px = bytes((7 * i + 3) % 256 for i in range(24 * 16 * 3))
+    payload = _encode_png_bytes(px, 24, 16)
+    assert payload.startswith(b"\x89PNG\r\n\x1a\n")
+    assert payload.endswith(_png_chunk_bytes(b"IEND", b""))
+    w, h, out = _parse_png(payload)
+    assert (w, h) == (24, 16)
+    assert out == px
+
+
+def test_png_corrupt_and_unsupported_fail_loudly(spark):
+    import struct
+    import zlib
+
+    from ds_mapreduce_spark.operators.multimodal import _parse_png
+
+    payload, _ = _hand_built_png()
+    # flip one byte inside the IDAT data region -> CRC mismatch
+    idat_pos = payload.index(b"IDAT") + 4
+    corrupt = (
+        payload[:idat_pos]
+        + bytes([payload[idat_pos] ^ 0xFF])
+        + payload[idat_pos + 1 :]
+    )
+    with pytest.raises(ValueError, match="CRC"):
+        _parse_png(corrupt)
+    with pytest.raises(ValueError):
+        _parse_png(payload[:-10])  # truncated: IEND gone
+    # unsupported subsets: 16-bit depth, Adam7 interlace
+    for depth, interlace in ((16, 0), (8, 1)):
+        ihdr = struct.pack(">IIBBBBB", 2, 5, depth, 2, 0, 0, interlace)
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk_bytes(b"IHDR", ihdr)
+            + _png_chunk_bytes(b"IDAT", zlib.compress(b"\x00" * 35))
+            + _png_chunk_bytes(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="unsupported|interlace"):
+            _parse_png(bad)
+
+
 def test_resize_rejects_corrupt_containers(spark):
     from ds_mapreduce_spark.operators.multimodal import resize_ppm_nearest
 

@@ -199,6 +199,9 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # mapInPandas, still map-only, zero shuffles by construction
         ("multimodal_ppm_resize_real", 0),
         ("multimodal_wav_decimate_real", 0),
+        # r9: real COMPRESSED codec (PNG, stdlib zlib) — same
+        # map-only two-pass shape as the WAV/PPM roundtrips
+        ("multimodal_png_roundtrip", 0),
         # r9: winnowing screen vs exact-20 truth — gram census +
         # truth distinct + fp census + flagged distinct + 1-row
         # summary (SinglePartition bounded scalar); the four
