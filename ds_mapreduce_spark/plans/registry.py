@@ -83,13 +83,26 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: zero backlog. The 22 entries first graded in r08 stay pinned for a
 #: second consecutive green. Every IN entry is green under the
 #: in-repo DuckDB parity gate at sf0.001 AND sf0.01 (196/196,
-#: re-verified this session). The three r9-new registrations
+#: re-verified this session). The four r9-new registrations
 #: (dedup_span_winnow_screen — the VERDICT r8 #7 comparison row —
-#: plus multimodal_ppm_resize_real / multimodal_wav_decimate_real,
-#: which make the mandated resize/frame-sample legs REAL
-#: container->container transforms) register after this window and
-#: stage for the r10 rotation, green under the in-repo gate at both
-#: scales.
+#: multimodal_ppm_resize_real / multimodal_wav_decimate_real, which
+#: make the mandated resize/frame-sample legs REAL container->
+#: container transforms, and multimodal_png_roundtrip — a real
+#: COMPRESSED codec, PNG from the spec with stdlib zlib) register
+#: after this window, green under the in-repo gate at both scales.
+#: Staged r10 rotation (assuming CORRECTNESS_r09 grades this window
+#: green): OUT go the 22 entries then twice-green (first graded r08,
+#: pinned here for a 2nd green) except where family coverage requires
+#: a stay — csv_roundtrip or jsonl_roundtrip as the only
+#: format_queries rows, mr_distributed_grep as the only mr_queries
+#: row; IN come the four r9-new registrations plus re-greens of the
+#: longest-unvisited cohort — 70 entries were last driver-graded r5
+#: or earlier as of r9, the 24 stalest untouched since r1 (agg_cube,
+#: agg_rollup, join_semi_anti, set_operations, window_running_sum,
+#: wordcount_topk, mr_salted_wordcount, q4/q5/q12-q14/q16-q18/q22,
+#: multimodal_frame_sample/_resize, ...; exact list from the
+#: CORRECTNESS_r01-r09 union at rotation time) — so cumulative
+#: evidence stays FRESH as well as complete.
 PRIORITY: tuple[str, ...] = (
     # ---- kept from the r7 cohort: sole temporal_queries coverage ----
     "events_gapfill_interpolate",  # r6: linear-interp gap fill
