@@ -125,6 +125,10 @@ HEADLINE = [
     # zlib) — its delta vs multimodal_wav_roundtrip isolates
     # DEFLATE + per-row filter prediction vs raw-PCM packing
     "multimodal_png_roundtrip",
+    # round 9: the real LOSSY codec (baseline JPEG, fixed-point DCT +
+    # Huffman) — its delta vs multimodal_png_roundtrip isolates
+    # transform coding + entropy coding vs DEFLATE filtering
+    "multimodal_jpeg_roundtrip",
 ]
 
 

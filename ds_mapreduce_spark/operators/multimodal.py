@@ -14,12 +14,14 @@ with oracle parity proving the roundtrip preserves every sample.
 A third tier (r9) is a REAL COMPRESSED codec: PNG, implemented from
 the spec with stdlib zlib (``encode_png``/``decode_png_features`` —
 DEFLATE scanlines, all five predictive filters, CRC-verified chunks).
-For formats that genuinely need external codec libraries (lossy
-JPEG/MP3/H.264 — not in this container) ``decode_stub`` raises
-``NotImplementedError`` at the documented seam and otherwise
-produces a deterministic fake feature set — there the Spark-side
-plumbing (schema, batching, partitioning, UDF signature) is what is
-real and tested.
+A fourth tier (r9) is a REAL LOSSY codec: baseline JPEG from the ITU
+T.81 spec (``operators/jpeg.py`` — fixed-point DCT, quantization,
+canonical Huffman, JFIF container). For formats that genuinely need
+external codec libraries (MP3/H.264 — not in this container)
+``decode_stub`` raises ``NotImplementedError`` at the documented seam
+and otherwise produces a deterministic fake feature set — there the
+Spark-side plumbing (schema, batching, partitioning, UDF signature)
+is what is real and tested.
 
 Scale notes (100 TB): binary payloads dominate row width, so
 ``spark.sql.files.maxPartitionBytes`` (not row counts) sizes tasks;
@@ -467,8 +469,9 @@ def resize_ppm_nearest(media: DataFrame, factor: int = 2) -> DataFrame:
 # on every image, not just the trivial None path. The decoder verifies
 # every chunk CRC, parses IHDR, inflates IDAT, and unfilters; corrupt
 # bytes, bad CRCs, truncated streams, and unsupported subsets (non-8-bit,
-# non-RGB, Adam7 interlace) all raise. This narrows the
-# NotImplementedError seam to LOSSY codecs only (JPEG/MP3/H.264).
+# non-RGB, Adam7 interlace) all raise. With the baseline JPEG codec in
+# operators/jpeg.py (r9), the NotImplementedError seam narrows further
+# to codec formats with no stdlib path at all (MP3/H.264).
 # ---------------------------------------------------------------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -1,0 +1,222 @@
+"""The r9 lossy-codec tier is REAL: baseline JPEG implemented from the
+ITU T.81 spec. Three independent locks:
+
+1. The BITSTREAM layer equals the pure-math model — decode(encode(px))
+   reproduces quant->dequant->IDCT exactly for arbitrary random images
+   (separates Huffman/container bugs from transform bugs).
+2. The ANALYTIC ORACLE formula equals the general pipeline over the
+   ENTIRE synth parameter space (192 base values x 32 steps) — the
+   theorem the graded oracle rests on, brute-forced.
+3. The decoder reads FOREIGN containers: a hand-assembled JPEG with a
+   DIFFERENT quant table and DIFFERENT Huffman code lengths than our
+   encoder ever writes, with the expected reconstruction hand-computed
+   from the fixed-point formulas. Corrupt/unsupported payloads raise.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ds_mapreduce_spark.operators.jpeg import (
+    _QT_NP,
+    _fdct_blocks,
+    _idct_blocks,
+    _quantize,
+    DCT_STEP,
+    DCT_T,
+    JPEG_QT,
+    encode_jpeg_bytes,
+    parse_jpeg,
+)
+
+
+def _reference_model(px: bytes, w: int, h: int) -> bytes:
+    """quant->dequant->IDCT with no container/entropy layer."""
+    arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64).reshape(h, w)
+    bw, bh = w // 8, h // 8
+    blocks = (
+        arr.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128
+    )
+    q = _quantize(_fdct_blocks(blocks))
+    rec = np.clip(_idct_blocks(q * _QT_NP) + 128, 0, 255)
+    return (
+        rec.reshape(bh, bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(h, w)
+        .astype(np.uint8)
+        .tobytes()
+    )
+
+
+def test_bitstream_equals_math_model_on_random_images():
+    rng = np.random.RandomState(7)
+    for _ in range(10):
+        w, h = 8 * rng.randint(1, 5), 8 * rng.randint(1, 5)
+        px = rng.randint(0, 256, size=w * h).astype(np.uint8).tobytes()
+        w2, h2, out = parse_jpeg(encode_jpeg_bytes(px, w, h))
+        assert (w2, h2) == (w, h)
+        assert out == _reference_model(px, w, h)
+        # lossy sanity: the reconstruction tracks the original
+        err = np.abs(
+            np.frombuffer(out, np.uint8).astype(int)
+            - np.frombuffer(px, np.uint8).astype(int)
+        )
+        assert err.mean() < 48
+
+
+def _da(x: int, m: int = 8192) -> int:
+    """half-away-from-zero round of x/m (the codec's DESCALE)."""
+    return (2 * abs(x) + m) // (2 * m) * (1 if x >= 0 else -1)
+
+
+def test_analytic_formula_equals_pipeline_over_full_parameter_space():
+    """The oracle's closed form == the general fixed-point pipeline for
+    EVERY (v0, d) the synth can produce — 6144 block variants. This is
+    the theorem that lets a LOSSY codec be graded bit-exactly."""
+    t00 = DCT_T[0][0]
+    for v0 in range(32, 224):
+        for d in range(-16, 16):
+            c = v0 - 128
+            s = np.full((8, 8), c, dtype=np.int64)
+            s[:, :4] += d
+            s[:, 4:] -= d
+            q = _quantize(_fdct_blocks(s[None]))[0]
+            # exactly 5 coefficient slots may be nonzero
+            mask = np.zeros((8, 8), bool)
+            mask[0, [0, 1, 3, 5, 7]] = True
+            assert not np.any(q[~mask]), (v0, d)
+            rec = np.clip(_idct_blocks((q * _QT_NP)[None])[0] + 128, 0, 255)
+            assert np.all(rec == rec[0])  # rows identical by construction
+            # analytic closed form (mirrors plans/multimodal_queries.py)
+            g0 = _da(8 * c * t00)
+            dc = _da(8 * g0 * t00)
+            r0 = _da(dc, JPEG_QT[0][0]) * JPEG_QT[0][0]
+            h0 = _da(r0 * t00)
+            hs = {}
+            for u in (1, 3, 5, 7):
+                gu = _da(d * DCT_STEP[u])
+                cu = _da(8 * gu * t00)
+                ru = _da(cu, JPEG_QT[0][u]) * JPEG_QT[0][u]
+                hs[u] = _da(ru * t00)
+            for x in range(8):
+                acc = h0 * t00 + sum(hs[u] * DCT_T[u][x] for u in (1, 3, 5, 7))
+                vr = max(0, min(255, _da(acc) + 128))
+                assert rec[0, x] == vr, (v0, d, x)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _hand_built_jpeg() -> tuple[bytes, int]:
+    """An 8x8 grayscale baseline JPEG assembled byte-by-byte from the
+    spec — NOT via our encoder. Deliberately different tables:
+
+    - quant table Q[0][0] = 10 (ours is 16), other entries arbitrary;
+      written in ZIGZAG order as the spec requires;
+    - DC Huffman: ONE code, length 1 ('0'), for category 4;
+      AC Huffman: ONE code, length 1 ('0'), for EOB — nothing like our
+      flat 4/8-bit tables, so decoding proves DHT is actually read.
+
+    Scan: DC code '0' + magnitude 1010 (diff=+10), then EOB '0':
+    bits 0 1010 0 + pad 11 -> 0x53. Reconstruction, hand-computed with
+    the fixed-point formulas: R = 10*10 = 100;
+    g = round(100*2896/8192) = 35; f = round(35*2896/8192) = 12;
+    pixel = 12 + 128 = 140 everywhere.
+    """
+    qt = [10] + [16] * 63  # zigzag order; first entry is Q[0][0]
+    dht = (
+        b"\x00"  # DC table 0
+        + bytes([1] + [0] * 15)  # one code of length 1
+        + bytes([4])  # -> category 4
+        + b"\x10"  # AC table 0
+        + bytes([1] + [0] * 15)
+        + bytes([0x00])  # -> EOB
+    )
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xFFDB, b"\x00" + bytes(qt))
+        + _seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+        + _seg(0xFFC4, dht)
+        + _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+        + bytes([0x53])
+        + b"\xff\xd9"
+    )
+    return payload, 140
+
+
+def test_decoder_reads_foreign_containers():
+    payload, expected = _hand_built_jpeg()
+    w, h, px = parse_jpeg(payload)
+    assert (w, h) == (8, 8)
+    assert list(px) == [expected] * 64
+
+
+def test_decode_features_on_foreign_container(spark):
+    from ds_mapreduce_spark.operators.jpeg import decode_jpeg_features
+
+    payload, expected = _hand_built_jpeg()
+    df = spark.createDataFrame(
+        [(17, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    row = decode_jpeg_features(df).first()
+    assert (row["width"], row["height"], row["n_blocks"]) == (8, 8, 1)
+    assert row["sum_v"] == 64 * expected
+    assert row["sum_sq"] == 64 * expected * expected
+
+
+def test_encoder_output_is_a_standard_jfif_file():
+    px = bytes((5 * i + 11) % 256 for i in range(16 * 8))
+    payload = encode_jpeg_bytes(px, 16, 8)
+    assert payload.startswith(b"\xff\xd8")  # SOI
+    assert payload.endswith(b"\xff\xd9")  # EOI
+    assert b"JFIF\x00" in payload[:30]  # APP0 identifier
+    assert b"\xff\xc0" in payload  # baseline SOF0, not progressive
+
+
+def test_corrupt_and_unsupported_fail_loudly():
+    payload, _ = _hand_built_jpeg()
+    # progressive SOF2 instead of SOF0
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(ValueError, match="non-baseline"):
+        parse_jpeg(prog)
+    # truncated scan: chop the entropy byte and EOI
+    with pytest.raises(ValueError, match="truncated"):
+        parse_jpeg(payload[:-3])
+    # not a JPEG at all
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg(b"\x89PNG\r\n\x1a\n nope")
+    # multi-component frame
+    multi = payload.replace(
+        _seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00"),
+        _seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, 8, 8, 3)
+            + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01",
+        ),
+    )
+    with pytest.raises(ValueError, match="single-component"):
+        parse_jpeg(multi)
+    # 16-bit quant table
+    deep = payload.replace(b"\xff\xdb\x00\x43\x00", b"\xff\xdb\x00\x43\x10")
+    with pytest.raises(ValueError, match="16-bit"):
+        parse_jpeg(deep)
+    # restart intervals
+    dri = payload[:2] + _seg(0xFFDD, b"\x00\x04") + payload[2:]
+    with pytest.raises(ValueError, match="restart"):
+        parse_jpeg(dri)
+    # invalid Huffman code: flip the scan byte so the first bit is 1,
+    # which no code in the hand-built DC table starts with
+    bad_scan = payload[:-3] + bytes([0xD3]) + payload[-2:]
+    with pytest.raises(ValueError, match="Huffman|truncated|marker"):
+        parse_jpeg(bad_scan)
+
+
+def test_encoder_rejects_bad_geometry():
+    with pytest.raises(ValueError, match="multiples of 8"):
+        encode_jpeg_bytes(bytes(100), 10, 10)
+    with pytest.raises(ValueError, match="multiples of 8"):
+        encode_jpeg_bytes(bytes(63), 8, 8)

@@ -202,6 +202,10 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # r9: real COMPRESSED codec (PNG, stdlib zlib) — same
         # map-only two-pass shape as the WAV/PPM roundtrips
         ("multimodal_png_roundtrip", 0),
+        # r9: real LOSSY codec (baseline JPEG from the T.81 spec) —
+        # same map-only two-pass shape; fixed-point DCT keeps the
+        # lossy chain bit-reproducible for the analytic oracle
+        ("multimodal_jpeg_roundtrip", 0),
         # r9: winnowing screen vs exact-20 truth — gram census +
         # truth distinct + fp census + flagged distinct + 1-row
         # summary (SinglePartition bounded scalar); the four
