@@ -129,6 +129,9 @@ HEADLINE = [
     # Huffman) — its delta vs multimodal_png_roundtrip isolates
     # transform coding + entropy coding vs DEFLATE filtering
     "multimodal_jpeg_roundtrip",
+    # round 9: the real dictionary-coding codec (GIF, hand-written
+    # LZW) — completes the DEFLATE/DCT+Huffman/LZW compression set
+    "multimodal_gif_roundtrip",
 ]
 
 

@@ -388,6 +388,63 @@ def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_features(encode_png(synth_ppm_pixels(docs)))
 
 
+def _gif_oracle() -> str:
+    from ds_mapreduce_spark.operators.gif import (
+        GIF_H,
+        GIF_PAL_B_OFF,
+        GIF_PAL_G_OFF,
+        GIF_W,
+    )
+    from ds_mapreduce_spark.operators.multimodal import PCM_A, PCM_B
+
+    n = GIF_W * GIF_H
+    return f"""
+WITH px AS (
+  SELECT doc_id, ((doc_id % 256) * {PCM_A} + i * {PCM_B}) % 256 AS v
+  FROM documents, UNNEST(range(0, {n})) t(i)
+)
+SELECT doc_id,
+       CAST({GIF_W} AS BIGINT) AS width,
+       CAST({GIF_H} AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS sum_r,
+       CAST(SUM((v + {GIF_PAL_G_OFF}) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((v + {GIF_PAL_B_OFF}) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id
+"""
+
+
+@register(
+    "multimodal_gif_roundtrip",
+    oracle=_gif_oracle(),
+    doc="REAL dictionary-coding codec (r9): GIF89a with the LZW "
+    "compressor/decompressor implemented BY HAND from the spec "
+    "(stdlib has no LZW) — variable-width codes growing at the "
+    "dictionary thresholds, CLEAR/EOI control codes, dictionary reset "
+    "at 4095 entries, the KwKwK decoder case, length-prefixed "
+    "sub-blocks. Completes the classic compression-family set "
+    "alongside DEFLATE (PNG) and transform+Huffman (JPEG). The "
+    "decoder parses the whole container (screen descriptor, global "
+    "AND local color tables, extension skipping, interlace rejected "
+    "loudly) and sums the PALETTE-MAPPED channels, so parity against "
+    "the analytic index-formula oracle proves LZW round-tripped every "
+    "pixel. Interchange is independently proven: OpenJDK ImageIO "
+    "(javax.imageio, a decoder sharing zero code with ours) "
+    "reconstructs our GIF and PNG files pixel-EXACTLY and our JPEG "
+    "within the T.81-permitted +-1 (tests/test_codec_interchange.py). "
+    "Plan: two chained mapInPandas, map-only, ZERO shuffles. See "
+    "operators/gif.py:parse_gif.",
+)
+def q_multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.gif import (
+        decode_gif_features,
+        encode_gif,
+        synth_gif_indices,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_gif_features(encode_gif(synth_gif_indices(docs)))
+
+
 def _wav_decimate_oracle(stride: int = 4) -> str:
     from ds_mapreduce_spark.operators.multimodal import (
         PCM_A,

@@ -1,0 +1,102 @@
+"""Third-party interchange for the real codecs: OpenJDK's ImageIO
+(javax.imageio, reached through the Spark JVM gateway — decoders that
+share ZERO code with ours) must reconstruct our encoders' files.
+
+- GIF and PNG are lossless: ImageIO's pixels must match EXACTLY.
+- JPEG's IDCT is implementation-defined (T.81 bounds accuracy rather
+  than mandating an implementation), so ImageIO must match our
+  fixed-point reconstruction within +-1 — and exactly on constant
+  blocks, where every conforming IDCT lands on the same value.
+
+Gotcha encoded here so nobody reintroduces it: BufferedImage.getRGB
+treats grayscale as LINEAR gray and gamma-encodes to sRGB (128 ->
+188); raster.getSamples returns the raw sample values the decoder
+produced — always compare against the raster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _imageio_gray(spark, path: str) -> np.ndarray:
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    if img is None:
+        pytest.fail(f"ImageIO could not decode {path}")
+    w, h = img.getWidth(), img.getHeight()
+    return np.array(
+        img.getRaster().getSamples(0, 0, w, h, 0, None), dtype=np.int64
+    )
+
+
+def _imageio_rgb(spark, path: str) -> np.ndarray:
+    jvm = spark._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    if img is None:
+        pytest.fail(f"ImageIO could not decode {path}")
+    w, h = img.getWidth(), img.getHeight()
+    a = np.array(img.getRGB(0, 0, w, h, None, 0, w), dtype=np.int64)
+    return np.stack([(a >> 16) & 0xFF, (a >> 8) & 0xFF, a & 0xFF], axis=1)
+
+
+def test_gif_interchange_with_openjdk(spark, tmp_path):
+    from ds_mapreduce_spark.operators.gif import (
+        GIF_PAL_B_OFF,
+        GIF_PAL_G_OFF,
+        encode_gif_bytes,
+    )
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, 80 * 60).astype(np.uint8)
+    p = str(tmp_path / "ours.gif")
+    with open(p, "wb") as f:
+        f.write(encode_gif_bytes(px.tobytes(), 80, 60))
+    rgb = _imageio_rgb(spark, p)  # palette output is true sRGB: no gamma trap
+    exp = np.stack(
+        [px, (px + GIF_PAL_G_OFF) % 256, (px + GIF_PAL_B_OFF) % 256], axis=1
+    ).astype(np.int64)
+    assert np.array_equal(rgb, exp)
+
+
+def test_png_interchange_with_openjdk(spark, tmp_path):
+    from ds_mapreduce_spark.operators.multimodal import _encode_png_bytes
+
+    rng = np.random.RandomState(12)
+    px = rng.randint(0, 256, 24 * 16 * 3).astype(np.uint8)
+    p = str(tmp_path / "ours.png")
+    with open(p, "wb") as f:
+        f.write(_encode_png_bytes(px.tobytes(), 24, 16))
+    rgb = _imageio_rgb(spark, p)
+    assert np.array_equal(rgb, px.reshape(-1, 3).astype(np.int64))
+
+
+def test_jpeg_interchange_with_openjdk(spark, tmp_path):
+    from ds_mapreduce_spark.operators.jpeg import encode_jpeg_bytes, parse_jpeg
+
+    rng = np.random.RandomState(13)
+    px = rng.randint(0, 256, 32 * 16).astype(np.uint8).tobytes()
+    p = str(tmp_path / "ours.jpg")
+    payload = encode_jpeg_bytes(px, 32, 16)
+    with open(p, "wb") as f:
+        f.write(payload)
+    theirs = _imageio_gray(spark, p)
+    ours = np.frombuffer(parse_jpeg(payload)[2], dtype=np.uint8).astype(np.int64)
+    assert np.abs(theirs - ours).max() <= 1  # T.81 implementation variance
+
+
+def test_jpeg_constant_blocks_interchange_exactly(spark, tmp_path):
+    from ds_mapreduce_spark.operators.jpeg import encode_jpeg_bytes, parse_jpeg
+
+    for v in (0, 77, 128, 200, 255):
+        px = bytes([v]) * 64
+        p = str(tmp_path / f"const{v}.jpg")
+        payload = encode_jpeg_bytes(px, 8, 8)
+        with open(p, "wb") as f:
+            f.write(payload)
+        theirs = _imageio_gray(spark, p)
+        ours = np.frombuffer(parse_jpeg(payload)[2], dtype=np.uint8).astype(
+            np.int64
+        )
+        assert np.array_equal(theirs, ours), v
