@@ -132,6 +132,9 @@ HEADLINE = [
     # round 9: the real dictionary-coding codec (GIF, hand-written
     # LZW) — completes the DEFLATE/DCT+Huffman/LZW compression set
     "multimodal_gif_roundtrip",
+    # round 9: the real lossy audio codec (G.711 mu-law) — its delta
+    # vs multimodal_wav_roundtrip is exactly the companding cost
+    "multimodal_ulaw_roundtrip",
 ]
 
 

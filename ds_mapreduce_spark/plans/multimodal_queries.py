@@ -388,6 +388,92 @@ def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_features(encode_png(synth_ppm_pixels(docs)))
 
 
+def _ulaw_oracle() -> str:
+    """Closed-form oracle for the LOSSY G.711 roundtrip: mu-law is a
+    deterministic integer map, so the reconstructed sample is an exact
+    8-branch CASE on the biased magnitude's segment — encode (clip,
+    bias, segment, mantissa) and decode (Sun g711 reconstruction)
+    fused into one expression per sample. tests/test_g711.py locks
+    this closed form against encode->decode over the ENTIRE 16-bit
+    range, so parity here grades the container+expansion chain."""
+    from ds_mapreduce_spark.operators.g711 import ULAW_BIAS, ULAW_CLIP
+    from ds_mapreduce_spark.operators.multimodal import (
+        PCM_A,
+        PCM_B,
+        WAV_N_SAMPLES,
+        WAV_SAMPLE_RATE,
+    )
+
+    branches = "\n         ".join(
+        (
+            f"WHEN mm < {256 << seg} THEN "
+            if seg < 7
+            else "ELSE "
+        )
+        + f"(((mm // {8 << seg}) % 16) * 8 + {ULAW_BIAS}) * {1 << seg} - {ULAW_BIAS}"
+        for seg in range(8)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         (((doc_id % 65536) * {PCM_A} + i * {PCM_B}) % 65536) - 32768 AS v
+  FROM documents, UNNEST(range(0, {WAV_N_SAMPLES})) t(i)
+), m AS (
+  SELECT doc_id, v, LEAST(ABS(v), {ULAW_CLIP}) + {ULAW_BIAS} AS mm FROM s
+), r AS (
+  SELECT doc_id,
+         CASE WHEN v < 0 THEN -mag ELSE mag END AS rv
+  FROM (
+    SELECT doc_id, v, CASE
+         {branches}
+       END AS mag
+    FROM m
+  ) q
+)
+SELECT doc_id,
+       CAST({WAV_SAMPLE_RATE} AS BIGINT) AS sample_rate,
+       CAST({WAV_N_SAMPLES} AS BIGINT) AS n_samples,
+       CAST(MAX(ABS(rv)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS(rv)) AS BIGINT) AS sum_abs,
+       CAST(SUM(rv * rv) AS BIGINT) AS sum_sq
+FROM r GROUP BY doc_id
+"""
+
+
+@register(
+    "multimodal_ulaw_roundtrip",
+    oracle=_ulaw_oracle(),
+    doc="REAL lossy AUDIO codec (r9): ITU-T G.711 mu-law companding "
+    "from the spec — sign/segment/mantissa encode with bias 0x84 and "
+    "clip 32635, ones-complement wire format, Sun-g711 reconstruction "
+    "— in a genuine RIFF/WAVE container with wFormatTag=7, written "
+    "and parsed BY HAND (stdlib wave is PCM-only; the parser walks "
+    "chunks with spec word-alignment and validates the format tag "
+    "from the container). Because companding is a deterministic "
+    "integer map, the lossy reconstruction is exactly closed-form: "
+    "the oracle fuses encode+decode into an 8-branch CASE per sample "
+    "and parity proves the whole chain bit-for-bit (the closed form "
+    "itself is locked against encode->decode over all 65536 inputs "
+    "in tests/test_g711.py). Interchange: javax.sound.sampled — an "
+    "independent mu-law implementation — decodes our files to "
+    "IDENTICAL PCM (tests/test_codec_interchange.py). The features "
+    "share the PCM WAV decoder's schema, so this row's delta vs "
+    "multimodal_wav_roundtrip measures exactly what companding cost. "
+    "Plan: two chained mapInPandas, map-only, ZERO shuffles; mu-law "
+    "halves the bytes crossing executor->Python vs PCM16. See "
+    "operators/g711.py:parse_ulaw_wav.",
+)
+def q_multimodal_ulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.g711 import (
+        decode_ulaw_features,
+        encode_ulaw,
+    )
+    from ds_mapreduce_spark.operators.multimodal import synth_pcm_samples
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_ulaw_features(encode_ulaw(synth_pcm_samples(docs)))
+
+
 def _gif_oracle() -> str:
     from ds_mapreduce_spark.operators.gif import (
         GIF_H,

@@ -86,6 +86,39 @@ def test_jpeg_interchange_with_openjdk(spark, tmp_path):
     assert np.abs(theirs - ours).max() <= 1  # T.81 implementation variance
 
 
+def test_ulaw_interchange_with_javax_sound(spark, tmp_path):
+    """javax.sound.sampled's mu-law converter (an independent G.711
+    implementation) must expand our encoder's file to IDENTICAL PCM."""
+    from ds_mapreduce_spark.operators.g711 import (
+        encode_ulaw_wav_bytes,
+        ulaw_decode_sample,
+        ulaw_encode_sample,
+    )
+
+    rng = np.random.RandomState(14)
+    samples = [int(v) for v in rng.randint(-32768, 32768, 256)]
+    p = str(tmp_path / "ours.wav")
+    with open(p, "wb") as f:
+        f.write(encode_ulaw_wav_bytes(samples, rate=8000))
+    jvm = spark._jvm
+    ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+        jvm.java.io.File(p)
+    )
+    assert "ULAW" in ais.getFormat().toString()
+    enc = jvm.javax.sound.sampled.AudioFormat.Encoding
+    pcm_fmt = jvm.javax.sound.sampled.AudioFormat(
+        enc.PCM_SIGNED, 8000.0, 16, 1, 2, 8000.0, False
+    )
+    conv = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+        pcm_fmt, ais
+    )
+    theirs = np.frombuffer(bytes(conv.readAllBytes()), dtype="<i2").astype(int)
+    ours = np.array(
+        [ulaw_decode_sample(ulaw_encode_sample(s)) for s in samples]
+    )
+    assert np.array_equal(theirs, ours)
+
+
 def test_jpeg_constant_blocks_interchange_exactly(spark, tmp_path):
     from ds_mapreduce_spark.operators.jpeg import encode_jpeg_bytes, parse_jpeg
 
