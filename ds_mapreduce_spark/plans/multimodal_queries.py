@@ -555,26 +555,15 @@ FROM s GROUP BY doc_id
 """
 
 
-def _jpeg_oracle() -> str:
-    """Analytic oracle for the LOSSY JPEG roundtrip — every arithmetic
-    step of the codec's fixed-point DCT -> quantize -> dequantize ->
-    IDCT chain unrolled into portable integer SQL (half-away rounding
-    via truncating DIV, verified identical on Spark and DuckDB). The
-    synth blocks are constant+step, so exactly five coefficients are
-    nonzero (DC + odd-u ACs) and the reconstruction is closed-form; the
-    constants (basis row T[0][0]=2896, the step response sums, the
-    Annex K quant row) are imported from the operator module — the
-    one-place rule. tests/test_jpeg.py brute-forces this formula
-    against the general pipeline over the whole parameter space."""
-    from ds_mapreduce_spark.operators.jpeg import (
-        DCT_STEP,
-        DCT_T,
-        JPEG_BLOCKS,
-        JPEG_H,
-        JPEG_QT,
-        JPEG_W,
-    )
-    from ds_mapreduce_spark.operators.multimodal import PCM_A, PCM_B
+def _jpeg_chain_ctes() -> str:
+    """The shared closed-form CTE chain for the fixed-point JPEG
+    pipeline: expects a CTE ``p(doc_id, c, d)`` with one row per
+    8x8 BLOCK INSTANCE (c = level-shifted base, d = step), and ends
+    with ``fx(doc_id, vr)`` holding one reconstructed pixel value per
+    (instance, output column x) — each vr stands for 8 identical rows.
+    Shared verbatim by the still-image and MJPEG-video oracles (the
+    one-place rule for the DCT constants)."""
+    from ds_mapreduce_spark.operators.jpeg import DCT_STEP, DCT_T, JPEG_QT
 
     t00 = DCT_T[0][0]
 
@@ -603,13 +592,7 @@ def _jpeg_oracle() -> str:
         f"h{u} * ([{','.join(str(v) for v in DCT_T[u])}][x + 1])"
         for u in (1, 3, 5, 7)
     )
-    return f"""
-WITH p AS (
-  SELECT doc_id,
-         32 + ((doc_id % 256) * {PCM_A} + b * {PCM_B}) % 192 - 128 AS c,
-         ((doc_id % 256) * {PCM_B} + b * {PCM_A}) % 32 - 16 AS d
-  FROM documents, UNNEST(range(0, {JPEG_BLOCKS})) t(b)
-), g AS (
+    return f"""g AS (
   SELECT doc_id, {da(f'8 * c * {t00}')} AS g0,
          {ac_g}
   FROM p
@@ -630,7 +613,30 @@ WITH p AS (
          LEAST(255, GREATEST(0,
            ({da(f'h0 * {t00} + {basis}')}) + 128)) AS vr
   FROM hh, UNNEST(range(0, 8)) tx(x)
-)
+)"""
+
+
+def _jpeg_oracle() -> str:
+    """Analytic oracle for the LOSSY JPEG roundtrip — every arithmetic
+    step of the codec's fixed-point DCT -> quantize -> dequantize ->
+    IDCT chain unrolled into portable integer SQL (half-away rounding
+    via truncating DIV, verified identical on Spark and DuckDB). The
+    synth blocks are constant+step, so exactly five coefficients are
+    nonzero (DC + odd-u ACs) and the reconstruction is closed-form; the
+    constants (basis row T[0][0]=2896, the step response sums, the
+    Annex K quant row) are imported from the operator module — the
+    one-place rule. tests/test_jpeg.py brute-forces this formula
+    against the general pipeline over the whole parameter space."""
+    from ds_mapreduce_spark.operators.jpeg import JPEG_BLOCKS, JPEG_H, JPEG_W
+    from ds_mapreduce_spark.operators.multimodal import PCM_A, PCM_B
+
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         32 + ((doc_id % 256) * {PCM_A} + b * {PCM_B}) % 192 - 128 AS c,
+         ((doc_id % 256) * {PCM_B} + b * {PCM_A}) % 32 - 16 AS d
+  FROM documents, UNNEST(range(0, {JPEG_BLOCKS})) t(b)
+), {_jpeg_chain_ctes()}
 SELECT doc_id,
        CAST({JPEG_W} AS BIGINT) AS width,
        CAST({JPEG_H} AS BIGINT) AS height,
@@ -639,6 +645,75 @@ SELECT doc_id,
        CAST(SUM(8 * vr * vr) AS BIGINT) AS sum_sq
 FROM fx GROUP BY doc_id
 """
+
+
+def _mjpeg_oracle() -> str:
+    """Closed-form oracle for the MJPEG-AVI video roundtrip with
+    temporal frame-sampling: the SAME fixed-point JPEG chain
+    (_jpeg_chain_ctes — one-place rule), with block instances drawn
+    from the SAMPLED frames only (frame f in range(0, n, stride),
+    block id B = f*blocks_per_frame + b). Parity proves the AVI
+    container walk, the per-frame JPEG decode, and the sampling all
+    at once."""
+    from ds_mapreduce_spark.operators.jpeg import JPEG_BLOCKS, JPEG_H, JPEG_W
+    from ds_mapreduce_spark.operators.mjpeg_avi import (
+        MJPEG_N_FRAMES,
+        MJPEG_STRIDE,
+    )
+    from ds_mapreduce_spark.operators.multimodal import PCM_A, PCM_B
+
+    sampled = list(range(0, MJPEG_N_FRAMES, MJPEG_STRIDE))
+    block_ids = ",".join(
+        str(f * JPEG_BLOCKS + b) for f in sampled for b in range(JPEG_BLOCKS)
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         32 + ((doc_id % 256) * {PCM_A} + b * {PCM_B}) % 192 - 128 AS c,
+         ((doc_id % 256) * {PCM_B} + b * {PCM_A}) % 32 - 16 AS d
+  FROM documents, UNNEST([{block_ids}]) t(b)
+), {_jpeg_chain_ctes()}
+SELECT doc_id,
+       CAST({JPEG_W} AS BIGINT) AS width,
+       CAST({JPEG_H} AS BIGINT) AS height,
+       CAST({MJPEG_N_FRAMES} AS BIGINT) AS n_frames,
+       CAST({len(sampled)} AS BIGINT) AS n_sampled,
+       CAST(SUM(8 * vr) AS BIGINT) AS sum_v,
+       CAST(SUM(8 * vr * vr) AS BIGINT) AS sum_sq
+FROM fx GROUP BY doc_id
+"""
+
+
+@register(
+    "multimodal_mjpeg_avi_roundtrip",
+    oracle=_mjpeg_oracle(),
+    doc="REAL video container + per-frame codec (r9): MJPEG-in-AVI — "
+    "a genuine RIFF/AVI container (avih/strh/strf headers, 'movi' "
+    "LIST of '00dc' chunks, word alignment) whose frames are our "
+    "interchange-proven baseline JPEG files, plus TEMPORAL "
+    "frame-sampling (keep every 2nd frame after the parse — the "
+    "video form of the mandated frame-sample leg, now real). The "
+    "decoder reads geometry/frame count from avih, requires a "
+    "vids/MJPG stream (any inter-frame codec raises — the documented "
+    "H.264 seam), decodes each sampled frame through the full JPEG "
+    "parser and cross-checks dimensions and counts against the "
+    "header. The oracle reuses the fixed-point JPEG closed form over "
+    "the sampled (frame, block) instances, so parity proves container "
+    "walk + per-frame lossy decode + sampling end-to-end. Plan: two "
+    "chained mapInPandas, map-only, ZERO shuffles; sampling drops "
+    "half the IDCT work, and at 100 TB video payloads are the widest "
+    "rows so maxPartitionBytes sizes tasks. See "
+    "operators/mjpeg_avi.py:parse_mjpeg_avi.",
+)
+def q_multimodal_mjpeg_avi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.mjpeg_avi import (
+        decode_mjpeg_features,
+        encode_mjpeg_avi,
+        synth_mjpeg_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_mjpeg_features(encode_mjpeg_avi(synth_mjpeg_pixels(docs)))
 
 
 @register(

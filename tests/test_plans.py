@@ -212,6 +212,9 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # r9: real lossy AUDIO codec (G.711 mu-law companding in a
         # hand-written format-7 RIFF) — same map-only two-pass shape
         ("multimodal_ulaw_roundtrip", 0),
+        # r9: real VIDEO container (MJPEG-in-AVI wrapping the JPEG
+        # codec per frame + temporal sampling) — same map-only shape
+        ("multimodal_mjpeg_avi_roundtrip", 0),
         # r9: winnowing screen vs exact-20 truth — gram census +
         # truth distinct + fp census + flagged distinct + 1-row
         # summary (SinglePartition bounded scalar); the four
