@@ -1619,6 +1619,65 @@ def run_streaming_bpe_encode(
     return spark.read.parquet(*[f"{state_dir}/v{v}" for v in versions])
 
 
+def run_streaming_media_features(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Media decode as a stream (r9): the codec tier in an always-on
+    ingest pipeline. Documents arrive as micro-batches; each batch is
+    synthesized into JPEG payloads and decoded back through the SAME
+    real codec chain the batch ``multimodal_jpeg_roundtrip`` query
+    uses (``synth_jpeg_pixels -> encode_jpeg -> decode_jpeg_features``
+    — full JFIF container, fixed-point IDCT), landing per-doc features
+    append-only in versioned parquet (idempotent per batch id). The
+    decode is a deterministic per-row map, so per-doc rows are
+    independent of batching and the union over ANY chunking of the
+    feed is bit-equal to the batch query — the stateless-twin pattern
+    run_streaming_bpe_encode established, with zero state by design.
+    100 TB: this is how a multimodal ingest actually runs — payloads
+    decoded once at arrival, features written columnar so downstream
+    reads prune the payload bytes away, throughput scan-bound and
+    embarrassingly parallel (no shuffle in the per-batch plan)."""
+    from ds_mapreduce_spark.operators.jpeg import (
+        decode_jpeg_features,
+        encode_jpeg,
+        synth_jpeg_pixels,
+    )
+
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if docs_dir.endswith(".parquet"):
+        base, _, fname = docs_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        docs_dir = base
+    stream = reader.parquet(docs_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        feats = decode_jpeg_features(
+            encode_jpeg(synth_jpeg_pixels(batch_df.select("doc_id")))
+        )
+        feats.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    versions = existing_state_versions(spark, state_dir)
+    if not versions:
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, width bigint, height bigint, n_blocks bigint, "
+            "sum_v bigint, sum_sq bigint",
+        )
+    return spark.read.parquet(*[f"{state_dir}/v{v}" for v in versions])
+
+
 #: The streaming-twin census (VERDICT r7 #6): one row per streaming
 #: job, naming the batch query whose results it must reproduce, the
 #: state contract it maintains across micro-batches, and the
@@ -1720,4 +1779,10 @@ TWINS: tuple[dict, ...] = (
                "encode_census_rows); per-doc results land append-only "
                "in versioned parquet, idempotent per batch id",
          test="test_streaming_bpe_encode_matches_batch"),
+    dict(fn="run_streaming_media_features", batch="multimodal_jpeg_roundtrip",
+         state="zero state — the real JPEG codec chain (shared "
+               "synth/encode/decode operators) applied per batch; "
+               "per-doc features land append-only in versioned parquet, "
+               "idempotent per batch id",
+         test="test_streaming_media_features_matches_batch"),
 )

@@ -990,6 +990,52 @@ def test_streaming_bpe_encode_matches_batch(spark, sf_dir, tmp_path):
     assert _rows(resumed, cols) == srows
 
 
+def test_streaming_media_features_matches_batch(spark, sf_dir, tmp_path):
+    """The codec stream: the real JPEG chain applied per micro-batch
+    must reproduce the batch multimodal_jpeg_roundtrip EXACTLY under a
+    chunked, arrival-order-shuffled feed — decode is a deterministic
+    per-row map, so per-doc feature rows are batch-independent and
+    their union is the batch answer. A resume over the spent
+    checkpoint returns the landed results instead of crashing."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_media_features
+
+    batch = load_all()["multimodal_jpeg_roundtrip"].fn(spark, sf_dir)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feed_dir = str(tmp_path / "docs_feed")
+    docs.orderBy(F.md5(F.col("doc_id").cast("string"))).repartition(
+        4
+    ).write.parquet(feed_dir)
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    streamed = run_streaming_media_features(spark, feed_dir, state, ckpt)
+    cols = ["doc_id", "width", "height", "n_blocks", "sum_v", "sum_sq"]
+    assert sorted(streamed.columns) == sorted(batch.columns)
+    srows = _rows(streamed, cols)
+    assert srows == _rows(batch, cols)
+    assert len(srows) > 0
+
+    resumed = run_streaming_media_features(spark, feed_dir, state, ckpt)
+    assert _rows(resumed, cols) == srows
+
+
+def test_streaming_media_features_empty_feed(spark, tmp_path):
+    """An empty feed returns an empty result with the contract schema."""
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_media_features
+
+    feed_dir = str(tmp_path / "empty_media_feed")
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string"
+    ).write.parquet(feed_dir)
+    state, ckpt = str(tmp_path / "state2"), str(tmp_path / "ckpt2")
+    out = run_streaming_media_features(spark, feed_dir, state, ckpt)
+    assert out.count() == 0
+    assert "sum_sq" in out.columns
+
+
 def test_streaming_bpe_encode_empty_feed(spark, tmp_path):
     """An empty feed returns an empty result with the contract schema
     (no landed state, no crash)."""
