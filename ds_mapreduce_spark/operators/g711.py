@@ -20,7 +20,7 @@ tests/test_g711.py locks encode->decode == the oracle's closed form
 over the ENTIRE 16-bit input range.
 
 Scale notes (100 TB): two chained Arrow-batched ``mapInPandas``,
-map-only, zero shuffles — the WAV/PPM/PNG/JPEG/GIF plan shape; mu-law
+map-only, zero shuffles beyond the narrow-key spread — the WAV/PPM/PNG/JPEG/GIF plan shape; mu-law
 halves payload bytes vs PCM16, shrinking executor->Python transfer.
 """
 

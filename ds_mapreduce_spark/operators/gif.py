@@ -28,7 +28,7 @@ every index. Palette entry i maps to RGB (i, (i+85)%256, (i+170)%256),
 kept integer-exact on both engines.
 
 Scale notes (100 TB): both legs are Arrow-batched ``mapInPandas``,
-map-only, zero shuffles — identical plan shape to the WAV/PPM/PNG/JPEG
+map-only, zero shuffles beyond the narrow-key spread — identical plan shape to the WAV/PPM/PNG/JPEG
 roundtrips; payload width sizes tasks via maxPartitionBytes.
 """
 

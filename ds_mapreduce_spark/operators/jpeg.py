@@ -35,7 +35,7 @@ ENTIRE synth parameter space (192 base values x 32 step values) is
 locked by tests/test_jpeg.py.
 
 Scale notes (100 TB): both legs are Arrow-batched ``mapInPandas``,
-map-only, zero shuffles; the DCT/IDCT are vectorized numpy int64
+map-only, zero shuffles beyond the narrow-key spread; the DCT/IDCT are vectorized numpy int64
 matmuls over all blocks of a payload at once, only the entropy coder
 is per-symbol Python. Payload width (not row count) sizes tasks via
 ``spark.sql.files.maxPartitionBytes``; features are written columnar

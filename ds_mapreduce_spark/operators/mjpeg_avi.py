@@ -13,7 +13,7 @@ instances. The NotImplementedError seam for INTER-FRAME codecs
 (H.264: motion compensation, no stdlib path) remains documented.
 
 Scale notes (100 TB): two chained Arrow-batched ``mapInPandas``,
-map-only, zero shuffles; video payloads are the widest rows in the
+map-only, zero shuffles beyond the narrow-key spread; video payloads are the widest rows in the
 corpus, so ``maxPartitionBytes`` (not row count) sizes tasks, and
 frame sampling drops (1 - 1/stride) of the decode work before the
 expensive per-frame IDCT.

@@ -652,7 +652,7 @@ def encode_png(df: DataFrame) -> DataFrame:
     map-only. Scale note: per-byte Python filtering is fine at these
     thumbnail dims; production-size rasters would numpy-vectorize the
     filter loops inside the SAME mapInPandas batch — the plan shape
-    (zero shuffles, payload written columnar) is the part that carries
+    (zero shuffles beyond the narrow-key spread, payload written columnar) is the part that carries
     to 100 TB unchanged."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -18,6 +18,23 @@ from ds_mapreduce_spark.plans.registry import register
 from ds_mapreduce_spark.sources.catalog import load_table
 
 
+def _doc_ids_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow doc_id source for payload SYNTHESIS, repartitioned to the
+    session's parallelism BEFORE the width expansion. The synth stage
+    turns 8-byte rows into KB-scale payloads, so sizing tasks by INPUT
+    bytes (one small parquet split at test scale) would serialize all
+    the Python codec work onto one core — measured: the MJPEG bench
+    row ran 13.9 s on 1 partition. Repartitioning the narrow keys
+    costs a ~tens-of-KB shuffle and buys full parallelism on the
+    expensive stage. The 100 TB rule this encodes: whenever an
+    operator EXPANDS data (decode, synthesis, explode), partition for
+    the OUTPUT width, not the input bytes — for real stored payloads
+    the parquet splitter already does this via maxPartitionBytes, but
+    a generator's input is always deceptively narrow."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
 @register(
     "multimodal_features",
     oracle="""
@@ -227,7 +244,7 @@ FROM s GROUP BY doc_id
     "the sample formula and never sees a WAV byte — parity therefore "
     "proves the encode->decode roundtrip preserved every sample "
     "bit-for-bit, i.e. the decoder is real, not a checksum stub. "
-    "Plan: two chained mapInPandas, map-only, ZERO shuffles; at 100 TB "
+    "Plan: two chained mapInPandas, map-only, ZERO data-bearing shuffles beyond the narrow-key spread; at 100 TB "
     "payload width (not row count) sizes tasks via maxPartitionBytes "
     "and features are written columnar so the payload prunes away. "
     "The NotImplementedError seam remains only for true-codec formats "
@@ -240,7 +257,7 @@ def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_pcm_samples,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_spread(spark, sf_dir)
     return decode_wav_features(encode_wav(synth_pcm_samples(docs)))
 
 
@@ -278,7 +295,7 @@ FROM px GROUP BY doc_id
     "dimensions before emitting per-channel exact sums. Same "
     "analytic-oracle construction as multimodal_wav_roundtrip: parity "
     "proves the container roundtrip, not just the arithmetic. Map-only "
-    "two-pass mapInPandas, zero shuffles. See "
+    "two-pass mapInPandas, zero shuffles beyond the narrow-key spread. See "
     "operators/multimodal.py:decode_ppm_features.",
 )
 def q_multimodal_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,7 +305,7 @@ def q_multimodal_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_ppm_pixels,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_spread(spark, sf_dir)
     return decode_ppm_features(encode_ppm(synth_ppm_pixels(docs)))
 
 
@@ -337,7 +354,7 @@ FROM px GROUP BY doc_id
     "preserved exactly the expected pixels. Closes the 'resize' leg "
     "of the mandated multimodal surface as REAL (the stub remains "
     "only for true-codec formats). Three chained mapInPandas, "
-    "map-only, zero shuffles; resize shrinks payloads 4x so the "
+    "map-only, zero shuffles beyond the narrow-key spread; resize shrinks payloads 4x so the "
     "second decode scans a quarter of the bytes. See "
     "operators/multimodal.py:resize_ppm_nearest.",
 )
@@ -349,7 +366,7 @@ def q_multimodal_ppm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_ppm_pixels,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_spread(spark, sf_dir)
     return decode_ppm_features(
         resize_ppm_nearest(encode_ppm(synth_ppm_pixels(docs)), factor=2)
     )
@@ -373,7 +390,7 @@ def q_multimodal_ppm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     "preserved every pixel bit-for-bit. This moves the family's "
     "NotImplementedError seam to LOSSY codecs only (JPEG/MP3/H.264): "
     "lossless image compression is now real. Plan: two chained "
-    "mapInPandas, map-only, ZERO shuffles; compressed payloads shrink "
+    "mapInPandas, map-only, ZERO data-bearing shuffles beyond the narrow-key spread; compressed payloads shrink "
     "the bytes that cross executor->Python. See "
     "operators/multimodal.py:_parse_png.",
 )
@@ -384,7 +401,7 @@ def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_ppm_pixels,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_spread(spark, sf_dir)
     return decode_png_features(encode_png(synth_ppm_pixels(docs)))
 
 
@@ -459,7 +476,7 @@ FROM r GROUP BY doc_id
     "IDENTICAL PCM (tests/test_codec_interchange.py). The features "
     "share the PCM WAV decoder's schema, so this row's delta vs "
     "multimodal_wav_roundtrip measures exactly what companding cost. "
-    "Plan: two chained mapInPandas, map-only, ZERO shuffles; mu-law "
+    "Plan: two chained mapInPandas, map-only, ZERO data-bearing shuffles beyond the narrow-key spread; mu-law "
     "halves the bytes crossing executor->Python vs PCM16. See "
     "operators/g711.py:parse_ulaw_wav.",
 )
@@ -470,7 +487,7 @@ def q_multimodal_ulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ds_mapreduce_spark.operators.multimodal import synth_pcm_samples
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_spread(spark, sf_dir)
     return decode_ulaw_features(encode_ulaw(synth_pcm_samples(docs)))
 
 
@@ -517,7 +534,7 @@ FROM px GROUP BY doc_id
     "(javax.imageio, a decoder sharing zero code with ours) "
     "reconstructs our GIF and PNG files pixel-EXACTLY and our JPEG "
     "within the T.81-permitted +-1 (tests/test_codec_interchange.py). "
-    "Plan: two chained mapInPandas, map-only, ZERO shuffles. See "
+    "Plan: two chained mapInPandas, map-only, ZERO data-bearing shuffles beyond the narrow-key spread. See "
     "operators/gif.py:parse_gif.",
 )
 def q_multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,7 +544,7 @@ def q_multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_gif_indices,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_spread(spark, sf_dir)
     return decode_gif_features(encode_gif(synth_gif_indices(docs)))
 
 
@@ -700,7 +717,7 @@ FROM fx GROUP BY doc_id
     "header. The oracle reuses the fixed-point JPEG closed form over "
     "the sampled (frame, block) instances, so parity proves container "
     "walk + per-frame lossy decode + sampling end-to-end. Plan: two "
-    "chained mapInPandas, map-only, ZERO shuffles; sampling drops "
+    "chained mapInPandas, map-only, ZERO data-bearing shuffles beyond the narrow-key spread; sampling drops "
     "half the IDCT work, and at 100 TB video payloads are the widest "
     "rows so maxPartitionBytes sizes tasks. See "
     "operators/mjpeg_avi.py:parse_mjpeg_avi.",
@@ -712,7 +729,7 @@ def q_multimodal_mjpeg_avi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         synth_mjpeg_pixels,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_spread(spark, sf_dir)
     return decode_mjpeg_features(encode_mjpeg_avi(synth_mjpeg_pixels(docs)))
 
 
@@ -736,7 +753,7 @@ def q_multimodal_mjpeg_avi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     "genuinely exercised on the graded path (not just DC+EOB). This "
     "retires the 'lossy codecs' NotImplementedError seam for images; "
     "only MP3/H.264 remain environment-stubbed. Plan: two chained "
-    "mapInPandas, map-only, ZERO shuffles; DCT/IDCT are vectorized "
+    "mapInPandas, map-only, ZERO data-bearing shuffles beyond the narrow-key spread; DCT/IDCT are vectorized "
     "int64 numpy matmuls per payload batch. See "
     "operators/jpeg.py:parse_jpeg.",
 )
@@ -747,7 +764,7 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_jpeg_pixels,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_spread(spark, sf_dir)
     return decode_jpeg_features(encode_jpeg(synth_jpeg_pixels(docs)))
 
 
@@ -776,7 +793,7 @@ def q_multimodal_wav_decimate_real(spark: SparkSession, sf_dir: str) -> DataFram
         synth_pcm_samples,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids_spread(spark, sf_dir)
     return decode_wav_features(
         decimate_wav(encode_wav(synth_pcm_samples(docs)), stride=4)
     )

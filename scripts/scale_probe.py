@@ -237,6 +237,12 @@ def main() -> None:
         "events_hourly_resample",
         "events_robust_outliers",
         "session_path_analysis",
+        # r9 codec tier (map-only over documents; the tier scales the
+        # documents table, so these measure per-payload Python cost —
+        # expected ~linear, the point is to MEASURE that, per the
+        # fresh-session discipline in CLAUDE.md)
+        "multimodal_jpeg_roundtrip",
+        "multimodal_mjpeg_avi_roundtrip",
     ]
 
     def run(name: str, sf_dir: str, k_semdedup: int) -> tuple[float, int]:

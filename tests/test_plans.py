@@ -191,30 +191,34 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # r8: tokenizer apply — vocab lookup join + ONE doc agg; the
         # training loop runs inside the vocab checkpoints
         ("bpe_encode_census", 1),
-        # r8: real codec-free decode roundtrips — two chained
-        # mapInPandas, map-only, zero shuffles by construction
-        ("multimodal_wav_roundtrip", 0),
-        ("multimodal_ppm_roundtrip", 0),
+        # Codec roundtrips (r8/r9): chained map-only mapInPandas; the
+        # ONE budgeted exchange is the narrow-key spread repartition
+        # (_doc_ids_spread) that parallelizes the Python codec stage —
+        # synthesis expands 8-byte doc_ids into KB payloads, so
+        # input-byte task sizing would serialize the expensive stage
+        # onto one core (measured: MJPEG 13.9 s -> 1.5 s at sf0.1).
+        ("multimodal_wav_roundtrip", 1),
+        ("multimodal_ppm_roundtrip", 1),
         # r9: real container->container transforms — three chained
-        # mapInPandas, still map-only, zero shuffles by construction
-        ("multimodal_ppm_resize_real", 0),
-        ("multimodal_wav_decimate_real", 0),
+        # mapInPandas after the spread
+        ("multimodal_ppm_resize_real", 1),
+        ("multimodal_wav_decimate_real", 1),
         # r9: real COMPRESSED codec (PNG, stdlib zlib) — same
         # map-only two-pass shape as the WAV/PPM roundtrips
-        ("multimodal_png_roundtrip", 0),
+        ("multimodal_png_roundtrip", 1),
         # r9: real LOSSY codec (baseline JPEG from the T.81 spec) —
         # same map-only two-pass shape; fixed-point DCT keeps the
         # lossy chain bit-reproducible for the analytic oracle
-        ("multimodal_jpeg_roundtrip", 0),
+        ("multimodal_jpeg_roundtrip", 1),
         # r9: real dictionary-coding codec (GIF with hand-written
         # LZW) — same map-only two-pass shape
-        ("multimodal_gif_roundtrip", 0),
+        ("multimodal_gif_roundtrip", 1),
         # r9: real lossy AUDIO codec (G.711 mu-law companding in a
         # hand-written format-7 RIFF) — same map-only two-pass shape
-        ("multimodal_ulaw_roundtrip", 0),
+        ("multimodal_ulaw_roundtrip", 1),
         # r9: real VIDEO container (MJPEG-in-AVI wrapping the JPEG
         # codec per frame + temporal sampling) — same map-only shape
-        ("multimodal_mjpeg_avi_roundtrip", 0),
+        ("multimodal_mjpeg_avi_roundtrip", 1),
         # r9: winnowing screen vs exact-20 truth — gram census +
         # truth distinct + fp census + flagged distinct + 1-row
         # summary (SinglePartition bounded scalar); the four
