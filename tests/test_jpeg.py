@@ -215,6 +215,28 @@ def test_corrupt_and_unsupported_fail_loudly():
         parse_jpeg(bad_scan)
 
 
+def test_decoder_crops_non_multiple_of_8_dimensions():
+    """Baseline JPEG pads images to whole 8x8 blocks; SOF carries the
+    TRUE dimensions and a conforming decoder crops. Our encoder only
+    writes block-aligned images, so this spec path is reachable only
+    through a foreign container: take an 8x8 file and patch SOF0 to
+    claim 6x5 — the entropy stream still holds one MCU, and the
+    decoder must return exactly the 6x5 crop of its reconstruction."""
+    import numpy as np
+
+    px = bytes((11 * i + 5) % 256 for i in range(64))
+    payload = encode_jpeg_bytes(px, 8, 8)
+    full = np.frombuffer(parse_jpeg(payload)[2], np.uint8).reshape(8, 8)
+    patched = payload.replace(
+        struct.pack(">BHHB", 8, 8, 8, 1), struct.pack(">BHHB", 8, 5, 6, 1)
+    )
+    w, h, out = parse_jpeg(patched)
+    assert (w, h) == (6, 5)
+    assert np.array_equal(
+        np.frombuffer(out, np.uint8).reshape(5, 6), full[:5, :6]
+    )
+
+
 def test_encoder_rejects_bad_geometry():
     with pytest.raises(ValueError, match="multiples of 8"):
         encode_jpeg_bytes(bytes(100), 10, 10)
