@@ -9,8 +9,10 @@ opens them) and the decoder is a full baseline-grayscale parser: marker
 walk, DQT in zigzag order, canonical Huffman tables rebuilt FROM the
 container's DHT segment (not assumed), bit-unstuffing entropy decode
 with the spec's EXTEND procedure, dequantize, inverse zigzag, IDCT,
-level shift + clamp. Unsupported spec subsets (progressive SOF2,
-multi-component color, 16-bit quant tables, restart intervals) raise —
+level shift + clamp; restart intervals (DRI/RSTn — the spec's
+intra-image parallelism seam, with byte realignment and DC-predictor
+reset) are supported on both sides. Unsupported spec subsets
+(progressive SOF2, multi-component color, 16-bit quant tables) raise —
 the same fail-loudly contract as the WAV/PPM/PNG parsers.
 
 Oracle strategy — the hard part of grading a LOSSY codec bit-exactly:
@@ -210,9 +212,15 @@ def _magnitude_bits(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
-def encode_jpeg_bytes(px: bytes, w: int, h: int) -> bytes:
+def encode_jpeg_bytes(px: bytes, w: int, h: int, restart_interval: int = 0) -> bytes:
     """A complete baseline-sequential grayscale JFIF file for 8-bit
-    samples ``px`` (row-major, len w*h; w and h multiples of 8)."""
+    samples ``px`` (row-major, len w*h; w and h multiples of 8).
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (byte-aligned, DC predictor reset — T.81 §B.2.4.4).
+    Restart markers are the spec's intra-image parallelism seam: each
+    restart segment decodes independently, which is what makes a
+    single huge JPEG splittable across decode tasks at scale."""
     if w % 8 or h % 8 or len(px) != w * h:
         raise ValueError(f"need w,h multiples of 8 and w*h samples; got {w}x{h}/{len(px)}")
     bw, bh = w // 8, h // 8
@@ -227,7 +235,13 @@ def encode_jpeg_bytes(px: bytes, w: int, h: int) -> bytes:
     out = _BitWriter()
     prev_dc = 0
     zz = ZIGZAG
-    for blk in q:
+    rst = 0
+    for bi, blk in enumerate(q):
+        if restart_interval and bi and bi % restart_interval == 0:
+            out.flush()  # pad to byte boundary before the marker
+            out.buf += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            prev_dc = 0
         dc = int(blk[0, 0])
         diff = dc - prev_dc
         prev_dc = dc
@@ -270,12 +284,18 @@ def encode_jpeg_bytes(px: bytes, w: int, h: int) -> bytes:
         b"\x00" + bytes(_DC_BITS) + bytes(_DC_SYMBOLS)
         + b"\x10" + bytes(_AC_BITS) + bytes(_AC_SYMBOLS)
     )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"  # SOI
         + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + seg(0xFFDB, b"\x00" + qt_zz)
         + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
         + seg(0xFFC4, dht)
+        + dri
         + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
         + bytes(out.buf)
         + b"\xff\xd9"  # EOI
@@ -312,6 +332,20 @@ class _BitReader:
             self._n = 8
         self._n -= 1
         return (self._acc >> self._n) & 1
+
+    def restart(self, ordinal: int) -> None:
+        """Byte-align (discard the pre-marker pad bits) and consume the
+        expected RSTn marker (T.81 §B.2.4.4); a missing or out-of-cycle
+        marker raises."""
+        self._n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated at restart marker")
+        got = self.data[self.pos : self.pos + 2]
+        if got[0] != 0xFF or got[1] != 0xD0 + ordinal:
+            raise ValueError(
+                f"expected RST{ordinal}, got 0x{got.hex()} in scan"
+            )
+        self.pos += 2
 
 
 def _build_huffman(bits: tuple[int, ...], huffval: bytes):
@@ -353,10 +387,12 @@ def parse_jpeg(payload: bytes):
     Every table comes from the CONTAINER: quant tables from DQT
     (zigzag-ordered per the spec, 8-bit precision), Huffman tables
     rebuilt from DHT via the canonical-code procedure, geometry and
-    component layout from SOF0. Raises on: missing SOI, progressive or
-    multi-component streams, 16-bit quant tables, restart intervals,
-    truncated segments or scan data, invalid Huffman codes, coefficient
-    index overflow — a corrupt payload fails loudly."""
+    component layout from SOF0, the restart interval from DRI (RSTn
+    markers validated in cycle order, DC predictor reset per segment).
+    Raises on: missing SOI, progressive or multi-component streams,
+    16-bit quant tables, truncated segments or scan data, invalid
+    Huffman codes, a missing or out-of-cycle restart marker,
+    coefficient index overflow — a corrupt payload fails loudly."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -364,6 +400,7 @@ def parse_jpeg(payload: bytes):
     htables: dict[tuple[int, int], tuple] = {}
     sof = None
     scan_comp = None
+    restart_interval = 0
     while True:
         if pos + 4 > len(payload):
             raise ValueError("truncated marker stream")
@@ -411,8 +448,8 @@ def parse_jpeg(payload: bytes):
             sof = (w, h, cid, tq)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"non-baseline SOF 0xFF{marker:02X} unsupported")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) unsupported")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if body[0] != 1:
                 raise ValueError("scan must cover exactly 1 component")
@@ -436,8 +473,13 @@ def parse_jpeg(payload: bytes):
     reader = _BitReader(payload, pos)
     coeffs = np.zeros((bw * bh, 8, 8), dtype=np.int64)
     prev_dc = 0
+    rst = 0
     zz = ZIGZAG
     for bi in range(bw * bh):
+        if restart_interval and bi and bi % restart_interval == 0:
+            reader.restart(rst)
+            rst = (rst + 1) % 8
+            prev_dc = 0
         s = _huff_decode(reader, dc_tab)
         diff = 0
         if s:

@@ -86,6 +86,24 @@ def test_jpeg_interchange_with_openjdk(spark, tmp_path):
     assert np.abs(theirs - ours).max() <= 1  # T.81 implementation variance
 
 
+def test_jpeg_restart_intervals_interchange_with_openjdk(spark, tmp_path):
+    """A file written WITH restart markers (DRI + RST0..RSTn cycling,
+    per-segment DC reset) must decode identically in OpenJDK — proving
+    the marker layout and byte realignment are spec-conformant, not a
+    private convention our own decoder happens to mirror."""
+    from ds_mapreduce_spark.operators.jpeg import encode_jpeg_bytes, parse_jpeg
+
+    rng = np.random.RandomState(15)
+    px = rng.randint(0, 256, 40 * 16).astype(np.uint8).tobytes()
+    payload = encode_jpeg_bytes(px, 40, 16, restart_interval=2)
+    p = str(tmp_path / "rst.jpg")
+    with open(p, "wb") as f:
+        f.write(payload)
+    theirs = _imageio_gray(spark, p)
+    ours = np.frombuffer(parse_jpeg(payload)[2], dtype=np.uint8).astype(np.int64)
+    assert np.abs(theirs - ours).max() <= 1
+
+
 def test_ulaw_interchange_with_javax_sound(spark, tmp_path):
     """javax.sound.sampled's mu-law converter (an independent G.711
     implementation) must expand our encoder's file to IDENTICAL PCM."""

@@ -204,15 +204,41 @@ def test_corrupt_and_unsupported_fail_loudly():
     deep = payload.replace(b"\xff\xdb\x00\x43\x00", b"\xff\xdb\x00\x43\x10")
     with pytest.raises(ValueError, match="16-bit"):
         parse_jpeg(deep)
-    # restart intervals
-    dri = payload[:2] + _seg(0xFFDD, b"\x00\x04") + payload[2:]
-    with pytest.raises(ValueError, match="restart"):
+    # a DRI promising restarts the scan doesn't contain: the decoder
+    # must fail at the missing RST0, not silently misdecode (needs a
+    # 2-MCU image — restarts only occur BETWEEN MCUs)
+    two_mcu = encode_jpeg_bytes(bytes(range(128)), 16, 8)
+    dri = two_mcu[:2] + _seg(0xFFDD, b"\x00\x01") + two_mcu[2:]
+    with pytest.raises(ValueError, match="RST|restart|marker"):
         parse_jpeg(dri)
     # invalid Huffman code: flip the scan byte so the first bit is 1,
     # which no code in the hand-built DC table starts with
     bad_scan = payload[:-3] + bytes([0xD3]) + payload[-2:]
     with pytest.raises(ValueError, match="Huffman|truncated|marker"):
         parse_jpeg(bad_scan)
+
+
+def test_restart_intervals_roundtrip_and_reset_dc():
+    """DRI/RSTn (T.81 §B.2.4.4 — the spec's intra-image parallelism
+    seam): a file written with restart markers must decode to EXACTLY
+    the same pixels as the same image without them (byte realignment
+    and per-segment DC reset on both sides), the markers must actually
+    be present and cycle RST0..RST7, and a corrupted marker ordinal
+    must raise."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    px = rng.randint(0, 256, 40 * 16).astype(np.uint8).tobytes()  # 10 MCUs
+    plain = encode_jpeg_bytes(px, 40, 16)
+    restarted = encode_jpeg_bytes(px, 40, 16, restart_interval=2)
+    assert parse_jpeg(restarted)[2] == parse_jpeg(plain)[2]
+    scan = restarted[restarted.index(b"\xff\xda") :]
+    for m in range(4):  # 10 MCUs / interval 2 -> RST0..RST3
+        assert bytes([0xFF, 0xD0 + m]) in scan
+    # flip the first restart marker's ordinal -> out-of-cycle -> raise
+    bad = restarted.replace(b"\xff\xd0", b"\xff\xd5", 1)
+    with pytest.raises(ValueError, match="RST"):
+        parse_jpeg(bad)
 
 
 def test_decoder_crops_non_multiple_of_8_dimensions():
