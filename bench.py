@@ -135,6 +135,9 @@ HEADLINE = [
     # round 9: the real lossy audio codec (G.711 mu-law) — its delta
     # vs multimodal_wav_roundtrip is exactly the companding cost
     "multimodal_ulaw_roundtrip",
+    # round 9: color JPEG (4:4:4 YCbCr, both Annex K tables) — its
+    # delta vs the grayscale row isolates 3x planes + color transforms
+    "multimodal_jpeg_color_roundtrip",
     # round 9: the real video container (MJPEG AVI, 4 frames/doc,
     # stride-2 sampling) — the heaviest codec row: ~2 JPEG decodes +
     # 4 encodes per doc; its ratio to multimodal_jpeg_roundtrip

@@ -664,6 +664,163 @@ FROM fx GROUP BY doc_id
 """
 
 
+def _jpeg_color_oracle() -> str:
+    """Closed-form oracle for the COLOR (4:4:4 YCbCr) JPEG roundtrip:
+    per block and channel, the synth RGB left/right values go through
+    the fixed-point forward color transform, the generalized
+    (sum, diff) coefficient closed form (tests/test_jpeg.py proves it
+    exact for ALL 65536 left/right pairs, for BOTH quant rows), the
+    per-channel dequantize/IDCT reconstruction per output column, and
+    the fixed-point inverse color transform — every constant imported
+    from the operator module (one-place rule). Parity proves the
+    3-component interleaved scan, per-component prediction, both
+    Annex K quant tables, and both color transforms end-to-end."""
+    from ds_mapreduce_spark.operators.jpeg import (
+        DCT_STEP,
+        DCT_T,
+        JPEG_BLOCKS,
+        JPEG_H,
+        JPEG_QT,
+        JPEG_QT_CHROMA,
+        JPEG_W,
+        YCC_FWD,
+        YCC_INV,
+    )
+    from ds_mapreduce_spark.operators.multimodal import PCM_A, PCM_B
+
+    t00 = DCT_T[0][0]
+    hstep = {u: DCT_STEP[u] // 2 for u in (1, 3, 5, 7)}
+
+    def da(x: str, m: int) -> str:
+        return (
+            f"CASE WHEN ({x}) >= 0 THEN (2*({x}) + {m}) // {2 * m} "
+            f"ELSE -((2*(-({x})) + {m}) // {2 * m}) END"
+        )
+
+    def clamp(x: str) -> str:
+        return f"LEAST(255, GREATEST(0, {x}))"
+
+    # p: per (doc, block) the six RGB class values (left/right halves)
+    chan_vals = []
+    for k, ch in enumerate("rgb"):
+        v0 = f"32 + ((doc_id % 256) * {PCM_A} + (3*b + {k}) * {PCM_B}) % 192"
+        d = f"((doc_id % 256) * {PCM_B} + (3*b + {k}) * {PCM_A}) % 32 - 16"
+        chan_vals.append(f"({v0}) + ({d}) AS {ch}l")
+        chan_vals.append(f"({v0}) - ({d}) AS {ch}r")
+    # cc: forward fixed-point color transform per class
+    cc_cols = []
+    for cls in ("l", "r"):
+        for key, alias in (("y", "y"), ("cb", "cb"), ("cr", "cr")):
+            cr_, cg_, cb_ = YCC_FWD[key]
+            core = da(f"{cr_}*r{cls} + {cg_}*g{cls} + {cb_}*b{cls}", 256)
+            if key != "y":
+                core = f"({core}) + 128"
+            cc_cols.append(f"{clamp(core)} AS {alias}{cls}")
+    # per-channel coefficient chains on (sum, diff) of level-shifted values
+    qrow = {"y": JPEG_QT[0], "cb": JPEG_QT_CHROMA[0], "cr": JPEG_QT_CHROMA[0]}
+    g_cols, q_cols, r_cols, h_cols, fx_cols = [], [], [], [], []
+    for c in ("y", "cb", "cr"):
+        g_cols.append(f"{da(f'4*({c}l + {c}r - 256)*{t00}', 8192)} AS g0{c}")
+        g_cols += [
+            f"{da(f'({c}l - {c}r)*{hstep[u]}', 8192)} AS e{u}{c}"
+            for u in (1, 3, 5, 7)
+        ]
+        q_cols.append(f"{da(f'8*g0{c}*{t00}', 8192)} AS dc{c}")
+        q_cols += [
+            f"{da(f'8*e{u}{c}*{t00}', 8192)} AS c{u}{c}" for u in (1, 3, 5, 7)
+        ]
+        r_cols.append(
+            f"({da(f'dc{c}', qrow[c][0])}) * {qrow[c][0]} AS r0{c}"
+        )
+        r_cols += [
+            f"({da(f'c{u}{c}', qrow[c][u])}) * {qrow[c][u]} AS r{u}{c}"
+            for u in (1, 3, 5, 7)
+        ]
+        h_cols.append(f"{da(f'r0{c}*{t00}', 8192)} AS h0{c}")
+        h_cols += [
+            f"{da(f'r{u}{c}*{t00}', 8192)} AS h{u}{c}" for u in (1, 3, 5, 7)
+        ]
+        basis = " + ".join(
+            f"h{u}{c} * ([{','.join(str(v) for v in DCT_T[u])}][x + 1])"
+            for u in (1, 3, 5, 7)
+        )
+        rec = da(f"h0{c}*{t00} + {basis}", 8192)
+        fx_cols.append(clamp(f"({rec}) + 128") + f" AS v{c}")
+    # inverse fixed-point color transform per output column
+    rcr, gcb = YCC_INV["r_cr"], YCC_INV["g_cb"]
+    gcr, bcb = YCC_INV["g_cr"], YCC_INV["b_cb"]
+    inv = {
+        "rr2": "vy + (" + da(f"{rcr}*(vcr - 128)", 256) + ")",
+        "gg2": "vy + ("
+        + da(f"{gcb}*(vcb - 128) + {gcr}*(vcr - 128)", 256)
+        + ")",
+        "bb2": "vy + (" + da(f"{bcb}*(vcb - 128)", 256) + ")",
+    }
+    px_cols = [f"{clamp(expr)} AS {name}" for name, expr in inv.items()]
+    nl = ",\n         "
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         {nl.join(chan_vals)}
+  FROM documents, UNNEST(range(0, {JPEG_BLOCKS})) t(b)
+), cc AS (
+  SELECT doc_id, {nl.join(cc_cols)} FROM p
+), g AS (
+  SELECT doc_id, {nl.join(g_cols)} FROM cc
+), q AS (
+  SELECT doc_id, {nl.join(q_cols)} FROM g
+), r AS (
+  SELECT doc_id, {nl.join(r_cols)} FROM q
+), hh AS (
+  SELECT doc_id, {nl.join(h_cols)} FROM r
+), fx AS (
+  SELECT doc_id, {nl.join(fx_cols)}
+  FROM hh, UNNEST(range(0, 8)) tx(x)
+), px AS (
+  SELECT doc_id, {nl.join(px_cols)} FROM fx
+)
+SELECT doc_id,
+       CAST({JPEG_W} AS BIGINT) AS width,
+       CAST({JPEG_H} AS BIGINT) AS height,
+       CAST({JPEG_BLOCKS} AS BIGINT) AS n_blocks,
+       CAST(SUM(8 * rr2) AS BIGINT) AS sum_r,
+       CAST(SUM(8 * gg2) AS BIGINT) AS sum_g,
+       CAST(SUM(8 * bb2) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id
+"""
+
+
+@register(
+    "multimodal_jpeg_color_roundtrip",
+    oracle=_jpeg_color_oracle(),
+    doc="REAL COLOR lossy codec (r9): baseline 4:4:4 YCbCr JPEG — "
+    "fixed-point RGB<->YCbCr transforms (integer rows summing to "
+    "256/0 so gray round-trips exactly), per-plane DCT with BOTH "
+    "Annex K quant tables (K.1 luminance, K.2 chrominance), "
+    "MCU-interleaved entropy coding with per-component DC "
+    "prediction, and a decoder that parses the 3-component frame "
+    "and inverts the whole chain. The oracle composes the fixed-"
+    "point forward transform, the generalized (sum,diff) coefficient "
+    "closed form (proven exact for ALL 65536 left/right pairs and "
+    "both quant rows in tests/test_jpeg.py), per-channel "
+    "reconstruction, and the inverse transform — parity grades "
+    "color JPEG end-to-end bit-exactly. OpenJDK ImageIO decodes our "
+    "color files within the expected IDCT+color variance "
+    "(tests/test_codec_interchange.py). Plan: two chained "
+    "mapInPandas after the narrow-key spread. See "
+    "operators/jpeg.py:encode_jpeg_color_bytes.",
+)
+def q_multimodal_jpeg_color_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.jpeg import (
+        decode_jpeg_color_features,
+        encode_jpeg_color,
+        synth_color_jpeg_pixels,
+    )
+
+    docs = _doc_ids_spread(spark, sf_dir)
+    return decode_jpeg_color_features(encode_jpeg_color(synth_color_jpeg_pixels(docs)))
+
+
 def _mjpeg_oracle() -> str:
     """Closed-form oracle for the MJPEG-AVI video roundtrip with
     temporal frame-sampling: the SAME fixed-point JPEG chain

@@ -86,6 +86,29 @@ def test_jpeg_interchange_with_openjdk(spark, tmp_path):
     assert np.abs(theirs - ours).max() <= 1  # T.81 implementation variance
 
 
+def test_jpeg_color_interchange_with_openjdk(spark, tmp_path):
+    """OpenJDK must decode our 4:4:4 YCbCr color files: exact
+    dimensions, and pixels within the combined IDCT + color-transform
+    implementation variance (both are implementation-defined; our
+    fixed-point pair differs from libjpeg's by at most a few counts)."""
+    from ds_mapreduce_spark.operators.jpeg import (
+        encode_jpeg_color_bytes,
+        parse_jpeg,
+    )
+
+    rng = np.random.RandomState(16)
+    rgb = rng.randint(0, 256, 32 * 16 * 3).astype(np.uint8)
+    p = str(tmp_path / "color.jpg")
+    payload = encode_jpeg_color_bytes(rgb.tobytes(), 32, 16)
+    with open(p, "wb") as f:
+        f.write(payload)
+    theirs = _imageio_rgb(spark, p).ravel()
+    ours = np.frombuffer(parse_jpeg(payload)[2], dtype=np.uint8).astype(np.int64)
+    assert len(theirs) == len(ours) == 32 * 16 * 3
+    diff = np.abs(theirs - ours)
+    assert diff.max() <= 6 and diff.mean() < 1.0
+
+
 def test_jpeg_restart_intervals_interchange_with_openjdk(spark, tmp_path):
     """A file written WITH restart markers (DRI + RST0..RSTn cycling,
     per-segment DC reset) must decode identically in OpenJDK — proving

@@ -107,6 +107,96 @@ def test_analytic_formula_equals_pipeline_over_full_parameter_space():
                 assert rec[0, x] == vr, (v0, d, x)
 
 
+def test_generalized_sum_diff_closed_form_both_quant_rows():
+    """The color oracle's coefficient layer: for ARBITRARY left/right
+    block values (a, b) — not just the symmetric c+-d grayscale synth —
+    the transform still yields exactly DC + 4 odd-u coefficients, and
+    the (sum, diff) closed form reproduces them for BOTH Annex K quant
+    rows. Brute-forced over all 65536 (a, b) pairs."""
+    from ds_mapreduce_spark.operators.jpeg import (
+        _QTC_NP,
+        JPEG_QT_CHROMA,
+    )
+
+    t00 = DCT_T[0][0]
+    hstep = {u: DCT_STEP[u] // 2 for u in (1, 3, 5, 7)}
+    assert all(DCT_STEP[u] % 2 == 0 for u in hstep)
+
+    def da(x, m):
+        x = np.asarray(x, dtype=np.int64)
+        return np.sign(x) * ((2 * np.abs(x) + m) // (2 * m))
+
+    A, B = np.meshgrid(np.arange(-128, 128), np.arange(-128, 128), indexing="ij")
+    a, b = A.ravel(), B.ravel()
+    blocks = np.zeros((len(a), 8, 8), dtype=np.int64)
+    blocks[:, :, :4] = a[:, None, None]
+    blocks[:, :, 4:] = b[:, None, None]
+    coeffs = _fdct_blocks(blocks)
+    mask = np.zeros((8, 8), bool)
+    mask[0, [0, 1, 3, 5, 7]] = True
+    assert not coeffs[:, ~mask].any()
+    g0 = da(4 * (a + b) * t00, 8192)
+    assert np.array_equal(coeffs[:, 0, 0], da(8 * g0 * t00, 8192))
+    for u in (1, 3, 5, 7):
+        eu = da((a - b) * hstep[u], 8192)
+        assert np.array_equal(coeffs[:, 0, u], da(8 * eu * t00, 8192))
+    # quantize + reconstruct per x, both quant rows, full closed form
+    for qrow_np, qrow in ((_QT_NP, None), (_QTC_NP, JPEG_QT_CHROMA)):
+        row = [int(qrow_np[0, u]) for u in range(8)]
+        q = np.sign(coeffs) * ((2 * np.abs(coeffs) + qrow_np) // (2 * qrow_np))
+        rec = np.clip(_idct_blocks(q * qrow_np) + 128, 0, 255)
+        h0 = da(da(coeffs[:, 0, 0], row[0]) * row[0] * t00, 8192)
+        hs = {
+            u: da(da(coeffs[:, 0, u], row[u]) * row[u] * t00, 8192)
+            for u in (1, 3, 5, 7)
+        }
+        for x in range(8):
+            acc = h0 * t00 + sum(hs[u] * DCT_T[u][x] for u in (1, 3, 5, 7))
+            vr = np.clip(da(acc, 8192) + 128, 0, 255)
+            assert np.array_equal(rec[:, 0, x], vr), x
+
+
+def test_color_roundtrip_equals_model_and_gray_is_exact():
+    """The COLOR bitstream layer (3-component interleaved MCUs,
+    per-component predictors, both quant tables) equals the pure-math
+    model; a constant-gray image survives the whole lossy color chain
+    EXACTLY (transform rows sum to 256/0, DC of gray quantizes
+    losslessly here)."""
+    from ds_mapreduce_spark.operators.jpeg import (
+        _QTC_NP,
+        encode_jpeg_color_bytes,
+        rgb_to_ycc,
+        ycc_to_rgb,
+    )
+
+    rng = np.random.RandomState(29)
+    for _ in range(5):
+        w, h = 8 * rng.randint(1, 4), 8 * rng.randint(1, 4)
+        rgb = rng.randint(0, 256, w * h * 3).astype(np.uint8)
+        w2, h2, out = parse_jpeg(encode_jpeg_color_bytes(rgb.tobytes(), w, h))
+        assert (w2, h2) == (w, h) and len(out) == w * h * 3
+        arr = rgb.astype(np.int64)
+        planes = rgb_to_ycc(arr[0::3], arr[1::3], arr[2::3])
+        bw, bh = w // 8, h // 8
+        recs = []
+        for i, p in enumerate(planes):
+            qt = _QT_NP if i == 0 else _QTC_NP
+            blocks = (
+                p.reshape(h, w).reshape(bh, 8, bw, 8)
+                .transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128
+            )
+            q = _quantize(_fdct_blocks(blocks), qt)
+            rec = np.clip(_idct_blocks(q * qt) + 128, 0, 255)
+            recs.append(
+                rec.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+            )
+        r, g, b = ycc_to_rgb(recs[0], recs[1], recs[2])
+        assert out == np.stack([r, g, b], axis=-1).astype(np.uint8).tobytes()
+    gray = np.full(8 * 8 * 3, 128, np.uint8)
+    _, _, out = parse_jpeg(encode_jpeg_color_bytes(gray.tobytes(), 8, 8))
+    assert set(out) == {128}
+
+
 def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">HH", marker, len(body) + 2) + body
 
@@ -189,8 +279,8 @@ def test_corrupt_and_unsupported_fail_loudly():
     # not a JPEG at all
     with pytest.raises(ValueError, match="SOI"):
         parse_jpeg(b"\x89PNG\r\n\x1a\n nope")
-    # multi-component frame
-    multi = payload.replace(
+    # 4:2:0-subsampled color frame (hv 0x22): unsupported subset
+    subsampled = payload.replace(
         _seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00"),
         _seg(
             0xFFC0,
@@ -198,8 +288,18 @@ def test_corrupt_and_unsupported_fail_loudly():
             + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01",
         ),
     )
-    with pytest.raises(ValueError, match="single-component"):
-        parse_jpeg(multi)
+    with pytest.raises(ValueError, match="subsampling"):
+        parse_jpeg(subsampled)
+    # 2-component frame: neither grayscale nor YCbCr
+    twocomp = payload.replace(
+        _seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00"),
+        _seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, 8, 8, 2) + b"\x01\x11\x00\x02\x11\x00",
+        ),
+    )
+    with pytest.raises(ValueError, match="component"):
+        parse_jpeg(twocomp)
     # 16-bit quant table
     deep = payload.replace(b"\xff\xdb\x00\x43\x00", b"\xff\xdb\x00\x43\x10")
     with pytest.raises(ValueError, match="16-bit"):

@@ -210,6 +210,8 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # same map-only two-pass shape; fixed-point DCT keeps the
         # lossy chain bit-reproducible for the analytic oracle
         ("multimodal_jpeg_roundtrip", 1),
+        # r9: 4:4:4 YCbCr color JPEG — same shape, 3x the plane work
+        ("multimodal_jpeg_color_roundtrip", 1),
         # r9: real dictionary-coding codec (GIF with hand-written
         # LZW) — same map-only two-pass shape
         ("multimodal_gif_roundtrip", 1),
