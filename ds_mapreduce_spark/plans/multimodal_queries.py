@@ -247,8 +247,8 @@ FROM s GROUP BY doc_id
     "Plan: two chained mapInPandas, map-only, ZERO data-bearing shuffles beyond the narrow-key spread; at 100 TB "
     "payload width (not row count) sizes tasks via maxPartitionBytes "
     "and features are written columnar so the payload prunes away. "
-    "The NotImplementedError seam remains only for true-codec formats "
-    "(JPEG/MP3). See operators/multimodal.py:decode_wav_features.",
+    "The stub seam now remains only for MP3/H.264 (JPEG became real "
+    "in operators/jpeg.py). See operators/multimodal.py:decode_wav_features.",
 )
 def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_mapreduce_spark.operators.multimodal import (
@@ -387,12 +387,12 @@ def q_multimodal_ppm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unfiltering. The oracle is the SAME analytic channel-sum SQL as "
     "multimodal_ppm_roundtrip (identical pixels, shared constants — "
     "one-place rule), so parity proves DEFLATE + filter prediction "
-    "preserved every pixel bit-for-bit. This moves the family's "
-    "NotImplementedError seam to LOSSY codecs only (JPEG/MP3/H.264): "
-    "lossless image compression is now real. Plan: two chained "
-    "mapInPandas, map-only, ZERO data-bearing shuffles beyond the narrow-key spread; compressed payloads shrink "
-    "the bytes that cross executor->Python. See "
-    "operators/multimodal.py:_parse_png.",
+    "preserved every pixel bit-for-bit. Lossless image compression is "
+    "real here; the lossy tiers are real too (JPEG gray+color, G.711, "
+    "MJPEG-AVI) — the stub seam now covers only MP3/H.264. Plan: two "
+    "chained mapInPandas, map-only, ZERO data-bearing shuffles beyond "
+    "the narrow-key spread; compressed payloads shrink the bytes that "
+    "cross executor->Python. See operators/multimodal.py:_parse_png.",
 )
 def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_mapreduce_spark.operators.multimodal import (

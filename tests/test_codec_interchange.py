@@ -86,6 +86,39 @@ def test_jpeg_interchange_with_openjdk(spark, tmp_path):
     assert np.abs(theirs - ours).max() <= 1  # T.81 implementation variance
 
 
+def test_our_decoder_reads_openjdk_encoded_jpeg(spark, tmp_path):
+    """The REVERSE interchange direction: OUR parser must decode a file
+    a FOREIGN encoder wrote. OpenJDK's JPEG writer emits baseline
+    grayscale with its own (Annex K-style) Huffman and quant tables —
+    nothing like our flat canonical tables — so a successful decode
+    proves the DHT/DQT/SOF parsing paths work on real-world files, and
+    matching OpenJDK's own decode of the same file pins the pixel
+    values (same coefficients; only IDCT variance can differ)."""
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    w, h = 32, 16
+    img = BI(w, h, BI.TYPE_BYTE_GRAY)
+    rng = np.random.RandomState(31)
+    for y in range(h):  # setRGB per pixel: py4j-safe (setSamples hits
+        for x in range(w):  # an int[]/float[]/double[] overload clash)
+            v = int(rng.randint(0, 256))
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    p = str(tmp_path / "java_enc.jpg")
+    assert jvm.javax.imageio.ImageIO.write(img, "jpg", jvm.java.io.File(p))
+
+    from ds_mapreduce_spark.operators.jpeg import parse_jpeg
+
+    with open(p, "rb") as f:
+        payload = f.read()
+    w2, h2, ours = parse_jpeg(payload)
+    assert (w2, h2) == (w, h)
+    theirs = _imageio_gray(spark, p)
+    assert (
+        np.abs(theirs - np.frombuffer(ours, np.uint8).astype(np.int64)).max()
+        <= 1
+    )
+
+
 def test_jpeg_color_interchange_with_openjdk(spark, tmp_path):
     """OpenJDK must decode our 4:4:4 YCbCr color files: exact
     dimensions, and pixels within the combined IDCT + color-transform
