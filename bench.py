@@ -135,6 +135,10 @@ HEADLINE = [
     # round 9: the real lossy audio codec (G.711 mu-law) — its delta
     # vs multimodal_wav_roundtrip is exactly the companding cost
     "multimodal_ulaw_roundtrip",
+    # round 9: the stateful-adaptive audio codec (IMA ADPCM) — the
+    # closed-loop predictor costs a per-sample Python state machine,
+    # so its delta vs the mu-law row prices adaptivity itself
+    "multimodal_adpcm_roundtrip",
     # round 9: color JPEG (4:4:4 YCbCr, both Annex K tables) — its
     # delta vs the grayscale row isolates 3x planes + color transforms
     "multimodal_jpeg_color_roundtrip",

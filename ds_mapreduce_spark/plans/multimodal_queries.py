@@ -954,3 +954,124 @@ def q_multimodal_wav_decimate_real(spark: SparkSession, sf_dir: str) -> DataFram
     return decode_wav_features(
         decimate_wav(encode_wav(synth_pcm_samples(docs)), stride=4)
     )
+
+
+def _adpcm_oracle() -> str:
+    """Sequential-state oracle for the IMA ADPCM roundtrip — the first
+    RECURSIVE-CTE oracle in the repo. ADPCM is a closed-loop adaptive
+    codec: sample i's reconstruction depends on every nibble since the
+    block header, so no per-sample CASE exists. Instead the oracle
+    REPLAYS the fused encoder+decoder state machine (they share one
+    predictor — the encoder quantizes against its own reconstruction):
+    the recursion carries (pred, idx) per (doc, block), the seed is
+    the block header (raw first sample, index 0), and each iteration
+    applies the spec's successive-approximation quantizer + the
+    reconstruction + the index adaptation, all in integer arithmetic.
+    Blocks are independent (the encoder resets the index at each
+    header), so recursion depth is ADPCM_SAMPLES_PER_BLOCK, not the
+    payload length, and all (doc, block) chains advance in one
+    parallel recursive step. tests/test_adpcm.py locks this SQL
+    against the Python codec chain sample-for-sample."""
+    from ds_mapreduce_spark.operators.adpcm import (
+        ADPCM_INDEX_ADJ,
+        ADPCM_SAMPLES_PER_BLOCK,
+        ADPCM_STEP_TABLE,
+    )
+    from ds_mapreduce_spark.operators.multimodal import (
+        PCM_A,
+        PCM_B,
+        WAV_N_SAMPLES,
+        WAV_SAMPLE_RATE,
+    )
+
+    spb = ADPCM_SAMPLES_PER_BLOCK
+    n_blocks = -(-WAV_N_SAMPLES // spb)
+    steps = "[" + ",".join(map(str, ADPCM_STEP_TABLE)) + "]"
+    idx_adj = (
+        "CASE code "
+        + " ".join(
+            f"WHEN {c} THEN {adj}" for c, adj in enumerate(ADPCM_INDEX_ADJ)
+        )
+        + " END"
+    )
+    synth0 = f"(((doc_id % 65536) * {PCM_A} + s0 * {PCM_B}) % 65536) - 32768"
+    synth_next = (
+        f"((((doc_id % 65536) * {PCM_A} + (i + 1) * {PCM_B}) % 65536) - 32768)"
+    )
+    return f"""
+WITH RECURSIVE blocks AS (
+  SELECT doc_id, b * {spb} AS s0, LEAST({WAV_N_SAMPLES}, (b + 1) * {spb}) AS s1
+  FROM documents, UNNEST(range(0, {n_blocks})) t(b)
+), r AS (
+  SELECT doc_id, s0 AS i, s1, {synth0} AS pred, 0 AS idx
+  FROM blocks
+  UNION ALL
+  SELECT doc_id, i, s1,
+         GREATEST(-32768, LEAST(32767,
+             pred + CASE WHEN sgn = 1 THEN -dq ELSE dq END)) AS pred,
+         GREATEST(0, LEAST(88, idx + {idx_adj})) AS idx
+  FROM (
+    SELECT *, b4 * 4 + b2 * 2 + b1 AS code,
+           (st >> 3) + b4 * st + b2 * (st >> 1) + b1 * (st >> 2) AS dq
+    FROM (
+      SELECT *, CASE WHEN d2 >= (st >> 2) THEN 1 ELSE 0 END AS b1
+      FROM (
+        SELECT *, CASE WHEN d1 >= (st >> 1) THEN 1 ELSE 0 END AS b2,
+               d1 - CASE WHEN d1 >= (st >> 1) THEN st >> 1 ELSE 0 END AS d2
+        FROM (
+          SELECT *, CASE WHEN ad >= st THEN 1 ELSE 0 END AS b4,
+                 ad - CASE WHEN ad >= st THEN st ELSE 0 END AS d1
+          FROM (
+            SELECT doc_id, i + 1 AS i, s1, pred, idx,
+                   list_extract({steps}, idx + 1) AS st,
+                   CASE WHEN x < pred THEN 1 ELSE 0 END AS sgn,
+                   ABS(x - pred) AS ad
+            FROM (SELECT r.*, {synth_next} AS x
+                  FROM r WHERE i + 1 < s1) z0
+          ) z1 ) z2 ) z3 ) z4 ) z5
+)
+SELECT doc_id,
+       CAST({WAV_SAMPLE_RATE} AS BIGINT) AS sample_rate,
+       CAST({WAV_N_SAMPLES} AS BIGINT) AS n_samples,
+       CAST(MAX(ABS(pred)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS(pred)) AS BIGINT) AS sum_abs,
+       CAST(SUM(pred * pred) AS BIGINT) AS sum_sq
+FROM r GROUP BY doc_id
+"""
+
+
+@register(
+    "multimodal_adpcm_roundtrip",
+    oracle=_adpcm_oracle(),
+    doc="REAL stateful-adaptive lossy AUDIO codec (r9): IMA/DVI ADPCM "
+    "(WAV format 0x11) — 4 bits/sample with a backward-adaptive step "
+    "size, a different codec CLASS from the memoryless G.711 row: "
+    "every decoded sample depends on the whole nibble history since "
+    "the block header. Genuine container (fmt extension with "
+    "wSamplesPerBlock, fact chunk with the true count, 256-byte "
+    "blocks: raw-int16 predictor + index header, low-nibble-first "
+    "packing, zero padding), hand-parsed and validated field by "
+    "field. Because the codec is all-integer, the lossy chain is "
+    "exactly reproducible, and the oracle replays the fused "
+    "encoder+decoder state machine as a DuckDB RECURSIVE CTE — the "
+    "repo's first sequential-state oracle — so parity proves the "
+    "encode -> container -> parse -> decode chain bit-for-bit "
+    "(tests/test_adpcm.py locks the SQL against the Python codec "
+    "sample-for-sample, plus quantizer brute-force over every step "
+    "index). The per-block index reset makes blocks decode-"
+    "independent — the audio analog of JPEG restart intervals: the "
+    "intra-payload parallelism seam at 100 TB. Plan: two chained "
+    "mapInPandas, map-only, zero data-bearing shuffles beyond the "
+    "narrow-key spread; 4-bit packing is the cheapest "
+    "executor->Python transfer in the audio family. See "
+    "operators/adpcm.py.",
+)
+def q_multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.adpcm import (
+        decode_adpcm_features,
+        encode_adpcm,
+    )
+    from ds_mapreduce_spark.operators.multimodal import synth_pcm_samples
+
+    docs = _doc_ids_spread(spark, sf_dir)
+    return decode_adpcm_features(encode_adpcm(synth_pcm_samples(docs)))

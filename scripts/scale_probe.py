@@ -244,6 +244,15 @@ def main() -> None:
         "multimodal_jpeg_roundtrip",
         "multimodal_mjpeg_avi_roundtrip",
     ]
+    # --only a,b restricts the run to a subset (comma-separated) so a
+    # fresh-session measurement of newly staged rows doesn't re-time
+    # the whole list
+    if "--only" in sys.argv:
+        wanted = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = wanted - set(names)
+        if unknown:
+            raise SystemExit(f"--only names not in probe list: {sorted(unknown)}")
+        names = [n for n in names if n in wanted]
 
     def run(name: str, sf_dir: str, k_semdedup: int) -> tuple[float, int]:
         t0 = time.monotonic()

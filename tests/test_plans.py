@@ -221,6 +221,10 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # r9: real VIDEO container (MJPEG-in-AVI wrapping the JPEG
         # codec per frame + temporal sampling) — same map-only shape
         ("multimodal_mjpeg_avi_roundtrip", 1),
+        # r9: stateful-adaptive lossy audio (IMA ADPCM, WAV 0x11) —
+        # same map-only two-pass shape; blocks decode independently
+        # (per-block index reset), the audio analog of JPEG restarts
+        ("multimodal_adpcm_roundtrip", 1),
         # r9: winnowing screen vs exact-20 truth — gram census +
         # truth distinct + fp census + flagged distinct + 1-row
         # summary (SinglePartition bounded scalar); the four
