@@ -243,6 +243,9 @@ def main() -> None:
         # fresh-session discipline in CLAUDE.md)
         "multimodal_jpeg_roundtrip",
         "multimodal_mjpeg_avi_roundtrip",
+        # r9: the stateful audio codec — per-sample Python state
+        # machine, so its curve checks that adaptivity stays linear
+        "multimodal_adpcm_roundtrip",
     ]
     # --only a,b restricts the run to a subset (comma-separated) so a
     # fresh-session measurement of newly staged rows doesn't re-time
