@@ -139,6 +139,10 @@ HEADLINE = [
     # closed-loop predictor costs a per-sample Python state machine,
     # so its delta vs the mu-law row prices adaptivity itself
     "multimodal_adpcm_roundtrip",
+    # round 9: the lossless predictive audio codec (FLAC subset) —
+    # bit-level Rice coding both ways; its delta vs the raw-PCM WAV
+    # row prices prediction + entropy coding
+    "multimodal_flac_roundtrip",
     # round 9: color JPEG (4:4:4 YCbCr, both Annex K tables) — its
     # delta vs the grayscale row isolates 3x planes + color transforms
     "multimodal_jpeg_color_roundtrip",

@@ -1075,3 +1075,40 @@ def q_multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _doc_ids_spread(spark, sf_dir)
     return decode_adpcm_features(encode_adpcm(synth_pcm_samples(docs)))
+
+
+@register(
+    "multimodal_flac_roundtrip",
+    oracle=_wav_oracle(),
+    doc="REAL lossless predictive AUDIO codec (r9): a FLAC stream "
+    "(RFC 9639 subset) implemented from the spec at the bit level — "
+    "the fourth entropy-coding family (RICE/GOLOMB, after Huffman/"
+    "LZW/DEFLATE) and the fourth audio codec class (predictive "
+    "lossless, after raw PCM, memoryless mu-law, adaptive ADPCM). "
+    "fLaC magic + STREAMINFO (incl. the spec's 16-byte MD5 of the "
+    "unencoded PCM, which the decoder verifies against what it "
+    "reconstructed — the container's OWN lossless proof), frame "
+    "headers with the 14-bit sync, code tables, UTF-8-style frame "
+    "numbers and a checked CRC-8, FIXED predictors orders 0-2 chosen "
+    "per frame by minimal encoded bits, 4-bit Rice residuals with "
+    "the raw-width escape, frame CRC-16. Lossless, so the oracle is "
+    "the same analytic PCM formula as multimodal_wav_roundtrip — "
+    "parity proves predict -> Rice -> bitpack -> container -> parse "
+    "-> reconstruct is the identity on every sample (the PNG/DEFLATE "
+    "precedent, entropy-coding edition); tests/test_flac.py locks "
+    "the CRC polynomials, coded-number widths, compression on "
+    "low-entropy signals, and the tamper paths. Plan: two chained "
+    "mapInPandas, map-only, zero data-bearing shuffles beyond the "
+    "narrow-key spread; frames are decode-independent after "
+    "STREAMINFO (the JPEG-restart / ADPCM-block parallelism seam). "
+    "See operators/flac.py.",
+)
+def q_multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.flac import (
+        decode_flac_features,
+        encode_flac,
+    )
+    from ds_mapreduce_spark.operators.multimodal import synth_pcm_samples
+
+    docs = _doc_ids_spread(spark, sf_dir)
+    return decode_flac_features(encode_flac(synth_pcm_samples(docs)))

@@ -225,6 +225,10 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # same map-only two-pass shape; blocks decode independently
         # (per-block index reset), the audio analog of JPEG restarts
         ("multimodal_adpcm_roundtrip", 1),
+        # r9: lossless predictive audio (FLAC subset, Rice-coded fixed
+        # predictors) — same map-only two-pass shape; frames decode
+        # independently after STREAMINFO
+        ("multimodal_flac_roundtrip", 1),
         # r9: winnowing screen vs exact-20 truth — gram census +
         # truth distinct + fp census + flagged distinct + 1-row
         # summary (SinglePartition bounded scalar); the four
