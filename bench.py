@@ -143,6 +143,10 @@ HEADLINE = [
     # bit-level Rice coding both ways; its delta vs the raw-PCM WAV
     # row prices prediction + entropy coding
     "multimodal_flac_roundtrip",
+    # round 9: temporal video compression (animated GIF delta
+    # frames) — its delta vs the static GIF row prices inter-frame
+    # coding: per-frame raster diffs + composition
+    "multimodal_animgif_roundtrip",
     # round 9: color JPEG (4:4:4 YCbCr, both Annex K tables) — its
     # delta vs the grayscale row isolates 3x planes + color transforms
     "multimodal_jpeg_color_roundtrip",

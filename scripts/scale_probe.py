@@ -246,6 +246,10 @@ def main() -> None:
         # r9: the stateful audio codec — per-sample Python state
         # machine, so its curve checks that adaptivity stays linear
         "multimodal_adpcm_roundtrip",
+        # r9: the inter-frame video codec — per-frame raster diffs +
+        # do-not-dispose composition chain WITHIN each payload; the
+        # curve checks that temporal state stays linear in payloads
+        "multimodal_animgif_roundtrip",
     ]
     # --only a,b restricts the run to a subset (comma-separated) so a
     # fresh-session measurement of newly staged rows doesn't re-time

@@ -207,3 +207,82 @@ def test_jpeg_constant_blocks_interchange_exactly(spark, tmp_path):
             np.int64
         )
         assert np.array_equal(theirs, ours), v
+
+
+def test_animgif_interchange_with_openjdk(spark, tmp_path):
+    """OpenJDK's GIF reader must see every delta frame of our animated
+    GIF, report the sub-rectangle offsets we wrote, and — composed per
+    the do-not-dispose semantics using its OWN alpha channel for our
+    transparency masks — reproduce every composed canvas pixel-exactly
+    (palette-mapped, true sRGB: no gamma trap for indexed color)."""
+    from ds_mapreduce_spark.operators.animgif import (
+        ANIM_FRAMES,
+        encode_animgif_bytes,
+    )
+    from ds_mapreduce_spark.operators.gif import (
+        GIF_H,
+        GIF_PAL_B_OFF,
+        GIF_PAL_G_OFF,
+        GIF_W,
+    )
+    from tests.test_animgif import synth_frames
+
+    frames = synth_frames(42)
+    p = str(tmp_path / "anim.gif")
+    with open(p, "wb") as f:
+        f.write(encode_animgif_bytes(frames, GIF_W, GIF_H))
+
+    jvm = spark._jvm
+    iis = jvm.javax.imageio.ImageIO.createImageInputStream(
+        jvm.java.io.File(p)
+    )
+    reader = jvm.javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    assert reader.getNumImages(True) == ANIM_FRAMES
+
+    def descriptor_offsets(i: int) -> tuple[int, int]:
+        tree = reader.getImageMetadata(i).getAsTree(
+            "javax_imageio_gif_image_1.0"
+        )
+        node = tree.getFirstChild()
+        while node is not None:
+            if node.getNodeName() == "ImageDescriptor":
+                attrs = node.getAttributes()
+                return (
+                    int(attrs.getNamedItem("imageLeftPosition").getNodeValue()),
+                    int(attrs.getNamedItem("imageTopPosition").getNodeValue()),
+                )
+            node = node.getNextSibling()
+        pytest.fail(f"frame {i}: no ImageDescriptor metadata")
+
+    canvas = np.zeros((GIF_H, GIF_W, 3), dtype=np.int64)
+    for i in range(ANIM_FRAMES):
+        img = reader.read(i)
+        w, h = img.getWidth(), img.getHeight()
+        left, top = descriptor_offsets(i)
+        argb = np.array(
+            img.getRGB(0, 0, w, h, None, 0, w), dtype=np.int64
+        ).reshape(h, w)
+        alpha = (argb >> 24) & 0xFF
+        rgb = np.stack(
+            [(argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF], axis=-1
+        )
+        opaque = alpha == 255
+        if i == 0:
+            assert (w, h, left, top) == (GIF_W, GIF_H, 0, 0)
+            assert opaque.all()
+        else:
+            # delta frames must be PROPER sub-rectangles with at least
+            # one masked pixel — otherwise temporal coding isn't being
+            # exercised
+            assert w * h < GIF_W * GIF_H
+            assert not opaque.all()
+        canvas[top : top + h, left : left + w][opaque] = rgb[opaque]
+        px = np.frombuffer(frames[i], dtype=np.uint8).reshape(GIF_H, GIF_W)
+        exp = np.stack(
+            [px, (px + GIF_PAL_G_OFF) % 256, (px + GIF_PAL_B_OFF) % 256],
+            axis=-1,
+        ).astype(np.int64)
+        assert np.array_equal(canvas, exp), f"frame {i} composition differs"
+    reader.dispose()
+    iis.close()

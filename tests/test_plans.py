@@ -229,6 +229,10 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # predictors) — same map-only two-pass shape; frames decode
         # independently after STREAMINFO
         ("multimodal_flac_roundtrip", 1),
+        # r9: temporal video (animated GIF delta frames) — same
+        # map-only two-pass shape; composition chains frames WITHIN a
+        # payload, payloads stay independent rows
+        ("multimodal_animgif_roundtrip", 1),
         # r9: winnowing screen vs exact-20 truth — gram census +
         # truth distinct + fp census + flagged distinct + 1-row
         # summary (SinglePartition bounded scalar); the four
