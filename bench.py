@@ -147,6 +147,10 @@ HEADLINE = [
     # frames) — its delta vs the static GIF row prices inter-frame
     # coding: per-frame raster diffs + composition
     "multimodal_animgif_roundtrip",
+    # round 9: perceptual transform audio (MDCT + block companding +
+    # exp-Golomb, the MP3/AAC class) — its delta vs the raw-PCM WAV
+    # row prices the lapped transform + scalefactor + entropy chain
+    "multimodal_mdct_roundtrip",
     # round 9: color JPEG (4:4:4 YCbCr, both Annex K tables) — its
     # delta vs the grayscale row isolates 3x planes + color transforms
     "multimodal_jpeg_color_roundtrip",

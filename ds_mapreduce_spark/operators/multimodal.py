@@ -16,8 +16,10 @@ the spec with stdlib zlib (``encode_png``/``decode_png_features`` —
 DEFLATE scanlines, all five predictive filters, CRC-verified chunks).
 A fourth tier (r9) is a REAL LOSSY codec: baseline JPEG from the ITU
 T.81 spec (``operators/jpeg.py`` — fixed-point DCT, quantization,
-canonical Huffman, JFIF container). For formats that genuinely need
-external codec libraries (MP3/H.264 — not in this container)
+canonical Huffman, JFIF container); the MDCT tier
+(``operators/mdct.py``, r9) covers the MP3/AAC transform-audio class
+natively. For the remaining container FORMATS that genuinely need
+external codec libraries (MP3 framing/H.264 — not in this container)
 ``decode_stub`` raises ``NotImplementedError`` at the documented seam
 and otherwise produces a deterministic fake feature set — there the
 Spark-side plumbing (schema, batching, partitioning, UDF signature)
@@ -470,8 +472,9 @@ def resize_ppm_nearest(media: DataFrame, factor: int = 2) -> DataFrame:
 # every chunk CRC, parses IHDR, inflates IDAT, and unfilters; corrupt
 # bytes, bad CRCs, truncated streams, and unsupported subsets (non-8-bit,
 # non-RGB, Adam7 interlace) all raise. With the baseline JPEG codec in
-# operators/jpeg.py (r9), the NotImplementedError seam narrows further
-# to codec formats with no stdlib path at all (MP3/H.264).
+# operators/jpeg.py (r9) and the MDCT audio codec in operators/mdct.py
+# (r9, the MP3-class mechanisms), the NotImplementedError seam narrows
+# to container formats with no stdlib path at all (MP3 framing/H.264).
 # ---------------------------------------------------------------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"

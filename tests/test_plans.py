@@ -233,6 +233,10 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # map-only two-pass shape; composition chains frames WITHIN a
         # payload, payloads stay independent rows
         ("multimodal_animgif_roundtrip", 1),
+        # r9: perceptual transform audio (windowed MDCT + block
+        # companding + exp-Golomb) — same map-only two-pass shape;
+        # granules decode independently after the header
+        ("multimodal_mdct_roundtrip", 1),
         # r9: winnowing screen vs exact-20 truth — gram census +
         # truth distinct + fp census + flagged distinct + 1-row
         # summary (SinglePartition bounded scalar); the four
