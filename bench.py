@@ -151,6 +151,11 @@ HEADLINE = [
     # exp-Golomb, the MP3/AAC class) — its delta vs the raw-PCM WAV
     # row prices the lapped transform + scalefactor + entropy chain
     "multimodal_mdct_roundtrip",
+    # round 9: motion-compensated transform video (full-search block
+    # matching + residual DCT + skip flags, the H.261->H.264 class) —
+    # its delta vs the animgif row prices motion ESTIMATION over
+    # copy-only delta coding
+    "multimodal_mcv_roundtrip",
     # round 9: color JPEG (4:4:4 YCbCr, both Annex K tables) — its
     # delta vs the grayscale row isolates 3x planes + color transforms
     "multimodal_jpeg_color_roundtrip",

@@ -18,8 +18,11 @@ A fourth tier (r9) is a REAL LOSSY codec: baseline JPEG from the ITU
 T.81 spec (``operators/jpeg.py`` — fixed-point DCT, quantization,
 canonical Huffman, JFIF container); the MDCT tier
 (``operators/mdct.py``, r9) covers the MP3/AAC transform-audio class
-natively. For the remaining container FORMATS that genuinely need
-external codec libraries (MP3 framing/H.264 — not in this container)
+natively, and the MCV tier (``operators/mcv.py``, r9) covers the
+H.264 hybrid-video class (motion compensation + transform residuals).
+For the remaining container FORMATS that genuinely need
+external codec libraries (MPEG framing/NAL units — not in this
+container)
 ``decode_stub`` raises ``NotImplementedError`` at the documented seam
 and otherwise produces a deterministic fake feature set — there the
 Spark-side plumbing (schema, batching, partitioning, UDF signature)
@@ -472,9 +475,11 @@ def resize_ppm_nearest(media: DataFrame, factor: int = 2) -> DataFrame:
 # every chunk CRC, parses IHDR, inflates IDAT, and unfilters; corrupt
 # bytes, bad CRCs, truncated streams, and unsupported subsets (non-8-bit,
 # non-RGB, Adam7 interlace) all raise. With the baseline JPEG codec in
-# operators/jpeg.py (r9) and the MDCT audio codec in operators/mdct.py
-# (r9, the MP3-class mechanisms), the NotImplementedError seam narrows
-# to container formats with no stdlib path at all (MP3 framing/H.264).
+# operators/jpeg.py (r9), the MDCT audio codec in operators/mdct.py
+# (r9, the MP3-class mechanisms) and the MCV video codec in
+# operators/mcv.py (r9, the H.264-class mechanisms), the
+# NotImplementedError seam narrows to the container formats with no
+# stdlib path at all (MPEG framing / H.264 NAL units).
 # ---------------------------------------------------------------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -1351,3 +1351,205 @@ def q_multimodal_mdct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _doc_ids_spread(spark, sf_dir)
     return decode_mdct_features(encode_mdct(synth_pcm_samples(docs)))
+
+
+def _mcv_oracle() -> str:
+    """Fused encoder+decoder replay for the motion-compensated video
+    roundtrip — a RECURSIVE-CTE oracle like ADPCM's, but carrying a
+    whole reconstructed FRAME per step instead of a scalar state pair.
+    The anchor intra-decodes frame 0 (level shift -> the shared
+    fixed-point DCT as two constant-table join passes -> flat quantize
+    -> dequantize -> two inverse passes -> clamp); each recursive step
+    replays block matching against the previous reconstruction (all
+    in-picture displacements, windowed SAD, RANK() argmin with the
+    format's (sad, dy, dx) tie-break), the residual DCT chain, and the
+    reconstruction, emitting the next frame's pixels. Per-block coded
+    bits are priced closed-form (exp-Golomb lengths + the 1-bit
+    zero-residual flag + se(v) motion vectors), attached to each
+    block's first pixel and summed per frame — so frame_bytes grades
+    the syntax coder byte-for-byte without the oracle ever seeing a
+    payload byte. The DCT constants come from operators/jpeg.DCT_T
+    (one-place rule); tests/test_mcv.py locks this SQL against the
+    Python codec chain feature-for-feature."""
+    from ds_mapreduce_spark.operators.jpeg import DCT_T
+    from ds_mapreduce_spark.operators.mcv import (
+        MCV_FRAMES,
+        MCV_H,
+        MCV_QI,
+        MCV_QP,
+        MCV_SEARCH,
+        MCV_VX,
+        MCV_VY,
+        MCV_W,
+    )
+    from ds_mapreduce_spark.operators.multimodal import PCM_A, PCM_B
+
+    tflat = ",".join(str(DCT_T[u][x]) for u in range(8) for x in range(8))
+    db = 8192  # descale denominator 2^DCT_BITS
+    r_ = MCV_SEARCH
+    side = 2 * r_ + 1
+
+    def da(x: str, m: int) -> str:
+        return (
+            f"CASE WHEN ({x}) >= 0 THEN (2*({x}) + {m}) // {2 * m} "
+            f"ELSE -((2*(-({x})) + {m}) // {2 * m}) END"
+        )
+
+    def cur(t: str, x: str, y: str) -> str:
+        return (
+            f"((doc_id % 256) * {PCM_A} + (((({y}) + {MCV_VY} * ({t})) % {MCV_H})"
+            f" * {MCV_W} + ((({x}) + {MCV_VX} * ({t})) % {MCV_W})) * {PCM_B}) % 256"
+        )
+
+    def ulen(q: str) -> str:
+        return (
+            f"(2 * LENGTH(bin((CASE WHEN ({q}) >= 0 THEN 2*({q}) "
+            f"ELSE -2*({q})-1 END) + 1)) - 1)"
+        )
+
+    def dct_chain(src: str, step: int) -> str:
+        """src(doc_id, blk, yy, xx, val) -> f1(doc_id, blk, yy, xx, fv)
+        + bits1(doc_id, blk, bb): forward two passes, flat quantize,
+        closed-form code bits (1-bit zero flag + 64 ue codes unless all
+        zero), dequantize, inverse two passes."""
+        return f"""g1 AS (
+      SELECT doc_id, blk, yy, tt.u AS uu, {da('SUM(val * tt.tv)', db)} AS gv
+      FROM {src} JOIN tt ON tt.x = xx GROUP BY doc_id, blk, yy, tt.u
+    ), h1 AS (
+      SELECT doc_id, blk, tt.u AS vv, uu, {da('SUM(gv * tt.tv)', db)} AS hv
+      FROM g1 JOIN tt ON tt.x = yy GROUP BY doc_id, blk, tt.u, uu
+    ), q1 AS (
+      SELECT doc_id, blk, vv, uu, {da('hv', step)} AS qv FROM h1
+    ), bits1 AS (
+      SELECT doc_id, blk,
+             1 + CASE WHEN BOOL_OR(qv != 0)
+                      THEN SUM({ulen('qv')}) ELSE 0 END AS bb
+      FROM q1 GROUP BY doc_id, blk
+    ), gi1 AS (
+      SELECT doc_id, blk, tt.x AS yy, uu, {da(f'SUM(qv * {step} * tt.tv)', db)} AS gv
+      FROM q1 JOIN tt ON tt.u = vv GROUP BY doc_id, blk, tt.x, uu
+    ), f1 AS (
+      SELECT doc_id, blk, yy, tt.x AS xx, {da('SUM(gv * tt.tv)', db)} AS fv
+      FROM gi1 JOIN tt ON tt.u = uu GROUP BY doc_id, blk, yy, tt.x
+    )"""
+
+    return f"""
+WITH RECURSIVE tt AS (
+  SELECT j // 8 AS u, j % 8 AS x, list_extract([{tflat}], j + 1)::BIGINT AS tv
+  FROM UNNEST(range(0, 64)) t(j)
+), bl AS (
+  SELECT b AS blk, (b % {MCV_W // 8}) * 8 AS bx0, (b // {MCV_W // 8}) * 8 AS by0
+  FROM UNNEST(range(0, {(MCV_W // 8) * (MCV_H // 8)})) t(b)
+), r(doc_id, t, i, v, bits_px, mv_px) AS (
+  SELECT fb.doc_id, 0 AS t,
+         (bl.by0 + fb.yy) * {MCV_W} + bl.bx0 + fb.xx AS i,
+         LEAST(255, GREATEST(0, fb.fv + 128)) AS v,
+         CASE WHEN fb.yy = 0 AND fb.xx = 0 THEN fb.bb ELSE 0 END AS bits_px,
+         0 AS mv_px
+  FROM (
+    WITH px AS (
+      SELECT d.doc_id, bl.blk, p.p // 8 AS yy, p.p % 8 AS xx,
+             ({cur('0', 'bl.bx0 + (p.p % 8)', 'bl.by0 + (p.p // 8)')}) - 128 AS val
+      FROM documents d, bl, UNNEST(range(0, 64)) p(p)
+    ), {dct_chain('px', MCV_QI)}
+    SELECT f1.doc_id, f1.blk, f1.yy, f1.xx, f1.fv, bits1.bb
+    FROM f1 JOIN bits1 USING (doc_id, blk)
+  ) fb JOIN bl ON bl.blk = fb.blk
+  UNION ALL
+  SELECT fb.doc_id, fb.t1 AS t,
+         (bl.by0 + fb.yy) * {MCV_W} + bl.bx0 + fb.xx AS i,
+         LEAST(255, GREATEST(0, fb.pred + fb.fv)) AS v,
+         CASE WHEN fb.yy = 0 AND fb.xx = 0 THEN fb.bb + fb.mvbits ELSE 0 END
+           AS bits_px,
+         CASE WHEN fb.yy = 0 AND fb.xx = 0 THEN fb.mvabs ELSE 0 END AS mv_px
+  FROM (
+    WITH prev AS (
+      SELECT doc_id, t, i, v FROM r WHERE t + 1 < {MCV_FRAMES}
+    ), cand AS (
+      SELECT p.doc_id, p.t + 1 AS t1, bl.blk, c.dy, c.dx,
+             pos.p // 8 AS yy, pos.p % 8 AS xx,
+             ({cur('p.t + 1', 'bl.bx0 + (pos.p % 8)', 'bl.by0 + (pos.p // 8)')})
+               AS cur,
+             p.v AS pv
+      FROM bl
+      JOIN (SELECT (c.c // {side}) - {r_} AS dy, (c.c % {side}) - {r_} AS dx
+            FROM UNNEST(range(0, {side * side})) c(c)) c
+        ON bl.by0 + c.dy >= 0 AND bl.by0 + c.dy + 8 <= {MCV_H}
+       AND bl.bx0 + c.dx >= 0 AND bl.bx0 + c.dx + 8 <= {MCV_W}
+      CROSS JOIN UNNEST(range(0, 64)) pos(p)
+      JOIN prev p
+        ON p.i = (bl.by0 + c.dy + pos.p // 8) * {MCV_W}
+                 + bl.bx0 + c.dx + (pos.p % 8)
+    ), sadded AS (
+      SELECT *, SUM(ABS(cur - pv)) OVER (PARTITION BY doc_id, blk, dy, dx)
+               AS sad
+      FROM cand
+    ), ranked AS (
+      SELECT *, RANK() OVER (PARTITION BY doc_id, blk ORDER BY sad, dy, dx)
+               AS rk
+      FROM sadded
+    ), best AS (
+      SELECT doc_id, t1, blk, dy, dx, yy, xx, pv AS pred, cur - pv AS val
+      FROM ranked WHERE rk = 1
+    ), {dct_chain('best', MCV_QP)}
+    SELECT f1.doc_id, b.t1, f1.blk, f1.yy, f1.xx, f1.fv, b.pred,
+           bits1.bb,
+           {ulen('b.dx')} + {ulen('b.dy')} AS mvbits,
+           ABS(b.dx) + ABS(b.dy) AS mvabs
+    FROM f1
+    JOIN best b USING (doc_id, blk, yy, xx)
+    JOIN bits1 USING (doc_id, blk)
+  ) fb JOIN bl ON bl.blk = fb.blk
+)
+SELECT doc_id,
+       CAST(t AS BIGINT) AS frame_id,
+       CAST({MCV_W} AS BIGINT) AS width,
+       CAST({MCV_H} AS BIGINT) AS height,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq_v,
+       CAST(SUM(mv_px) AS BIGINT) AS sum_abs_mv,
+       CAST((SUM(bits_px) + 7) // 8 + 1 AS BIGINT) AS frame_bytes
+FROM r GROUP BY doc_id, t
+"""
+
+
+@register(
+    "multimodal_mcv_roundtrip",
+    oracle=_mcv_oracle(),
+    doc="REAL hybrid motion-compensated transform VIDEO codec (r9): "
+    "the H.261->MPEG->H.264 class, closing the last third of the "
+    "JPEG/MP3/H.264 seam. All four defining mechanisms: exhaustive "
+    "full-pel block-matching MOTION ESTIMATION (+/-3 window, "
+    "minimum-SAD with a (sad,dy,dx) tie-break that is part of the "
+    "format), CLOSED-LOOP motion-compensated prediction from the "
+    "encoder's own reconstruction (2-D analog of ADPCM's predictor "
+    "discipline), TRANSFORM-CODED residuals through the shared "
+    "fixed-point JPEG DCT with flat half-away quantization (intra "
+    "frame 0 = random-access point), and H.264-STYLE SYNTAX — se(v) "
+    "motion vectors, ue(v) coefficients, a 1-bit zero-residual flag "
+    "per block (the skip/CBP economics: a perfectly predicted block "
+    "costs its vector plus one bit). All-integer, so the oracle "
+    "replays the fused encoder+decoder as a recursive CTE that "
+    "carries the reconstructed FRAME: block matching as windowed SAD "
+    "+ RANK argmin, the residual DCT as constant-table joins, coded "
+    "bytes priced closed-form — parity proves motion search, "
+    "prediction, transform, entropy coding, container framing and "
+    "reconstruction, byte-for-byte, without the oracle seeing a "
+    "payload byte. The scene scrolls toroidally, so interior blocks "
+    "prove the search finds true motion while edge blocks (which "
+    "cannot reach the displacement in-picture) exercise the full "
+    "residual path every frame. CRC-8-framed frames; prediction "
+    "chains frames WITHIN a payload (the inter-coding seam, as "
+    "animgif), payloads stay independent rows. Plan: two chained "
+    "mapInPandas, map-only, zero data-bearing shuffles beyond the "
+    "narrow-key spread. See operators/mcv.py.",
+)
+def q_multimodal_mcv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.mcv import (
+        decode_mcv_features,
+        encode_mcv,
+        synth_scroll_frames,
+    )
+
+    docs = _doc_ids_spread(spark, sf_dir)
+    return decode_mcv_features(encode_mcv(synth_scroll_frames(docs)))

@@ -83,7 +83,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: zero backlog. The 22 entries first graded in r08 stay pinned for a
 #: second consecutive green. Every IN entry is green under the
 #: in-repo DuckDB parity gate at sf0.001 AND sf0.01 (196/196,
-#: re-verified this session). The fourteen r9-new registrations
+#: re-verified this session). The fifteen r9-new registrations
 #: (dedup_span_winnow_screen — the VERDICT r8 #7 comparison row —
 #: multimodal_ppm_resize_real / multimodal_wav_decimate_real, which
 #: make the mandated resize/frame-sample legs REAL container->
@@ -106,7 +106,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: masked delta frames, the inter-frame temporal-coding class —
 #: multimodal_mdct_roundtrip — windowed-MDCT perceptual audio with
 #: Layer-I/II block companding and exp-Golomb coding, the MP3/AAC
-#: class, payload bytes graded closed-form — and
+#: class, payload bytes graded closed-form —
+#: multimodal_mcv_roundtrip — hybrid motion-compensated transform
+#: video, the H.261->H.264 class, graded by a recursive CTE that
+#: carries the reconstructed frame and replays the block-matching
+#: search — and
 #: gzip_jsonl_roundtrip) register after this window, green under
 #: the in-repo gate at both scales.
 #: Staged r10 rotation (assuming CORRECTNESS_r09 grades this window
@@ -114,7 +118,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: pinned here for a 2nd green) except where family coverage requires
 #: a stay — csv_roundtrip or jsonl_roundtrip as the only
 #: format_queries rows, mr_distributed_grep as the only mr_queries
-#: row; IN come the fourteen r9-new registrations plus re-greens of the
+#: row; IN come the fifteen r9-new registrations plus re-greens of the
 #: longest-unvisited cohort — 70 entries were last driver-graded r5
 #: or earlier as of r9, the 24 stalest untouched since r1 (agg_cube,
 #: agg_rollup, join_semi_anti, set_operations, window_running_sum,

@@ -250,6 +250,10 @@ def main() -> None:
         # do-not-dispose composition chain WITHIN each payload; the
         # curve checks that temporal state stays linear in payloads
         "multimodal_animgif_roundtrip",
+        # r9: the motion-compensated video codec — per-payload
+        # full-search block matching + residual DCT; the heaviest
+        # per-row Python work in the codec family, expected ~linear
+        "multimodal_mcv_roundtrip",
     ]
     # --only a,b restricts the run to a subset (comma-separated) so a
     # fresh-session measurement of newly staged rows doesn't re-time

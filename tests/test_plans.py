@@ -237,6 +237,10 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # companding + exp-Golomb) — same map-only two-pass shape;
         # granules decode independently after the header
         ("multimodal_mdct_roundtrip", 1),
+        # r9: motion-compensated transform video — same map-only
+        # two-pass shape; prediction chains frames WITHIN a payload,
+        # payloads stay independent rows
+        ("multimodal_mcv_roundtrip", 1),
         # r9: winnowing screen vs exact-20 truth — gram census +
         # truth distinct + fp census + flagged distinct + 1-row
         # summary (SinglePartition bounded scalar); the four
