@@ -254,6 +254,9 @@ def main() -> None:
         # full-search block matching + residual DCT; the heaviest
         # per-row Python work in the codec family, expected ~linear
         "multimodal_mcv_roundtrip",
+        # r9: the perceptual-transform audio codec — batched numpy
+        # MDCT + per-granule scalefactor search + bit packing
+        "multimodal_mdct_roundtrip",
     ]
     # --only a,b restricts the run to a subset (comma-separated) so a
     # fresh-session measurement of newly staged rows doesn't re-time
