@@ -237,10 +237,28 @@ def detect_foreign_spark_jvms() -> list[int]:
     return pids
 
 
+def read_cpu_steal() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — the hypervisor's
+    blind spot in busy-detection: r9 measured the SAME codec query at
+    1.7 s and 9.5 s minutes apart on an idle guest (zero foreign JVMs,
+    100% idle vmstat) because a co-tenant was stealing the physical
+    cores. Steal is the one signal that sees it. Errors return (0, 0)
+    (never kill the bench); steal_pct then records null."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    steal0, total0 = read_cpu_steal()
 
     # probe BEFORE our own JVM exists: anything found is another
     # driver's, and the recorded timings are suspect (3-5× inflation
@@ -296,6 +314,12 @@ def main() -> None:
         errors["__calibration__"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
+    steal1, total1 = read_cpu_steal()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
+        if total1 > total0
+        else None
+    )
     result = {
         "metric": "headline_total",
         "value": total,
@@ -305,6 +329,10 @@ def main() -> None:
         "calibration": calibration,
         "busy": bool(foreign),
         "foreign_spark_pids": foreign,
+        # hypervisor steal over the whole run: >2-3% means a co-tenant
+        # had the physical cores part-time and CPU-bound rows are
+        # inflated even though busy=false (measured 5x on codec rows)
+        "cpu_steal_pct": steal_pct,
         "sf": sf,
     }
     if errors:
