@@ -268,7 +268,10 @@ def main() -> None:
             raise SystemExit(f"--only names not in probe list: {sorted(unknown)}")
         names = [n for n in names if n in wanted]
 
-    def run(name: str, sf_dir: str, k_semdedup: int) -> tuple[float, int]:
+    from bench import read_cpu_steal  # repo root is on sys.path
+
+    def run(name: str, sf_dir: str, k_semdedup: int):
+        s0, tt0 = read_cpu_steal()
         t0 = time.monotonic()
         if name == "dedup_semdedup":
             df = semdedup_verdicts(
@@ -279,7 +282,12 @@ def main() -> None:
         else:
             df = registry[name].fn(spark, sf_dir)
         n = df.count()
-        return time.monotonic() - t0, n
+        dt = time.monotonic() - t0
+        s1, tt1 = read_cpu_steal()
+        steal = (
+            round(100.0 * (s1 - s0) / (tt1 - tt0), 2) if tt1 > tt0 else None
+        )
+        return dt, n, steal
 
     results = {}
     for name in names:
@@ -288,14 +296,17 @@ def main() -> None:
             run(name, "/root/testdata/sf0.001", 8)
         except Exception:
             pass
-        t1, n1 = run(name, BASE, 8)
-        row = {"t_1x_sec": round(t1, 3), "rows_1x": n1}
+        t1, n1, st1 = run(name, BASE, 8)
+        row = {"t_1x_sec": round(t1, 3), "rows_1x": n1, "steal_1x_pct": st1}
         line = f"{name:28s} 1x {t1:6.2f}s"
         for copies, out_dir, k in TIERS:
-            t, n = run(name, out_dir, k)
+            t, n, st = run(name, out_dir, k)
             row[f"t_{copies}x_sec"] = round(t, 3)
             row[f"ratio_{copies}x"] = round(t / t1, 2)
             row[f"rows_{copies}x"] = n
+            # a tier ratio read under hypervisor steal is environment,
+            # not engine superlinearity (PLANS.md late-r9 note)
+            row[f"steal_{copies}x_pct"] = st
             line += f"   {copies}x {t:6.2f}s (r {t / t1:5.2f})"
         results[name] = row
         print(line)

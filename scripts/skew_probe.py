@@ -138,10 +138,18 @@ def main() -> None:
         build_skew(spark)
         print(f"built skew 10x in {time.monotonic() - t0:.1f}s")
 
-    def run(name: str, sf_dir: str) -> tuple[float, int]:
+    from bench import read_cpu_steal  # repo root is on sys.path
+
+    def run(name: str, sf_dir: str):
+        s0, tt0 = read_cpu_steal()
         t0 = time.monotonic()
         n = registry[name].fn(spark, sf_dir).count()
-        return time.monotonic() - t0, n
+        dt = time.monotonic() - t0
+        s1, tt1 = read_cpu_steal()
+        steal = (
+            round(100.0 * (s1 - s0) / (tt1 - tt0), 2) if tt1 > tt0 else None
+        )
+        return dt, n, steal
 
     results = {}
     for name in NAMES:
@@ -149,14 +157,18 @@ def main() -> None:
             run(name, "/root/testdata/sf0.001")
         except Exception:
             pass
-        tu, nu = run(name, UNIFORM_DIR)
-        ts, ns = run(name, SKEW_DIR)
+        tu, nu, su = run(name, UNIFORM_DIR)
+        ts, ns, ss = run(name, SKEW_DIR)
         results[name] = {
             "t_uniform10x_sec": round(tu, 3),
             "t_skew10x_sec": round(ts, 3),
             "skew_ratio": round(ts / tu, 2),
             "rows_uniform": nu,
             "rows_skew": ns,
+            # a skew ratio read under hypervisor steal is environment,
+            # not a hot-key pathology (PLANS.md late-r9 note)
+            "steal_uniform_pct": su,
+            "steal_skew_pct": ss,
         }
         print(
             f"{name:28s} uniform {tu:6.2f}s   skew {ts:6.2f}s   "
