@@ -51,6 +51,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ds_mapreduce_spark.operators.flac import corruption_to_value_error
 from ds_mapreduce_spark.operators.gif import (
     GIF_H,
     GIF_W,
@@ -165,6 +166,7 @@ def encode_animgif_bytes(frames: list[bytes], w: int, h: int) -> bytes:
     return bytes(out)
 
 
+@corruption_to_value_error
 def parse_animgif(payload: bytes):
     """Parse + COMPOSE an animated GIF -> (w, h, palette, composed)
     where composed[t] is the full canvas (palette indices, bytes)

@@ -107,6 +107,31 @@ def crc16(data: bytes) -> int:
     return r
 
 
+def corruption_to_value_error(fn):
+    """Parse-boundary exception hygiene: a corrupt container must fail
+    with ValueError (the documented contract every codec test keys
+    on). Truncation or bit damage deep inside a parser can surface as
+    IndexError (raw byte indexing), struct.error (short fixed-width
+    field), or OverflowError (a damaged varint decoding to an absurd
+    magnitude that numpy's int64 rejects) — all still 'corrupt input'.
+    Found by fuzzing every parser with random mutations
+    (tests/test_codec_fuzz.py); applied at the public parse/decode
+    entry points only, so real logic bugs inside encoders still
+    surface raw."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (IndexError, struct.error, OverflowError) as exc:
+            raise ValueError(
+                f"corrupt container: {type(exc).__name__}: {exc}"
+            ) from exc
+
+    return wrapped
+
+
 # ------------------------------------------------------------ bit I/O
 class BitWriter:
     """MSB-first bit packer (the FLAC bit order)."""
@@ -376,6 +401,7 @@ def encode_flac_bytes(samples, rate: int = WAV_SAMPLE_RATE) -> bytes:
 
 
 # ------------------------------------------------------------ decoder
+@corruption_to_value_error
 def parse_streaminfo(payload: bytes):
     """-> (min_bs, max_bs, min_fs, max_fs, rate, channels, bps, md5,
     n_samples, first_frame_pos) — every field read from the container;
@@ -499,6 +525,7 @@ def _decode_frame(payload: bytes, pos: int, bps: int) -> tuple[list[int], int, i
     return _reconstruct(warmup, residuals, order), frame_number, end + 2
 
 
+@corruption_to_value_error
 def decode_flac_samples(payload: bytes) -> tuple[int, list[int]]:
     """Full container decode -> (rate, samples). Verifies per-frame
     CRCs, frame numbering, the STREAMINFO frame-size bounds, the total

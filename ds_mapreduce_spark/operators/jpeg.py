@@ -60,6 +60,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ds_mapreduce_spark.operators.flac import corruption_to_value_error
 from ds_mapreduce_spark.operators.multimodal import PCM_A, PCM_B
 
 #: synthesized image geometry — multiples of 8 (one JPEG block = 8x8)
@@ -517,6 +518,7 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+@corruption_to_value_error
 def parse_jpeg(payload: bytes):
     """Full baseline-grayscale JPEG parse -> (width, height, pixels).
 

@@ -77,6 +77,7 @@ from pyspark.sql import functions as F
 from ds_mapreduce_spark.operators.flac import (
     BitReader,
     BitWriter,
+    corruption_to_value_error,
     crc8,
     unzigzag,
     zigzag,
@@ -240,6 +241,7 @@ def encode_mcv_bytes(frames) -> bytes:
     return bytes(out)
 
 
+@corruption_to_value_error
 def parse_mcv(payload: bytes):
     """Header + per-frame syntax walk -> (frames, spans) where each
     frame is a list of (dy, dx, q-block) per block ((0,0,intra-q) for
@@ -250,6 +252,8 @@ def parse_mcv(payload: bytes):
     exact stream consumption."""
     if payload[:4] != MCV_MAGIC:
         raise ValueError("not an MCV1 payload")
+    if len(payload) < 12:
+        raise ValueError("MCV1 payload truncated inside the header")
     w, h, n_frames, qi, qp, search = struct.unpack("<HHBBBB", payload[4:12])
     if (w, h, qi, qp, search) != (MCV_W, MCV_H, MCV_QI, MCV_QP, MCV_SEARCH):
         raise ValueError(

@@ -68,6 +68,7 @@ from pyspark.sql import DataFrame
 from ds_mapreduce_spark.operators.flac import (
     BitReader,
     BitWriter,
+    corruption_to_value_error,
     crc8,
     unzigzag,
     zigzag,
@@ -288,6 +289,7 @@ def encode_mdct_bytes(samples, rate: int = WAV_SAMPLE_RATE) -> bytes:
     return bytes(out)
 
 
+@corruption_to_value_error
 def parse_mlt1(payload: bytes):
     """Header parse + per-granule CRC walk -> (rate, n_samples,
     granules) where each granule is (scalefactors, frames-of-q).
@@ -295,6 +297,8 @@ def parse_mlt1(payload: bytes):
     range, and that the stream ends exactly at the last granule."""
     if payload[:4] != MDCT_MAGIC:
         raise ValueError("not an MLT1 payload")
+    if len(payload) < 12:
+        raise ValueError("MLT1 payload truncated inside the header")
     n_samples, rate, n_bands, cshift = struct.unpack("<IHBB", payload[4:12])
     if n_bands != MDCT_N or cshift != MDCT_CSHIFT:
         raise ValueError(

@@ -1,0 +1,128 @@
+"""Parse-boundary exception hygiene, fuzzed: every codec parser in the
+repo, fed randomly mutated / truncated / garbage-spliced versions of a
+valid payload, either parses or raises ValueError — never IndexError,
+struct.error, OverflowError, or anything else. This is the executable
+form of each codec's "corrupt payloads fail loudly" claim: loud AND
+typed, so a 100 TB ingest job can catch bad media rows without a bare
+except. The r9 fuzz that motivated this found raw struct.error on
+<12-byte MCV1/MLT1 headers and IndexError/OverflowError leaks in the
+FLAC/animated-GIF/JPEG parsers (fixed by header guards +
+``operators/flac.corruption_to_value_error`` at the parse entry
+points). Seeded, so failures reproduce.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ds_mapreduce_spark.operators.multimodal import PCM_A, PCM_B
+
+TRIALS = 600
+
+
+def _synth_samples(doc: int, n: int = 1024) -> list[int]:
+    return [
+        (((doc % 65536) * PCM_A + i * PCM_B) % 65536) - 32768
+        for i in range(n)
+    ]
+
+
+def _targets():
+    from ds_mapreduce_spark.operators.adpcm import (
+        decode_adpcm_wav_samples,
+        encode_adpcm_wav_bytes,
+    )
+    from ds_mapreduce_spark.operators.animgif import (
+        ANIM_FRAMES,
+        encode_animgif_bytes,
+        parse_animgif,
+    )
+    from ds_mapreduce_spark.operators.flac import (
+        decode_flac_samples,
+        encode_flac_bytes,
+    )
+    from ds_mapreduce_spark.operators.g711 import (
+        encode_ulaw_wav_bytes,
+        parse_ulaw_wav,
+    )
+    from ds_mapreduce_spark.operators.gif import (
+        GIF_H,
+        GIF_W,
+        encode_gif_bytes,
+        parse_gif,
+    )
+    from ds_mapreduce_spark.operators.jpeg import (
+        JPEG_H,
+        JPEG_W,
+        encode_jpeg_bytes,
+        parse_jpeg,
+    )
+    from ds_mapreduce_spark.operators.mcv import (
+        MCV_FRAMES,
+        MCV_H,
+        MCV_VX,
+        MCV_VY,
+        MCV_W,
+        encode_mcv_bytes,
+        parse_mcv,
+    )
+    from ds_mapreduce_spark.operators.mdct import (
+        encode_mdct_bytes,
+        parse_mlt1,
+    )
+
+    samples = _synth_samples(7)
+    idx = bytes((7 * 31 + i) % 255 for i in range(GIF_W * GIF_H))
+    frames_gif = [
+        bytes((7 + t + i) % 255 for i in range(GIF_W * GIF_H))
+        for t in range(ANIM_FRAMES)
+    ]
+    px = bytes((i * 7) % 256 for i in range(JPEG_W * JPEG_H))
+    frames_mcv = [
+        [
+            (
+                (7 % 256) * PCM_A
+                + (
+                    (((i // MCV_W) + MCV_VY * t) % MCV_H) * MCV_W
+                    + (((i % MCV_W) + MCV_VX * t) % MCV_W)
+                )
+                * PCM_B
+            )
+            % 256
+            for i in range(MCV_W * MCV_H)
+        ]
+        for t in range(MCV_FRAMES)
+    ]
+    return [
+        ("adpcm", encode_adpcm_wav_bytes(samples), decode_adpcm_wav_samples),
+        ("flac", encode_flac_bytes(samples), decode_flac_samples),
+        ("ulaw", encode_ulaw_wav_bytes(samples), parse_ulaw_wav),
+        ("gif", encode_gif_bytes(idx, GIF_W, GIF_H), parse_gif),
+        ("animgif", encode_animgif_bytes(frames_gif, GIF_W, GIF_H), parse_animgif),
+        ("jpeg", encode_jpeg_bytes(px, JPEG_W, JPEG_H), parse_jpeg),
+        ("mcv", encode_mcv_bytes(frames_mcv), parse_mcv),
+        ("mdct", encode_mdct_bytes(samples), parse_mlt1),
+    ]
+
+
+@pytest.mark.parametrize("name,payload,parse", _targets())
+def test_mutated_payloads_parse_or_raise_value_error(name, payload, parse):
+    rng = random.Random(f"fuzz-{name}")
+    for trial in range(TRIALS):
+        b = bytearray(payload)
+        op = rng.randrange(3)
+        if op == 0:  # single bit flip
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        elif op == 1:  # truncation (including empty)
+            b = b[: rng.randrange(len(b))]
+        else:  # splice 1-8 garbage bytes in place
+            for _ in range(rng.randrange(1, 9)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            parse(bytes(b))
+        except ValueError:
+            pass
+        # anything else propagates and fails the test, naming the trial
+        # via the seeded rng state (reproduce with the same seed)
