@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ds_mapreduce_spark.operators.flac import corruption_to_value_error
 from ds_mapreduce_spark.operators.jpeg import (
     JPEG_BLOCKS,
     JPEG_H,
@@ -99,6 +100,7 @@ def _walk_chunks(buf: bytes, pos: int, end: int):
         pos += 8 + size + (size % 2)
 
 
+@corruption_to_value_error
 def parse_mjpeg_avi(payload: bytes):
     """Parse an MJPEG AVI -> (width, height, [frame pixel bytes]).
 

@@ -72,6 +72,17 @@ def _targets():
         encode_mdct_bytes,
         parse_mlt1,
     )
+    from ds_mapreduce_spark.operators.mjpeg_avi import (
+        encode_mjpeg_avi_bytes,
+        parse_mjpeg_avi,
+    )
+    from ds_mapreduce_spark.operators.multimodal import (
+        PPM_HEIGHT,
+        PPM_WIDTH,
+        _encode_png_bytes,
+        _parse_png,
+        _parse_ppm,
+    )
 
     samples = _synth_samples(7)
     idx = bytes((7 * 31 + i) % 255 for i in range(GIF_W * GIF_H))
@@ -95,6 +106,11 @@ def _targets():
         ]
         for t in range(MCV_FRAMES)
     ]
+    rgb = bytes((i * 7) % 256 for i in range(PPM_WIDTH * PPM_HEIGHT * 3))
+    ppm = b"P6\n%d %d\n255\n" % (PPM_WIDTH, PPM_HEIGHT) + rgb
+    avi = encode_mjpeg_avi_bytes(
+        [encode_jpeg_bytes(px, JPEG_W, JPEG_H)] * 4, JPEG_W, JPEG_H
+    )
     return [
         ("adpcm", encode_adpcm_wav_bytes(samples), decode_adpcm_wav_samples),
         ("flac", encode_flac_bytes(samples), decode_flac_samples),
@@ -104,6 +120,9 @@ def _targets():
         ("jpeg", encode_jpeg_bytes(px, JPEG_W, JPEG_H), parse_jpeg),
         ("mcv", encode_mcv_bytes(frames_mcv), parse_mcv),
         ("mdct", encode_mdct_bytes(samples), parse_mlt1),
+        ("ppm", ppm, _parse_ppm),
+        ("png", _encode_png_bytes(rgb, PPM_WIDTH, PPM_HEIGHT), _parse_png),
+        ("mjpeg_avi", avi, parse_mjpeg_avi),
     ]
 
 
