@@ -1,9 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints exactly ONE JSON line:
+Prints the full JSON line:
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <float>}
+followed by ONE compact summary line (same totals/calibration/steal,
+NO per-query map): the per-query map outgrew the driver's 2000-char
+tail capture in r9 (60 entries), truncating the leading
+"headline_total" out of the recorded BENCH_r09.json. The compact line
+is always short enough to survive the tail window, so the recorded
+2x-gate reference is read, not reconstructed (VERDICT r9 #3).
 
 Execution is forced with a noop-format write (full computation, no
 driver-side collect — the honest way to time a distributed plan).
@@ -338,6 +344,26 @@ def main() -> None:
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
+    # Compact summary line (no per-query map): the full line above is
+    # >4000 chars at 60 queries and the driver records only a 2000-char
+    # TAIL, which truncated r9's headline total out of BENCH_r09.json.
+    # This line is ~300 chars, so the tail always captures a
+    # machine-readable total. Printed LAST so tail-anchored parsers and
+    # last-line JSON scanners both find it.
+    summary = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(HEADLINE),
+        "n_errors": len(errors),
+        "repeats": repeats,
+        "calibration": calibration,
+        "busy": bool(foreign),
+        "cpu_steal_pct": steal_pct,
+        "sf": sf,
+        "line": "summary",
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -239,6 +239,10 @@ def parse_adpcm_wav(payload: bytes):
         raise ValueError(f"expected mono 4-bit, got {channels}ch/{bits}b")
     if cb < 2:
         raise ValueError("fmt extension missing wSamplesPerBlock")
+    # Same guard class as fmt above: a consistently-framed fact chunk
+    # shorter than 4 bytes leaks raw struct.error (ADVICE r9 item 2).
+    if len(fact) < 4:
+        raise ValueError(f"fact chunk needs 4 bytes, got {len(fact)}")
     (n_samples,) = struct.unpack("<I", fact[:4])
     n_blocks = -(-n_samples // spb) if n_samples else 0
     if len(data) != n_blocks * align:

@@ -114,6 +114,11 @@ def parse_ulaw_wav(payload: bytes):
         pos += 8 + size + (size % 2)  # word alignment
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
+    # A consistently-framed fmt chunk can still be SHORTER than the 16
+    # bytes the unpack needs — without this guard that leaks raw
+    # struct.error past the ValueError contract (ADVICE r9 item 1).
+    if len(fmt) < 16:
+        raise ValueError(f"fmt chunk needs 16 bytes, got {len(fmt)}")
     tag, channels, rate, _bps, _align, bits = struct.unpack("<HHIIHH", fmt[:16])
     if tag != _WAVE_FORMAT_MULAW:
         raise ValueError(f"expected mu-law (format 7), got format {tag}")

@@ -291,15 +291,49 @@ WAV_FEATURE_SCHEMA = (
 )
 
 
+def read_pcm16_wav(payload: bytes, doc_id="?") -> tuple[int, int, tuple]:
+    """Parse a mono PCM16 RIFF/WAVE payload -> (rate, n, samples).
+
+    The one place the stdlib ``wave`` reader's failure modes are
+    normalized to the repo-wide parser contract (corrupt container =>
+    ValueError, fuzz-locked in tests/test_codec_fuzz.py): ``wave.Error``
+    is NOT a ValueError subclass, a truncated header surfaces as
+    EOFError, and a data chunk shorter than the declared frame count
+    surfaces as struct.error from the fixed-width unpack (ADVICE r9
+    item 4). All container reads stay INSIDE the with block — the wave
+    module does not document post-close param access (ADVICE r8)."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise ValueError(
+                    f"doc {doc_id}: expected mono PCM16, got "
+                    f"{w.getnchannels()}ch/{w.getsampwidth()}B"
+                )
+            n = w.getnframes()
+            samples = struct.unpack(f"<{n}h", w.readframes(n))
+            rate = w.getframerate()
+    except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
+        # RuntimeError: wave.py's vendored Chunk.seek raises it BARE
+        # when a mutated chunk-size field pushes a seek out of range
+        # (found by the WAV fuzz target). Safe to normalize here: only
+        # stdlib wave/struct code runs inside the try block.
+        raise ValueError(
+            f"doc {doc_id}: corrupt WAV container: "
+            f"{type(exc).__name__}: {exc}"
+        ) from exc
+    return rate, n, samples
+
+
 def decode_wav_features(media: DataFrame) -> DataFrame:
     """REAL WAV decoder: parses the RIFF header (channel count, sample
     width, frame rate all read from the CONTAINER, not assumed),
     unpacks the PCM frames, and emits exact-integer amplitude features.
-    Raises on a malformed container or unexpected layout — a corrupt
-    payload fails loudly instead of producing silent garbage."""
-    import io
-    import struct
-    import wave
+    Raises ValueError on a malformed container or unexpected layout — a
+    corrupt payload fails loudly instead of producing silent garbage."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -308,18 +342,7 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
                 "peak_abs", "sum_abs", "sum_sq",
             )}
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-                # All container reads stay INSIDE the with block — the
-                # wave module does not document post-close param access
-                # (ADVICE r8 item 2).
-                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
-                        raise ValueError(
-                            f"doc {doc_id}: expected mono PCM16, got "
-                            f"{w.getnchannels()}ch/{w.getsampwidth()}B"
-                        )
-                    n = w.getnframes()
-                    samples = struct.unpack(f"<{n}h", w.readframes(n))
-                    rate = w.getframerate()
+                rate, n, samples = read_pcm16_wav(payload, doc_id)
                 rows["doc_id"].append(doc_id)
                 rows["sample_rate"].append(rate)
                 rows["n_samples"].append(n)
@@ -623,6 +646,11 @@ def _parse_png(payload: bytes):
         if zlib.crc32(typ + data) & 0xFFFFFFFF != struct.unpack(">I", crc_bytes)[0]:
             raise ValueError(f"CRC mismatch in {typ!r} chunk")
         if typ == b"IHDR":
+            # A CRC-valid IHDR of the wrong length would leak raw
+            # struct.error from the fixed-width unpack (ADVICE r9
+            # item 3) — the spec fixes IHDR at exactly 13 bytes.
+            if len(data) != 13:
+                raise ValueError(f"IHDR must be 13 bytes, got {len(data)}")
             w, h, depth, ctype, comp, fmeth, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -645,7 +673,13 @@ def _parse_png(payload: bytes):
     if ihdr is None or not seen_iend:
         raise ValueError("missing IHDR or IEND")
     w, h = ihdr
-    raw = zlib.decompress(bytes(idat))
+    try:
+        # Per-chunk CRCs validate the BYTES, not the DEFLATE stream:
+        # CRC-valid IDAT chunks can still concatenate to invalid
+        # DEFLATE (ADVICE r9 item 3) — zlib.error is not a ValueError.
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT DEFLATE stream: {exc}") from exc
     if len(raw) != h * (1 + w * 3):
         raise ValueError(
             f"decompressed size {len(raw)} != expected {h * (1 + w * 3)}"
@@ -709,6 +743,7 @@ def decimate_wav(media: DataFrame, stride: int = 4) -> DataFrame:
     form of video frame-sampling), and RE-ENCODE a genuine WAV at
     rate // stride. Closes the 'frame-sample' leg of the mandated
     multimodal surface with a real container->container transform.
+    Corrupt payloads raise ValueError (via read_pcm16_wav).
     Arrow-batched, map-only; output payloads shrink ~stride×."""
     import io
     import struct
@@ -718,15 +753,7 @@ def decimate_wav(media: DataFrame, stride: int = 4) -> DataFrame:
         for batch in batches:
             payloads = []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-                with wave.open(io.BytesIO(bytes(payload)), "rb") as r:
-                    if r.getnchannels() != 1 or r.getsampwidth() != 2:
-                        raise ValueError(
-                            f"doc {doc_id}: expected mono PCM16, got "
-                            f"{r.getnchannels()}ch/{r.getsampwidth()}B"
-                        )
-                    n = r.getnframes()
-                    samples = struct.unpack(f"<{n}h", r.readframes(n))
-                    rate = r.getframerate()
+                rate, n, samples = read_pcm16_wav(payload, doc_id)
                 kept = samples[::stride]
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as wout:

@@ -82,6 +82,7 @@ def _targets():
         _encode_png_bytes,
         _parse_png,
         _parse_ppm,
+        read_pcm16_wav,
     )
 
     samples = _synth_samples(7)
@@ -123,7 +124,25 @@ def _targets():
         ("ppm", ppm, _parse_ppm),
         ("png", _encode_png_bytes(rgb, PPM_WIDTH, PPM_HEIGHT), _parse_png),
         ("mjpeg_avi", avi, parse_mjpeg_avi),
+        # 12th target (ADVICE r9 item 4): the stdlib-wave PCM parser —
+        # wave.Error / EOFError / struct.error all normalize to
+        # ValueError in read_pcm16_wav.
+        ("wav", _pcm16_wav_bytes(samples), read_pcm16_wav),
     ]
+
+
+def _pcm16_wav_bytes(samples: list[int]) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
 
 
 @pytest.mark.parametrize("name,payload,parse", _targets())
@@ -145,3 +164,93 @@ def test_mutated_payloads_parse_or_raise_value_error(name, payload, parse):
             pass
         # anything else propagates and fails the test, naming the trial
         # via the seeded rng state (reproduce with the same seed)
+
+
+# ---- crafted corruption the random fuzz can't reach (ADVICE r9) ----
+# Random size-field mutations de-sync the chunk walk (WAV) or break the
+# CRC (PNG) before these deeper guards are exercised, so each gets a
+# hand-built payload that is CONSISTENT at the outer layer and corrupt
+# exactly one layer down.
+
+
+def _riff(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    import struct
+
+    body = b"WAVE"
+    for cid, data in chunks:
+        body += cid + struct.pack("<I", len(data)) + data + b"\x00" * (len(data) % 2)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _png_rechunk(payload: bytes, edit) -> bytes:
+    """Reassemble a PNG with per-chunk CRCs recomputed after ``edit``
+    maps (type, data) -> (type, data) — crafts CRC-VALID corruption."""
+    import struct
+    import zlib
+
+    out, pos = bytearray(payload[:8]), 8
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        typ, data = edit(typ, data)
+        out += struct.pack(">I", len(data)) + typ + data
+        out += struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def test_ulaw_short_fmt_chunk_raises_value_error():
+    from ds_mapreduce_spark.operators.g711 import parse_ulaw_wav
+
+    payload = _riff([(b"fmt ", b"\x07\x00\x01\x00"), (b"data", b"\x80" * 8)])
+    with pytest.raises(ValueError, match="fmt chunk needs 16 bytes"):
+        parse_ulaw_wav(payload)
+
+
+def test_adpcm_short_fact_chunk_raises_value_error():
+    import struct
+
+    from ds_mapreduce_spark.operators.adpcm import parse_adpcm_wav
+
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4096, 256, 4, 2, 505)
+    payload = _riff(
+        [(b"fmt ", fmt), (b"fact", b"\x01\x00"), (b"data", b"\x00" * 256)]
+    )
+    with pytest.raises(ValueError, match="fact chunk needs 4 bytes"):
+        parse_adpcm_wav(payload)
+
+
+def test_png_crc_valid_wrong_length_ihdr_raises_value_error():
+    from ds_mapreduce_spark.operators.multimodal import (
+        PPM_HEIGHT,
+        PPM_WIDTH,
+        _encode_png_bytes,
+        _parse_png,
+    )
+
+    rgb = bytes((i * 7) % 256 for i in range(PPM_WIDTH * PPM_HEIGHT * 3))
+    png = _encode_png_bytes(rgb, PPM_WIDTH, PPM_HEIGHT)
+    bad = _png_rechunk(
+        png, lambda t, d: (t, d + b"\x00") if t == b"IHDR" else (t, d)
+    )
+    with pytest.raises(ValueError, match="IHDR must be 13 bytes"):
+        _parse_png(bad)
+
+
+def test_png_crc_valid_invalid_deflate_raises_value_error():
+    from ds_mapreduce_spark.operators.multimodal import (
+        PPM_HEIGHT,
+        PPM_WIDTH,
+        _encode_png_bytes,
+        _parse_png,
+    )
+
+    rgb = bytes((i * 7) % 256 for i in range(PPM_WIDTH * PPM_HEIGHT * 3))
+    png = _encode_png_bytes(rgb, PPM_WIDTH, PPM_HEIGHT)
+    bad = _png_rechunk(
+        png,
+        lambda t, d: (t, b"\xff" * len(d)) if t == b"IDAT" else (t, d),
+    )
+    with pytest.raises(ValueError, match="corrupt IDAT DEFLATE"):
+        _parse_png(bad)

@@ -82,45 +82,40 @@ def test_queries_md_matches_registry():
 
 
 def test_check_window_covers_the_round1_dark_families():
-    """The queries each round's VERDICT demands driver-grade evidence
-    for. r1-dark entries that have since gone green for >=2 driver
-    rounds may rotate out (their family stays covered — asserted by
-    test_check_window_spans_every_family); entries graded for the FIRST
-    time last round stay pinned one more round."""
+    """The queries this round's VERDICT demands driver-grade evidence
+    for (VERDICT r9 #1: the fifteen never-graded r9 registrations plus
+    the stalest cohort — 24 entries untouched since r1). The earlier
+    "pin a first green one more round" rule is superseded by that
+    prescription: a rotated-out entry keeps both-scale in-repo DuckDB
+    parity coverage every pytest run, and no driver grading has ever
+    diverged from that gate (r9 went 26-for-26 on first gradings)."""
     must_grade = {
-        # Round-9 rotation (VERDICT r8 #1, the staged plan executed):
-        # 26 of the 28 twice-green r7-cohort entries rotated out;
-        # events_gapfill_interpolate + seasonal_naive_backtest stay as
-        # the only temporal_queries rows in the window (family coverage
-        # asserted by test_check_window_spans_every_family). ALL 26
-        # never-driver-graded entries rotate in -> 196/196 ever-graded.
-        "events_gapfill_interpolate", "seasonal_naive_backtest",
-        # The 22 entries FIRST graded in r08 stay pinned a 2nd round:
-        "bpe_train_merges", "embedding_pca_power",
-        "collocation_pmi_topk", "events_decayed_engagement",
-        "knn_jl_recall_eval", "weighted_priority_sample",
-        "leakage_safe_splits_neardup", "multimodal_payload_simhash",
-        "mr_distributed_grep",
-        "q8_market_share", "q11_important_value_parts",
-        "q20_dominant_part_shippers", "q21_waiting_sole_late_supplier",
-        "pipeline_corpus_prep", "skew_salted_join", "csv_roundtrip",
-        "jsonl_roundtrip", "lang_breakdown", "unigram_commonness",
-        "term_frequencies", "events_props_typed",
-        "events_attribution_join",
-        # r9 IN: the five r8-new registrations
-        "dedup_span_excision_exact20", "dedup_semdedup_trained",
-        "bpe_encode_census", "multimodal_wav_roundtrip",
-        "multimodal_ppm_roundtrip",
-        # r9 IN: the 21 remaining never-graded backlog residents
-        "array_functions", "map_functions", "events_pivot",
-        "events_unpivot", "events_user_activity",
-        "events_value_histogram", "events_dow_hour_profile",
-        "events_hierarchical_rollup", "fuzzy_name_pairs",
-        "doc_fingerprint", "doc_repetition_stats",
-        "boilerplate_ngram_coverage", "domain_quota_sample",
-        "deterministic_sample", "token_count", "vocab_oov_rates",
-        "embedding_norm_stats", "knn_quality_gated",
-        "length_bucketed_batching", "compaction_rebalance",
-        "table_antientropy_checksums",
+        # The fifteen r9-new registrations, never in any CORRECTNESS:
+        "dedup_span_winnow_screen", "gzip_jsonl_roundtrip",
+        "multimodal_png_roundtrip", "multimodal_ppm_resize_real",
+        "multimodal_wav_decimate_real", "multimodal_jpeg_roundtrip",
+        "multimodal_jpeg_color_roundtrip", "multimodal_gif_roundtrip",
+        "multimodal_ulaw_roundtrip", "multimodal_adpcm_roundtrip",
+        "multimodal_flac_roundtrip", "multimodal_animgif_roundtrip",
+        "multimodal_mdct_roundtrip", "multimodal_mcv_roundtrip",
+        "multimodal_mjpeg_avi_roundtrip",
+        # The r1-stale cohort (last driver-graded in round 1):
+        "agg_cube", "agg_rollup", "dedup_embedding_cosine",
+        "distinct_values", "join_left_outer", "join_semi_anti",
+        "mr_generic_charcount", "mr_salted_wordcount",
+        "multimodal_frame_sample", "multimodal_resize",
+        "q4_late_shipment_priority", "q5_local_supplier_volume",
+        "q12_priority_by_returnflag", "q13_order_count_distribution",
+        "q14_promo_revenue_ratio", "q16_supplier_part_variety",
+        "q17_small_quantity_revenue", "q18_large_volume_customers",
+        "q22_dormant_rich_customers", "set_operations",
+        "sql_q6_forecast_revenue", "window_rank_per_group",
+        "window_running_sum", "wordcount_topk",
+        # The full r2 cohort:
+        "agg_percentiles", "date_functions",
+        "dedup_connected_components", "doc_winnowing_fingerprints",
+        "events_cohort_retention", "filter_project", "regex_functions",
+        # Family-coverage swaps (stalest rows of their modules):
+        "knn_bruteforce", "range_join_price_bands",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))
