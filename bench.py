@@ -369,7 +369,8 @@ def main() -> None:
 if __name__ == "__main__":
     try:
         main()
-    except Exception as exc:  # even a harness-level failure emits the line
+    except Exception as exc:  # even a harness-level failure emits both lines
+        err = f"{type(exc).__name__}: {exc}"[:500]
         print(
             json.dumps(
                 {
@@ -378,7 +379,23 @@ if __name__ == "__main__":
                     "unit": "sec",
                     "queries": {},
                     "sf": -1.0,
-                    "errors": {"__harness__": f"{type(exc).__name__}: {exc}"[:500]},
+                    "errors": {"__harness__": err},
+                }
+            )
+        )
+        # the compact summary marker is ALWAYS the last line, even on
+        # harness failure, so tail-anchored parsers never miss it
+        # (ADVICE r10)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_total",
+                    "value": None,
+                    "unit": "sec",
+                    "n_queries": 0,
+                    "n_errors": 1,
+                    "sf": -1.0,
+                    "line": "summary",
                 }
             )
         )

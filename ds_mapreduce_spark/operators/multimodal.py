@@ -319,8 +319,12 @@ def read_pcm16_wav(payload: bytes, doc_id="?") -> tuple[int, int, tuple]:
     except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
         # RuntimeError: wave.py's vendored Chunk.seek raises it BARE
         # when a mutated chunk-size field pushes a seek out of range
-        # (found by the WAV fuzz target). Safe to normalize here: only
-        # stdlib wave/struct code runs inside the try block.
+        # (found by the WAV fuzz target). Only the BARE class is a
+        # container symptom — subclasses (RecursionError, NotImplemented
+        # paths) are genuine interpreter failures and must propagate
+        # (ADVICE r10).
+        if isinstance(exc, RuntimeError) and type(exc) is not RuntimeError:
+            raise
         raise ValueError(
             f"doc {doc_id}: corrupt WAV container: "
             f"{type(exc).__name__}: {exc}"
