@@ -201,6 +201,11 @@ class BitReader:
         assert self._bit == 0
         return self._byte
 
+    @property
+    def bit_pos(self) -> int:
+        """Bit offset within the current byte (0 = byte-aligned)."""
+        return self._bit
+
 
 # ----------------------------------------------- coded (UTF-8-style) numbers
 def utf8_code(n: int) -> bytes:

@@ -353,22 +353,33 @@ def decode_mcv_features(media: DataFrame) -> DataFrame:
                 "sum_v", "sum_sq_v", "sum_abs_mv", "frame_bytes",
             )}
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-                payload = bytes(payload)
-                frames, spans = parse_mcv(payload)
-                recons = decode_mcv_frames(payload)
-                for t, (blocks, recon, span) in enumerate(
-                    zip(frames, recons, spans)
-                ):
+                for f in mcv_payload_features(bytes(payload)):
                     rows["doc_id"].append(doc_id)
-                    rows["frame_id"].append(t)
+                    rows["frame_id"].append(f["frame_id"])
                     rows["width"].append(MCV_W)
                     rows["height"].append(MCV_H)
-                    rows["sum_v"].append(int(recon.sum()))
-                    rows["sum_sq_v"].append(int((recon * recon).sum()))
-                    rows["sum_abs_mv"].append(
-                        sum(abs(dy) + abs(dx) for dy, dx, _ in blocks)
-                    )
-                    rows["frame_bytes"].append(span[1] - span[0])
+                    rows["sum_v"].append(f["sum_v"])
+                    rows["sum_sq_v"].append(f["sum_sq_v"])
+                    rows["sum_abs_mv"].append(f["sum_abs_mv"])
+                    rows["frame_bytes"].append(f["frame_bytes"])
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=MCV_FEATURE_SCHEMA)
+
+
+def mcv_payload_features(payload: bytes) -> list[dict]:
+    """Per-frame features of one MCV1 payload — the per-payload core of
+    `decode_mcv_features`, shared with the Annex-B wrapper
+    (`operators/annexb.py`) which decodes a REASSEMBLED container."""
+    frames, spans = parse_mcv(payload)
+    recons = decode_mcv_frames(payload)
+    return [
+        {
+            "frame_id": t,
+            "sum_v": int(recon.sum()),
+            "sum_sq_v": int((recon * recon).sum()),
+            "sum_abs_mv": sum(abs(dy) + abs(dx) for dy, dx, _ in blocks),
+            "frame_bytes": span[1] - span[0],
+        }
+        for t, (blocks, recon, span) in enumerate(zip(frames, recons, spans))
+    ]

@@ -260,17 +260,19 @@ def _read_ue(r: BitReader) -> int:
     return ((1 << lz) | rest) - 1
 
 
-def encode_mdct_bytes(samples, rate: int = WAV_SAMPLE_RATE) -> bytes:
-    """Full encode: samples (len a multiple of 16) -> MLT1 container."""
+def encode_granule_blobs(samples) -> list[bytes]:
+    """Granule-level encode: samples (len a multiple of 16) -> one coded
+    blob per granule (scalefactors + exp-Golomb coefficients, byte-
+    aligned, CRC-8 suffixed). The MLT1 container concatenates these
+    after its header; the MPEG-style framing layer
+    (`operators/mpeg_audio.py`) wraps each one in a frame instead —
+    the coded-granule syntax is shared, only the container differs."""
     x = np.asarray(samples, dtype=np.int64)
     if len(x) % MDCT_N:
         raise ValueError(f"sample count {len(x)} not a multiple of {MDCT_N}")
     acc = _forward_accumulators(x)
     t_frames = acc.shape[0]
-    out = bytearray(
-        MDCT_MAGIC
-        + struct.pack("<IHBB", len(x), rate, MDCT_N, MDCT_CSHIFT)
-    )
+    blobs: list[bytes] = []
     for g0 in range(0, t_frames, MDCT_GRANULE):
         frames = acc[g0 : g0 + MDCT_GRANULE]
         w = BitWriter()
@@ -285,8 +287,45 @@ def encode_mdct_bytes(samples, rate: int = WAV_SAMPLE_RATE) -> bytes:
                 _write_ue(w, zigzag(q))
         w.align()
         coded = w.getvalue()
-        out += coded + bytes([crc8(coded)])
+        blobs.append(coded + bytes([crc8(coded)]))
+    return blobs
+
+
+def encode_mdct_bytes(samples, rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Full encode: samples (len a multiple of 16) -> MLT1 container."""
+    x = np.asarray(samples, dtype=np.int64)
+    out = bytearray(
+        MDCT_MAGIC
+        + struct.pack("<IHBB", len(x), rate, MDCT_N, MDCT_CSHIFT)
+    )
+    for blob in encode_granule_blobs(x):
+        out += blob
     return bytes(out)
+
+
+def read_granule(r: BitReader, payload: bytes, n_in_g: int):
+    """Parse ONE coded granule at the reader's position: scalefactors,
+    ``n_in_g`` frames of coefficients, byte alignment, CRC-8 check.
+    Shared by the MLT1 walk below and the MPEG-frame walk in
+    `operators/mpeg_audio.py` (there the granule sits inside a frame
+    body instead of a bare concatenation). -> (scalefactors, frames)."""
+    start = r.byte_pos
+    es = [r.read(4) for _ in range(MDCT_N)]
+    frames = []
+    for _ in range(n_in_g):
+        qs = []
+        for _ in range(MDCT_N):
+            u = _read_ue(r)
+            if u > 2 * MDCT_QMAX:
+                raise ValueError(f"MLT1 coefficient code {u} out of range")
+            qs.append(unzigzag(u))
+        frames.append(qs)
+    r.align()
+    end = r.byte_pos
+    crc = r.read(8)
+    if crc != crc8(payload[start:end]):
+        raise ValueError("MLT1 granule CRC mismatch")
+    return es, frames
 
 
 @corruption_to_value_error
@@ -311,23 +350,7 @@ def parse_mlt1(payload: bytes):
     granules = []
     for g0 in range(0, t_frames, MDCT_GRANULE):
         n_in_g = min(MDCT_GRANULE, t_frames - g0)
-        start = r.byte_pos
-        es = [r.read(4) for _ in range(MDCT_N)]
-        frames = []
-        for _ in range(n_in_g):
-            qs = []
-            for _ in range(MDCT_N):
-                u = _read_ue(r)
-                if u > 2 * MDCT_QMAX:
-                    raise ValueError(f"MLT1 coefficient code {u} out of range")
-                qs.append(unzigzag(u))
-            frames.append(qs)
-        r.align()
-        end = r.byte_pos
-        crc = r.read(8)
-        if crc != crc8(payload[start:end]):
-            raise ValueError("MLT1 granule CRC mismatch")
-        granules.append((es, frames))
+        granules.append(read_granule(r, payload, n_in_g))
     if r.byte_pos != len(payload):
         raise ValueError(
             f"{len(payload) - r.byte_pos} trailing bytes after last granule"
@@ -335,11 +358,11 @@ def parse_mlt1(payload: bytes):
     return rate, n_samples, granules
 
 
-def decode_mdct_samples(payload: bytes) -> tuple[int, list[int]]:
-    """Full container decode -> (rate, reconstructed samples):
-    dequantize, inverse MDCT with the SAME constant table, overlap-add
-    the two frames covering each sample, scale down and clamp."""
-    rate, n_samples, granules = parse_mlt1(payload)
+def granules_to_samples(n_samples: int, granules) -> list[int]:
+    """Synthesis side, container-independent: dequantize, inverse MDCT
+    with the SAME constant table, overlap-add the two frames covering
+    each sample, scale down and clamp. Shared by the MLT1 decode below
+    and the MPEG-frame decode in `operators/mpeg_audio.py`."""
     acc = np.zeros(n_samples + 2 * MDCT_N, dtype=np.int64)
     t = 0
     for es, frames in granules:
@@ -361,7 +384,13 @@ def decode_mdct_samples(payload: bytes) -> tuple[int, list[int]]:
         body >= 0, (body + half) // div, -((-body + half) // div)
     )
     recon = np.clip(recon, -32768, 32767)
-    return rate, [int(v) for v in recon]
+    return [int(v) for v in recon]
+
+
+def decode_mdct_samples(payload: bytes) -> tuple[int, list[int]]:
+    """Full container decode -> (rate, reconstructed samples)."""
+    rate, n_samples, granules = parse_mlt1(payload)
+    return rate, granules_to_samples(n_samples, granules)
 
 
 def encode_mdct(df: DataFrame) -> DataFrame:

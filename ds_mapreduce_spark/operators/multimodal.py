@@ -20,13 +20,15 @@ canonical Huffman, JFIF container); the MDCT tier
 (``operators/mdct.py``, r9) covers the MP3/AAC transform-audio class
 natively, and the MCV tier (``operators/mcv.py``, r9) covers the
 H.264 hybrid-video class (motion compensation + transform residuals).
-For the remaining container FORMATS that genuinely need
-external codec libraries (MPEG framing/NAL units — not in this
-container)
-``decode_stub`` raises ``NotImplementedError`` at the documented seam
-and otherwise produces a deterministic fake feature set — there the
-Spark-side plumbing (schema, batching, partitioning, UDF signature)
-is what is real and tested.
+The container-syntax halves those two rows left open are closed in
+r11: ``operators/mpeg_audio.py`` implements the ISO 11172-3 frame
+syntax (ID3v2 tag, Layer III headers, VBR frame-length rule) and
+``operators/annexb.py`` the H.264 Annex-B byte stream (start codes,
+NAL headers, emulation prevention, SPS/PPS/SEI). ``decode_stub``'s
+``NotImplementedError`` seam now marks only the boundary to REAL
+WORLD media (arbitrary wild files need PIL/ffmpeg, which are not in
+this container); for every codec class and container syntax the repo
+claims, the implementation is native and oracle-graded.
 
 Scale notes (100 TB): binary payloads dominate row width, so
 ``spark.sql.files.maxPartitionBytes`` (not row counts) sizes tasks;
@@ -503,10 +505,13 @@ def resize_ppm_nearest(media: DataFrame, factor: int = 2) -> DataFrame:
 # bytes, bad CRCs, truncated streams, and unsupported subsets (non-8-bit,
 # non-RGB, Adam7 interlace) all raise. With the baseline JPEG codec in
 # operators/jpeg.py (r9), the MDCT audio codec in operators/mdct.py
-# (r9, the MP3-class mechanisms) and the MCV video codec in
-# operators/mcv.py (r9, the H.264-class mechanisms), the
-# NotImplementedError seam narrows to the container formats with no
-# stdlib path at all (MPEG framing / H.264 NAL units).
+# (r9, the MP3-class mechanisms), the MCV video codec in
+# operators/mcv.py (r9, the H.264-class mechanisms), and the r11
+# container-syntax layers (operators/mpeg_audio.py: ISO 11172-3
+# framing; operators/annexb.py: H.264 Annex-B NAL syntax), no declared
+# codec class or container syntax remains stubbed — the
+# NotImplementedError seam marks only the PIL/ffmpeg boundary for
+# arbitrary wild media files.
 # ---------------------------------------------------------------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -1225,6 +1225,14 @@ def _mdct_oracle() -> str:
     container -> parse -> decode chain INCLUDING the bit-level entropy
     coder. tests/test_mdct.py locks this SQL against the Python codec
     sample-for-sample and byte-for-byte."""
+    shared, mlt1_tail = _mdct_oracle_parts()
+    return shared + mlt1_tail
+
+
+def _mdct_oracle_parts() -> tuple[str, str]:
+    """-> (the shared CTE chain px..recon/bits, the MLT1-specific
+    pricing tail). `_mp3_oracle` reuses the shared chain with its own
+    MPEG-frame pricing tail."""
     from ds_mapreduce_spark.operators.mdct import (
         MDCT_BASE_STEPS,
         MDCT_COEF,
@@ -1247,7 +1255,7 @@ def _mdct_oracle() -> str:
     base = ",".join(map(str, MDCT_BASE_STEPS))
     cs = MDCT_CSHIFT
     half, div = 1 << (cs + 2), 1 << (cs + 3)
-    return f"""
+    shared = f"""
 WITH px AS (
   SELECT doc_id, i,
          (((doc_id % 65536) * {PCM_A} + i * {PCM_B}) % 65536) - 32768 AS x
@@ -1297,7 +1305,8 @@ WITH px AS (
          {MDCT_N * 4} + SUM(2 * LENGTH(bin(
              CASE WHEN q >= 0 THEN 2 * q ELSE -2 * q - 1 END + 1)) - 1) AS fb
   FROM q GROUP BY doc_id, t // {MDCT_GRANULE}
-), pb AS (
+)"""
+    mlt1_tail = f""", pb AS (
   SELECT doc_id, 12 + SUM((fb + 7) // 8 + 1) AS payload_bytes
   FROM bits GROUP BY doc_id
 )
@@ -1311,6 +1320,7 @@ SELECT doc_id,
 FROM recon r JOIN pb USING (doc_id)
 GROUP BY doc_id
 """
+    return shared, mlt1_tail
 
 
 @register(
@@ -1553,3 +1563,232 @@ def q_multimodal_mcv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _doc_ids_spread(spark, sf_dir)
     return decode_mcv_features(encode_mcv(synth_scroll_frames(docs)))
+
+
+def _mp3_oracle() -> str:
+    """MPEG-frame pricing on the shared MDCT replay chain: per granule
+    the coded bytes gb = (fb+7)//8 + 1 (the SAME closed-form exp-Golomb
+    pricing the MLT1 oracle grades), then the Layer-III frame-length
+    rule 144000*kbps // 44100 + padding over the published bitrate
+    table, with the VBR first-fit choice replayed as MIN(2*index +
+    padding) over satisfying candidates (index ascending dominates:
+    table indices are consecutive). Container bytes add the ID3v2.3
+    tag (closed-form size) and every frame's chosen length — so parity
+    grades the header-table choice, the padding bits, and the byte
+    stream end-to-end without the oracle seeing a payload byte."""
+    from ds_mapreduce_spark.operators.mpeg_audio import (
+        MP3_BITRATES,
+        MP3_FRAME_SAMPLES,
+        MP3_SAMPLE_RATE,
+        id3_tag_bytes,
+    )
+    from ds_mapreduce_spark.operators.multimodal import WAV_N_SAMPLES
+
+    shared, _ = _mdct_oracle_parts()
+    br_rows = ",".join(
+        f"({i},{k})" for i, k in enumerate(MP3_BITRATES) if k
+    )
+    id3 = id3_tag_bytes(WAV_N_SAMPLES)
+    return f"""{shared}, gb AS (
+  SELECT doc_id, gr, (fb + 7) // 8 + 1 AS gb FROM bits
+), br(i, kbps) AS (
+  SELECT * FROM (VALUES {br_rows})
+), pick AS (
+  SELECT gb.doc_id, gb.gr, MIN(2 * br.i + p.p) AS sel
+  FROM gb CROSS JOIN br CROSS JOIN (SELECT UNNEST(range(0, 2)) AS p) p
+  WHERE 144000 * br.kbps // {MP3_SAMPLE_RATE} + p.p >= gb.gb + 4
+  GROUP BY gb.doc_id, gb.gr
+), fr AS (
+  SELECT p.doc_id, p.gr, br.kbps, p.sel % 2 AS pad,
+         144000 * br.kbps // {MP3_SAMPLE_RATE} + p.sel % 2 AS flen
+  FROM pick p JOIN br ON br.i = p.sel // 2
+), fm AS (
+  SELECT doc_id, COUNT(*) AS nf, SUM(kbps) AS skbps,
+         SUM(pad) AS npad, SUM(flen) AS fbytes
+  FROM fr GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(fm.nf) AS BIGINT) AS n_frames,
+       CAST({WAV_N_SAMPLES} AS BIGINT) AS n_samples,
+       CAST({MP3_SAMPLE_RATE} AS BIGINT) AS declared_hz,
+       CAST(ANY_VALUE(fm.nf) * {MP3_FRAME_SAMPLES} * 1000
+            // {MP3_SAMPLE_RATE} AS BIGINT) AS duration_ms,
+       CAST(ANY_VALUE(fm.skbps) AS BIGINT) AS sum_bitrate_kbps,
+       CAST(ANY_VALUE(fm.npad) AS BIGINT) AS n_padded,
+       CAST({id3} + ANY_VALUE(fm.fbytes) AS BIGINT) AS container_bytes,
+       CAST(MAX(ABS(r.r)) AS BIGINT) AS peak_abs,
+       CAST(SUM(ABS(r.r)) AS BIGINT) AS sum_abs,
+       CAST(SUM(r.r * r.r) AS BIGINT) AS sum_sq
+FROM recon r JOIN fm USING (doc_id)
+GROUP BY doc_id
+"""
+
+
+@register(
+    "multimodal_mp3_framing_roundtrip",
+    oracle=_mp3_oracle(),
+    doc="REAL MPEG-audio FRAME SYNTAX (r11): retires the MPEG-framing "
+    "half of the container seam the r9 codec round left stubbed "
+    "(operators/multimodal.py). The MDCT row (r9) implemented the "
+    "MP3-class signal path; this row wraps the SAME coded granules in "
+    "the actual ISO 11172-3 byte syntax: an ID3v2.3 leading tag with "
+    "a SYNCSAFE 28-bit size and a TXXX sample-count frame, then one "
+    "MPEG-1 Layer III frame per granule — 11-bit sync, version/layer/"
+    "protection bits, the published 4-bit BITRATE TABLE, the 2-bit "
+    "sampling-rate index, and the PADDING bit, with the frame-length "
+    "rule 144000*kbps//44100+padding (44100 chosen precisely because "
+    "the division truncates, making the padding bit load-bearing). "
+    "The encoder is VBR: each frame independently first-fits the "
+    "smallest (bitrate index, padding) that holds its granule — so "
+    "the header census (sum_bitrate_kbps, n_padded, container_bytes) "
+    "is data-dependent and the oracle replays the choice as a MIN "
+    "over the candidate table on top of the SHARED MDCT replay chain. "
+    "The decoder validates every header field, each granule's CRC-8, "
+    "zero slack bytes, and exact stream end, then reconstructs the "
+    "audio through the shared synthesis path — graded sample-exactly "
+    "alongside the byte census. Plan: identical map-only shape to the "
+    "MDCT row (narrow-key spread -> chained Arrow mapInPandas, zero "
+    "data-bearing shuffles); frames are decode-independent after the "
+    "tag, the splittability property real distributed MP3 ingest "
+    "relies on. See operators/mpeg_audio.py.",
+)
+def q_multimodal_mp3_framing_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ds_mapreduce_spark.operators.mpeg_audio import (
+        decode_mp3_features,
+        encode_mp3,
+    )
+    from ds_mapreduce_spark.operators.multimodal import synth_pcm_samples
+
+    docs = _doc_ids_spread(spark, sf_dir)
+    return decode_mp3_features(encode_mp3(synth_pcm_samples(docs)))
+
+
+def _annexb_oracle() -> str:
+    """Annex-B byte-stream pricing over the MCV replay: the recursive
+    MCV oracle (nested as a derived table — frame bytes, pixel sums,
+    motion budgets) aggregates per doc; the SEI record's emulation-
+    prevention insertions are replayed CLOSED-FORM by a gaps-and-
+    islands scan over the record's 20 generated bytes (u64 doc_id +
+    u32 frame count/width/height, big-endian): within a maximal run of
+    k zero bytes the escape rule inserts (k-1)//2 threes, plus one
+    more when the run has even residue and the terminating byte is
+    <= 0x03 — exactly the scanner in operators/annexb.py:ebsp_escape.
+    Frame NALs provably never need escaping (exp-Golomb codes bound
+    in-NAL zero runs below 16 bits; the rbsp trailing byte 0x80
+    terminates the one longer run alignment+CRC can build), and the
+    SPS/PPS insertions are compile-time constants — so container_bytes
+    is graded byte-for-byte against a replay that never sees the
+    stream."""
+    from ds_mapreduce_spark.operators.annexb import (
+        ebsp_escape,
+        write_pps,
+        write_sei,
+        write_sps,
+    )
+    from ds_mapreduce_spark.operators.mcv import MCV_FRAMES, MCV_H, MCV_W
+
+    sps, pps = write_sps(MCV_W, MCV_H), write_pps()
+    sei_rbsp = write_sei(0, MCV_FRAMES, MCV_W, MCV_H)
+    const_emu = (len(ebsp_escape(sps)) - len(sps)) + (
+        len(ebsp_escape(pps)) - len(pps)
+    )
+    n_nals = 3 + MCV_FRAMES
+    start_bytes = 4 * 4 + 3 * (MCV_FRAMES - 1)
+    const_rbsp = len(sps) + len(pps) + len(sei_rbsp)
+    mcv = _mcv_oracle()
+    return f"""
+WITH agg AS (
+  SELECT doc_id, SUM(frame_bytes) AS fb, SUM(sum_v) AS sv,
+         SUM(sum_sq_v) AS ssv, SUM(sum_abs_mv) AS smv
+  FROM ({mcv}) mcv GROUP BY doc_id
+), sei AS (
+  SELECT d.doc_id, b.j,
+         CASE
+           WHEN b.j < 8  THEN (d.doc_id >> (8 * (7 - b.j))) & 255
+           WHEN b.j < 12 THEN ({MCV_FRAMES} >> (8 * (11 - b.j))) & 255
+           WHEN b.j < 16 THEN ({MCV_W} >> (8 * (15 - b.j))) & 255
+           ELSE               ({MCV_H} >> (8 * (19 - b.j))) & 255
+         END AS byte
+  FROM documents d, UNNEST(range(0, 20)) b(j)
+), runs AS (
+  SELECT doc_id, grp, COUNT(*) AS k, MAX(j) AS jmax
+  FROM (SELECT doc_id, j,
+               j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+        FROM sei WHERE byte = 0)
+  GROUP BY doc_id, grp
+), emu AS (
+  SELECT r.doc_id,
+         SUM((r.k - 1) // 2
+             + CASE WHEN r.k >= 2 AND r.k % 2 = 0
+                         AND COALESCE(nxt.byte, 128) <= 3
+                    THEN 1 ELSE 0 END) AS e
+  FROM runs r
+  LEFT JOIN sei nxt ON nxt.doc_id = r.doc_id AND nxt.j = r.jmax + 1
+  GROUP BY r.doc_id
+)
+SELECT doc_id,
+       CAST({n_nals} AS BIGINT) AS n_nals,
+       CAST(1 AS BIGINT) AS n_idr,
+       CAST({MCV_W} AS BIGINT) AS sps_width,
+       CAST({MCV_H} AS BIGINT) AS sps_height,
+       CAST(doc_id AS BIGINT) AS sei_doc_id,
+       CAST({const_rbsp} + a.fb + {MCV_FRAMES} AS BIGINT) AS sum_rbsp_bytes,
+       CAST({const_emu} + COALESCE(emu.e, 0) AS BIGINT) AS emu_bytes,
+       CAST({start_bytes + n_nals + const_rbsp + const_emu} + a.fb
+            + {MCV_FRAMES} + COALESCE(emu.e, 0) AS BIGINT) AS container_bytes,
+       CAST(a.sv AS BIGINT) AS sum_v_total,
+       CAST(a.ssv AS BIGINT) AS sum_sq_v_total,
+       CAST(a.smv AS BIGINT) AS sum_abs_mv_total
+FROM agg a LEFT JOIN emu USING (doc_id)
+"""
+
+
+@register(
+    "multimodal_h264_annexb_roundtrip",
+    oracle=_annexb_oracle(),
+    doc="REAL H.264 Annex-B BYTE-STREAM SYNTAX (r11): retires the "
+    "NAL-syntax half of the container seam the r9 codec round left "
+    "stubbed (operators/multimodal.py). The MCV row (r9) implemented "
+    "the H.264-class signal path; this row wraps those coded frames "
+    "in the actual ITU-T H.264 byte-stream syntax: 4-/3-byte START "
+    "CODES with a sequential validated scan, NAL headers (0x67 SPS, "
+    "0x68 PPS, 0x06 SEI, 0x65 IDR, 0x41 non-IDR — the bytes any "
+    "hex dump shows), EMULATION PREVENTION (0x03 insertion before "
+    "00 00 0x, stripped and policed on parse), rbsp_trailing_bits "
+    "(the spec's guarantee that a NAL never ends in 0x00, which is "
+    "what keeps trailing bytes from merging with the next start "
+    "code), a REAL SPS/PPS written and parsed with the shared "
+    "exp-Golomb coder — the 24x16 picture signalled as 2x1 "
+    "macroblocks with frame cropping, H.264's actual arithmetic for "
+    "non-multiple-of-16 sizes, so the decoder's width/height are "
+    "PARSED, not assumed — and an SEI user_data_unregistered record "
+    "(u64 doc_id + geometry, big-endian) whose leading zero bytes "
+    "are where emulation prevention FIRES data-dependently (small "
+    "doc_ids escape more — x264 streams get their emulation sites "
+    "from exactly this kind of SEI metadata). The oracle nests the "
+    "recursive MCV replay and replays the escape scan closed-form "
+    "(gaps-and-islands over the generated record bytes), grading "
+    "sei_doc_id, the inserted-0x03 census, and container_bytes "
+    "byte-for-byte; decode reassembles the MCV1 container from "
+    "parsed geometry and re-validates every frame CRC, so the pixel "
+    "features grade the whole wrap -> escape -> scan -> unescape -> "
+    "parse -> decode chain. Plan: map-only chained Arrow mapInPandas "
+    "on the narrow-key spread, zero data-bearing shuffles; the "
+    "start-code scan is the property that makes H.264 elementary "
+    "streams SPLITTABLE at 100 TB. See operators/annexb.py.",
+)
+def q_multimodal_h264_annexb_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ds_mapreduce_spark.operators.annexb import (
+        decode_annexb_features,
+        wrap_annexb_df,
+    )
+    from ds_mapreduce_spark.operators.mcv import encode_mcv, synth_scroll_frames
+
+    docs = _doc_ids_spread(spark, sf_dir)
+    return decode_annexb_features(
+        wrap_annexb_df(encode_mcv(synth_scroll_frames(docs)))
+    )

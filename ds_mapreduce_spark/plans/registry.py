@@ -134,69 +134,84 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: format via gzip_jsonl_roundtrip, mr via the three r1-stale MR rows,
 #: stream via events_cohort_retention, text via
 #: doc_winnowing_fingerprints.
-#: Staged r11 rotation (assuming CORRECTNESS_r10 grades this green):
-#: OUT the 15 then-twice-evidenced codec rows and the refreshed r1
-#: cohort; IN the remaining ≤r5 stale cohort — r3 leftovers
-#: (null_semantics, sql_grouping_sets, stratified_sample, topk_orders),
-#: the 16-entry r4 cohort, and as much of the 17-entry r5 cohort as
-#: fits (exact list from the CORRECTNESS_r01-r10 union at rotation
-#: time) — driving the oldest-evidence watermark from r4 to ~r6.
+#: Round-11 rotation (the staged r10 plan, executed): CORRECTNESS_r10
+#: graded the r10 window 50/50 hash-green (211/211 ever-graded, zero
+#: backlog), so OUT go all 50 — the 15 twice-evidenced codec rows and
+#: the refreshed r1/r2/r3 cohorts. IN (50): the TWO r11 registrations
+#: (multimodal_mp3_framing_roundtrip / multimodal_h264_annexb_roundtrip
+#: — the MPEG-framing and NAL-syntax container halves retiring the
+#: last declared codec seam, VERDICT r9 #5's named candidates), the
+#: remaining r3 cohort (null_semantics, sql_grouping_sets,
+#: stratified_sample, topk_orders), the FULL 15-entry r4 cohort, the
+#: FULL 16-entry r5 cohort, and 12 of the 28-entry r6 cohort chosen
+#: for family breadth (both similarity rows, both temporal rows, the
+#: core dedup trio, stream/JSON, graph, decontamination) — driving the
+#: oldest-evidence watermark from r3 to r6. The 15 r6 leftovers
+#: (agg_approx_suite, approx_distinct_rollup, corpus_shard_plan,
+#: decontamination, dedup_incremental, dq_validation_suite,
+#: events_native_session_window, events_rolling_1h_stats,
+#: events_rolling_7d_active_users, events_rolling_anomaly_flags,
+#: incremental_agg_maintenance, q3_shipping_priority,
+#: scd2_user_value_history, text_stats, zorder_write_prune) are the
+#: core of the staged r12 cohort.
 PRIORITY: tuple[str, ...] = (
-    # ---- first ~10 slots: one per capability family (graceful
+    # ---- first ~9 slots: one per capability family (graceful
     # ---- degradation if the driver window ever shrinks) ----
-    "dedup_span_winnow_screen",   # r9: winnow screen vs exact-20 truth
-    "gzip_jsonl_roundtrip",       # r9: gzip-compressed JSONL (format)
-    "multimodal_png_roundtrip",   # r9: real PNG codec (multimodal)
-    "knn_bruteforce",             # similarity: exact cosine top-k
-    "range_join_price_bands",     # temporal: interval range join
-    "mr_salted_wordcount",        # mr: salted hot-key wordcount
-    "agg_cube",                   # relational: CUBE grouping sets
-    "events_cohort_retention",    # stream: weekly cohort retention
-    "doc_winnowing_fingerprints",  # text: winnowing fingerprints
-    "dedup_embedding_cosine",     # dedup: embedding-cosine near-dup
-    # ---- r10 IN: remaining 12 r9-new codec rows + real legs ----
-    "multimodal_ppm_resize_real",  # r9: real PPM->PPM resize leg
-    "multimodal_wav_decimate_real",  # r9: real WAV->WAV decimate leg
-    "multimodal_jpeg_roundtrip",  # r9: baseline JPEG, fixed-point DCT
-    "multimodal_jpeg_color_roundtrip",  # r9: 4:4:4 YCbCr color JPEG
-    "multimodal_gif_roundtrip",   # r9: hand-written LZW GIF
-    "multimodal_ulaw_roundtrip",  # r9: G.711 mu-law lossy audio
-    "multimodal_adpcm_roundtrip",  # r9: IMA ADPCM state-machine
-    "multimodal_flac_roundtrip",  # r9: FLAC subset, Rice coding
-    "multimodal_animgif_roundtrip",  # r9: animated-GIF delta frames
-    "multimodal_mdct_roundtrip",  # r9: windowed-MDCT (MP3/AAC class)
-    "multimodal_mcv_roundtrip",   # r9: motion-compensated video
-    "multimodal_mjpeg_avi_roundtrip",  # r9: MJPEG-in-AVI container
-    # ---- r10 IN: the r1-stale cohort (untouched since r1) ----
-    "agg_rollup",                 # ROLLUP grouping sets
-    "distinct_values",            # distinct census
-    "join_left_outer",            # left outer join
-    "join_semi_anti",             # semi + anti joins
-    "mr_generic_charcount",       # MapReducer-trait charcount
-    "multimodal_frame_sample",    # frame-sample plumbing leg
-    "multimodal_resize",          # resize plumbing leg
-    "q4_late_shipment_priority",  # TPC-H q4
-    "q5_local_supplier_volume",   # TPC-H q5
-    "q12_priority_by_returnflag",  # TPC-H q12
-    "q13_order_count_distribution",  # TPC-H q13
-    "q14_promo_revenue_ratio",    # TPC-H q14
-    "q16_supplier_part_variety",  # TPC-H q16
-    "q17_small_quantity_revenue",  # TPC-H q17
-    "q18_large_volume_customers",  # TPC-H q18
-    "q22_dormant_rich_customers",  # TPC-H q22
-    "set_operations",             # UNION/INTERSECT/EXCEPT
-    "sql_q6_forecast_revenue",    # TPC-H q6 via spark.sql
-    "window_rank_per_group",      # dense-rank window
-    "window_running_sum",         # running-sum window
-    "wordcount_topk",             # wordcount top-k
-    # ---- r10 IN: the full r2 cohort + 2 of the r3 cohort ----
-    "agg_percentiles",            # exact percentile census
-    "date_functions",             # date/interval expression suite
-    "dedup_connected_components",  # iterative CC over LSH edges
-    "filter_project",             # pushdown filter + projection
-    "regex_functions",            # regex expression suite
-    "cdc_latest_wins_merge",      # CDC latest-wins merge
-    "dedup_embedding_srp",        # signed-random-projection near-dup
+    "multimodal_mp3_framing_roundtrip",  # r11: MPEG-audio frame syntax
+    "wholetext_file_stats",       # format: whole-chunk read (R4)
+    "mr_inverted_index",          # mr: inverted index
+    "null_semantics",             # relational: NULL three-valued logic
+    "knn_ivf",                    # similarity: IVF-bucketed ANN
+    "events_funnel",              # stream: ordered funnel census
+    "sessions_per_hour",          # temporal: session rollup
+    "lang_id_heuristic",          # text: n-gram language ID
+    "dedup_minhash_verified",     # dedup: MinHash-LSH + verify pass
+    # ---- r11 IN: the second new registration ----
+    "multimodal_h264_annexb_roundtrip",  # r11: H.264 Annex-B NAL syntax
+    # ---- r11 IN: the rest of the r3 cohort ----
+    "sql_grouping_sets",          # GROUPING SETS via spark.sql
+    "stratified_sample",          # per-stratum deterministic sample
+    "topk_orders",                # top-k with total tie-break
+    # ---- r11 IN: the rest of the r4 cohort ----
+    "agg_suite",                  # multi-aggregate suite
+    "dedup_ngram_jaccard",        # n-gram Jaccard near-dup
+    "dedup_simhash",              # SimHash near-dup
+    "join_full_outer",            # full outer join
+    "mr_secondary_sort",          # secondary sort within reducers
+    "multimodal_metadata_stats",  # payload metadata census
+    "q10_returned_item_customers",  # TPC-H q10
+    "q15_top_supplier",           # TPC-H q15 (view + max)
+    "q19_disjunctive_predicates",  # TPC-H q19
+    "scalar_functions",           # scalar expression suite
+    "tfidf_top_terms",            # TF-IDF top terms
+    # ---- r11 IN: the full r5 cohort ----
+    "bucketed_join_no_shuffle",   # bucketed co-located join
+    "contrastive_pairs",          # contrastive pair mining
+    "doc_chunking",               # fixed-token chunking
+    "dynamic_partition_pruning",  # DPP over partitioned parquet
+    "events_sliding_window",      # sliding event-time windows
+    "events_tumbling_window",     # tumbling event-time windows
+    "mixture_rebalance",          # domain-mixture rebalance
+    "mr_generic_wordcount",       # MapReducer-trait wordcount
+    "partitioned_write_prune",    # partitioned write + prune read
+    "pii_redaction",              # regex PII redaction census
+    "related_docs_topk",          # per-doc related top-k
+    "sequence_packing",           # greedy sequence packing
+    "span_corruption_plan",       # span-corruption denoising plan
+    "window_functions_suite",     # window-function suite
+    # ---- r11 IN: 12 of the r6 cohort (family breadth) ----
+    "kmeans_lloyd_refine",        # similarity: Lloyd refinement
+    "asof_join_click_purchase",   # temporal: as-of join
+    "interval_overlap_join",      # temporal: interval overlap join
+    "dedup_exact",                # dedup: exact hash-groupBy
+    "dedup_minhash_lsh",          # dedup: MinHash-LSH banding
+    "dedup_lsh_eval",             # dedup: LSH precision/recall eval
+    "events_sessionization",      # stream: gap sessionization
+    "events_json_extract",        # stream: typed JSON extraction
+    "multimodal_features",        # multimodal: feature plumbing leg
+    "graph_pagerank",             # graph: PageRank iterations
+    "graph_triangle_count",       # graph: oriented triangle count
+    "exact_ngram_decontamination",  # text: exact n-gram decontam
 )
 
 

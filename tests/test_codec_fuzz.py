@@ -128,7 +128,37 @@ def _targets():
         # wave.Error / EOFError / struct.error all normalize to
         # ValueError in read_pcm16_wav.
         ("wav", _pcm16_wav_bytes(samples), read_pcm16_wav),
+        # r11 container-syntax targets: MPEG-audio framing (ID3v2 tag +
+        # Layer III headers) and the H.264 Annex-B byte-stream scan
+        # (start codes, emulation prevention, SPS/PPS/SEI syntax).
+        ("mp3", _mp3_bytes(samples), _parse_mp3()),
+        ("annexb", _annexb_bytes(frames_mcv), _parse_annexb()),
     ]
+
+
+def _mp3_bytes(samples: list[int]) -> bytes:
+    from ds_mapreduce_spark.operators.mpeg_audio import encode_mp3_bytes
+
+    return encode_mp3_bytes(samples)
+
+
+def _parse_mp3():
+    from ds_mapreduce_spark.operators.mpeg_audio import parse_mp3
+
+    return parse_mp3
+
+
+def _annexb_bytes(frames_mcv) -> bytes:
+    from ds_mapreduce_spark.operators.annexb import wrap_annexb
+    from ds_mapreduce_spark.operators.mcv import encode_mcv_bytes
+
+    return wrap_annexb(7, encode_mcv_bytes(frames_mcv))
+
+
+def _parse_annexb():
+    from ds_mapreduce_spark.operators.annexb import parse_annexb
+
+    return parse_annexb
 
 
 def _pcm16_wav_bytes(samples: list[int]) -> bytes:

@@ -81,41 +81,34 @@ def test_queries_md_matches_registry():
     assert header and int(header.group(1)) == len(REGISTRY)
 
 
-def test_check_window_covers_the_round1_dark_families():
-    """The queries this round's VERDICT demands driver-grade evidence
-    for (VERDICT r9 #1: the fifteen never-graded r9 registrations plus
-    the stalest cohort — 24 entries untouched since r1). The earlier
-    "pin a first green one more round" rule is superseded by that
-    prescription: a rotated-out entry keeps both-scale in-repo DuckDB
-    parity coverage every pytest run, and no driver grading has ever
-    diverged from that gate (r9 went 26-for-26 on first gradings)."""
+def test_check_window_covers_the_stale_cohort():
+    """The queries this round's rotation must grade: with 211/211
+    ever-graded after r10 and zero backlog, the window's job is
+    freshness — the two r11-new container-syntax registrations plus
+    the entire remaining ≤r5 cohort (a rotated-out entry keeps
+    both-scale in-repo DuckDB parity coverage every pytest run, and no
+    driver grading has ever diverged from that gate)."""
     must_grade = {
-        # The fifteen r9-new registrations, never in any CORRECTNESS:
-        "dedup_span_winnow_screen", "gzip_jsonl_roundtrip",
-        "multimodal_png_roundtrip", "multimodal_ppm_resize_real",
-        "multimodal_wav_decimate_real", "multimodal_jpeg_roundtrip",
-        "multimodal_jpeg_color_roundtrip", "multimodal_gif_roundtrip",
-        "multimodal_ulaw_roundtrip", "multimodal_adpcm_roundtrip",
-        "multimodal_flac_roundtrip", "multimodal_animgif_roundtrip",
-        "multimodal_mdct_roundtrip", "multimodal_mcv_roundtrip",
-        "multimodal_mjpeg_avi_roundtrip",
-        # The r1-stale cohort (last driver-graded in round 1):
-        "agg_cube", "agg_rollup", "dedup_embedding_cosine",
-        "distinct_values", "join_left_outer", "join_semi_anti",
-        "mr_generic_charcount", "mr_salted_wordcount",
-        "multimodal_frame_sample", "multimodal_resize",
-        "q4_late_shipment_priority", "q5_local_supplier_volume",
-        "q12_priority_by_returnflag", "q13_order_count_distribution",
-        "q14_promo_revenue_ratio", "q16_supplier_part_variety",
-        "q17_small_quantity_revenue", "q18_large_volume_customers",
-        "q22_dormant_rich_customers", "set_operations",
-        "sql_q6_forecast_revenue", "window_rank_per_group",
-        "window_running_sum", "wordcount_topk",
-        # The full r2 cohort:
-        "agg_percentiles", "date_functions",
-        "dedup_connected_components", "doc_winnowing_fingerprints",
-        "events_cohort_retention", "filter_project", "regex_functions",
-        # Family-coverage swaps (stalest rows of their modules):
-        "knn_bruteforce", "range_join_price_bands",
+        # The two r11-new registrations (VERDICT r9 #5's candidates):
+        "multimodal_mp3_framing_roundtrip",
+        "multimodal_h264_annexb_roundtrip",
+        # The remaining r3 cohort:
+        "null_semantics", "sql_grouping_sets", "stratified_sample",
+        "topk_orders",
+        # The full r4 cohort:
+        "agg_suite", "dedup_minhash_verified", "dedup_ngram_jaccard",
+        "dedup_simhash", "join_full_outer", "lang_id_heuristic",
+        "mr_inverted_index", "mr_secondary_sort",
+        "multimodal_metadata_stats", "q10_returned_item_customers",
+        "q15_top_supplier", "q19_disjunctive_predicates",
+        "scalar_functions", "tfidf_top_terms", "wholetext_file_stats",
+        # The full r5 cohort:
+        "bucketed_join_no_shuffle", "contrastive_pairs", "doc_chunking",
+        "dynamic_partition_pruning", "events_funnel",
+        "events_sliding_window", "events_tumbling_window",
+        "mixture_rebalance", "mr_generic_wordcount",
+        "partitioned_write_prune", "pii_redaction", "related_docs_topk",
+        "sequence_packing", "sessions_per_hour", "span_corruption_plan",
+        "window_functions_suite",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))

@@ -241,6 +241,13 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # two-pass shape; prediction chains frames WITHIN a payload,
         # payloads stay independent rows
         ("multimodal_mcv_roundtrip", 1),
+        # r11: MPEG-audio framing (ID3v2 + Layer III VBR headers over
+        # the MDCT granules) — same map-only two-pass shape
+        ("multimodal_mp3_framing_roundtrip", 1),
+        # r11: H.264 Annex-B NAL wrap of the MCV frames — THREE
+        # chained mapInPandas (encode, wrap, parse+decode) after the
+        # one spread exchange, still map-only
+        ("multimodal_h264_annexb_roundtrip", 1),
         # r9: winnowing screen vs exact-20 truth — gram census +
         # truth distinct + fp census + flagged distinct + 1-row
         # summary (SinglePartition bounded scalar); the four
