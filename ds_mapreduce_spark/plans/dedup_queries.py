@@ -1149,6 +1149,120 @@ def q_dedup_span_winnow_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_screen_eval(load_table(spark, sf_dir, "documents"), L=20, k=3)
 
 
+def _winnow_screen_entropic_oracle(L: int = 20) -> str:
+    """Generated oracle for the entropic screen eval: the sdocs CTE
+    replays the deterministic corpus construction (same md5/substr
+    strings both engines), the winnowing CTE is the SAME generated SQL
+    (src='sdocs'), and the per-tier report is a GROUP BY ROLLUP."""
+    from ds_mapreduce_spark.plans.text_queries import _winnowing_oracle
+
+    w = L - 3 + 1
+    return rf"""
+WITH sdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 2 THEN 'truth'
+              WHEN doc_id % 10 = 2 THEN 'near19'
+              WHEN doc_id % 10 = 3 THEN 'near12'
+              ELSE 'clean' END AS tier,
+         array_to_string(list_transform(range(0, 40 + doc_id % 30), j ->
+           substr(md5(CASE
+             WHEN doc_id % 10 < 2 AND j >= 7 AND j < 27
+               THEN 'T:' || CAST((doc_id // 10) % 16 AS VARCHAR) || ':'
+                    || CAST(j - 7 AS VARCHAR)
+             WHEN doc_id % 10 = 2 AND j >= 7 AND j < 26
+               THEN 'N:' || CAST((doc_id // 10) % 16 AS VARCHAR) || ':'
+                    || CAST(j - 7 AS VARCHAR)
+             WHEN doc_id % 10 = 3 AND j >= 7 AND j < 19
+               THEN 'M:' || CAST((doc_id // 10) % 16 AS VARCHAR) || ':'
+                    || CAST(j - 7 AS VARCHAR)
+             ELSE 'U:' || CAST(doc_id AS VARCHAR) || ':'
+                  || CAST(j AS VARCHAR)
+           END), 1, 8)), ' ') AS text
+  FROM documents
+),
+fps AS ({_winnowing_oracle(w, src="sdocs")}),
+ev AS (
+  SELECT doc_id, tier,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM sdocs
+  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= {L}
+),
+occ AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - {L} + 2),
+                                 i -> md5(array_to_string(t[i:i+{L - 1}], ' ')))) AS g
+    FROM ev
+  )
+),
+dupg AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 2),
+truth AS (SELECT DISTINCT doc_id FROM occ WHERE g IN (SELECT g FROM dupg)),
+sharedfp AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) >= 2),
+flagged AS (SELECT DISTINCT doc_id FROM fps WHERE fp IN (SELECT fp FROM sharedfp)),
+j AS (
+  SELECT e.tier,
+         t.doc_id IS NOT NULL AS in_truth,
+         f.doc_id IS NOT NULL AS in_screen
+  FROM ev e LEFT JOIN truth t ON e.doc_id = t.doc_id
+            LEFT JOIN flagged f ON e.doc_id = f.doc_id
+),
+c AS (
+  SELECT COALESCE(tier, 'all') AS tier,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN in_truth THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         CAST(SUM(CASE WHEN in_screen THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         CAST(SUM(CASE WHEN in_truth AND in_screen THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN in_screen AND NOT in_truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN in_truth AND NOT in_screen THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM j GROUP BY ROLLUP(tier)
+)
+SELECT tier, n_docs, n_truth, n_flagged, tp, fp, fn,
+       CAST(CASE WHEN tp + fp = 0 THEN 10000
+                 ELSE (20000 * tp + tp + fp) // (2 * (tp + fp)) END AS BIGINT)
+         AS precision_bp,
+       CAST(CASE WHEN tp + fn = 0 THEN 10000
+                 ELSE (20000 * tp + tp + fn) // (2 * (tp + fn)) END AS BIGINT)
+         AS recall_bp
+FROM c
+"""
+
+
+@register(
+    "dedup_span_winnow_screen_entropic",
+    oracle=_winnow_screen_entropic_oracle(20),
+    doc="Winnowing-screen selectivity on a HIGH-ENTROPY corpus (r11, "
+    "VERDICT r9 #4): the base dedup_span_winnow_screen row measures "
+    "the screen on the raw synthetic documents, where the tiny "
+    "trigram vocabulary makes fingerprints collide corpus-wide "
+    "(~99.7% flagged — precision near-vacuous, documented there). "
+    "This row derives, from doc_id alone, a corpus whose filler "
+    "tokens are globally unique md5 prefixes with deterministically "
+    "injected shared passages in four tiers — 20 tokens (= L, the "
+    "recall-theorem tier), 19 (= L-1, the guarantee's one-sided "
+    "edge), 12 (short overlap), none (clean) — and reports the "
+    "census per tier via ROLLUP. Flagged is now a small fraction of "
+    "n_docs and precision_bp a real number: the truth tier must flag "
+    "100% (theorem), near19 measures how often a one-token-short "
+    "overlap still collides a window minimum, near12/clean measure "
+    "the false-positive floor. Oracle replays the corpus "
+    "construction (same md5/substr strings), reuses the generated "
+    "winnowing SQL (shared-constants rule, src='sdocs'), and "
+    "aggregates with GROUP BY ROLLUP. 100 TB: same plan shape as the "
+    "base eval — two censuses + distinct flag sets + one bounded "
+    "aggregate; the synth corpus is one map-side projection over a "
+    "doc_id-pruned scan. See "
+    "operators/dedup.py:winnow_screen_eval_entropic.",
+)
+def q_dedup_span_winnow_screen_entropic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ds_mapreduce_spark.operators.dedup import winnow_screen_eval_entropic
+
+    return winnow_screen_eval_entropic(
+        load_table(spark, sf_dir, "documents"), L=20, k=3
+    )
+
+
 _SEMDEDUP_ORACLE = """
 WITH RECURSIVE qv AS (
   SELECT vec_id,

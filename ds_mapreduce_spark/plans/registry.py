@@ -143,7 +143,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: last declared codec seam, VERDICT r9 #5's named candidates), the
 #: remaining r3 cohort (null_semantics, sql_grouping_sets,
 #: stratified_sample, topk_orders), the FULL 15-entry r4 cohort, the
-#: FULL 16-entry r5 cohort, and 12 of the 28-entry r6 cohort chosen
+#: FULL 16-entry r5 cohort, the THIRD r11 registration
+#: (dedup_span_winnow_screen_entropic — VERDICT r9 #4's high-entropy
+#: screen-selectivity eval), and 11 of the 28-entry r6 cohort chosen
 #: for family breadth (both similarity rows, both temporal rows, the
 #: core dedup trio, stream/JSON, graph, decontamination) — driving the
 #: oldest-evidence watermark from r3 to r6. The 15 r6 leftovers
@@ -152,7 +154,8 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: events_native_session_window, events_rolling_1h_stats,
 #: events_rolling_7d_active_users, events_rolling_anomaly_flags,
 #: incremental_agg_maintenance, q3_shipping_priority,
-#: scd2_user_value_history, text_stats, zorder_write_prune) are the
+#: scd2_user_value_history, text_stats, zorder_write_prune, plus
+#: multimodal_features, swapped out for the entropic eval) are the
 #: core of the staged r12 cohort.
 PRIORITY: tuple[str, ...] = (
     # ---- first ~9 slots: one per capability family (graceful
@@ -208,7 +211,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_lsh_eval",             # dedup: LSH precision/recall eval
     "events_sessionization",      # stream: gap sessionization
     "events_json_extract",        # stream: typed JSON extraction
-    "multimodal_features",        # multimodal: feature plumbing leg
+    "dedup_span_winnow_screen_entropic",  # r11: screen selectivity eval
     "graph_pagerank",             # graph: PageRank iterations
     "graph_triangle_count",       # graph: oriented triangle count
     "exact_ngram_decontamination",  # text: exact n-gram decontam

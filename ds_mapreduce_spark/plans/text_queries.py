@@ -241,7 +241,10 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnowing_oracle(w: int = 4) -> str:
+def _winnowing_oracle(w: int = 4, src: str = "documents") -> str:
+    """``src`` lets callers run the same generated winnowing SQL over a
+    derived corpus CTE (the entropic screen eval) instead of the raw
+    documents view."""
     from ds_mapreduce_spark.operators.dedup import HASH_P, SHINGLE_C
 
     combine = " + ".join(
@@ -250,7 +253,7 @@ def _winnowing_oracle(w: int = 4) -> str:
     return rf"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-  FROM documents
+  FROM {src}
 ),
 th AS (
   SELECT doc_id,

@@ -97,3 +97,30 @@ def test_constructed_corpus_oracle_parity(spark, screen_sf_dir):
         for r in con.sql(f"SELECT {', '.join(cols)} FROM ({q.oracle})").fetchall()
     )
     assert srows == orows
+
+
+def test_entropic_eval_is_selective_and_recall_total(spark, sf_dir):
+    """The r11 high-entropy variant (VERDICT r9 #4): on the derived
+    corpus the screen must be SELECTIVE (flagged a strict minority,
+    clean tier at/near zero) while the recall theorem still holds on
+    the truth tier — the row can now distinguish a good screen from
+    lit(True), which the base corpus could not."""
+    rows = {
+        r["tier"]: r
+        for r in REGISTRY["dedup_span_winnow_screen_entropic"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == {"all", "truth", "near19", "near12", "clean"}
+    # recall theorem on the full-length tier
+    assert rows["truth"]["fn"] == 0
+    assert rows["truth"]["recall_bp"] == 10000
+    assert rows["truth"]["n_truth"] == rows["truth"]["n_docs"]
+    # selectivity: flagged is a strict minority overall, clean docs
+    # essentially never flag (unique md5 filler tokens)
+    assert rows["all"]["n_flagged"] * 2 < rows["all"]["n_docs"]
+    assert rows["clean"]["n_flagged"] * 100 <= rows["clean"]["n_docs"]
+    # the near tiers are the measurement: shorter overlap flags less
+    assert rows["near12"]["n_flagged"] <= rows["near19"]["n_flagged"]
+    # precision is a real number strictly between 0 and 1 overall
+    assert 0 < rows["all"]["precision_bp"] < 10000
