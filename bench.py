@@ -170,6 +170,16 @@ HEADLINE = [
     # 4 encodes per doc; its ratio to multimodal_jpeg_roundtrip
     # should track the frame count
     "multimodal_mjpeg_avi_roundtrip",
+    # round 11: the container halves that retired the last declared
+    # codec seam — MPEG-audio frame syntax over the MDCT payload and
+    # H.264 Annex-B NAL syntax over the MCV payload; each row's delta
+    # vs its payload-only twin prices the container parse itself
+    "multimodal_mp3_framing_roundtrip",
+    "multimodal_h264_annexb_roundtrip",
+    # round 11: the high-entropy winnowing-screen selectivity eval —
+    # the screen's confusion census on a corpus where fingerprint
+    # collisions require genuinely shared text (VERDICT r9 #4)
+    "dedup_span_winnow_screen_entropic",
 ]
 
 
@@ -243,6 +253,105 @@ def detect_foreign_spark_jvms() -> list[int]:
     return pids
 
 
+def _stat_snapshot() -> dict[str, int]:
+    """One /proc/stat cpu-line read: {'steal','idle','iowait','total'}
+    ticks. BENCH_r10 postmortem: the tail-four codec rows recorded
+    3-7x their quiet-session medians while run-level steal was 0.05%
+    and the START-of-run foreign-JVM probe was empty — neither
+    instrument can see a co-tenant process that appears MID-bench, and
+    run-level averaging dilutes a 40 s interference window into
+    invisibility over a 120 s run. Per-query deltas of this snapshot
+    (plus the mid-run foreign re-probe and our own process-tree CPU)
+    localize interference to the queries it actually hit."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        return {
+            "steal": vals[7] if len(vals) > 7 else 0,
+            "idle": vals[3] if len(vals) > 3 else 0,
+            "iowait": vals[4] if len(vals) > 4 else 0,
+            "total": sum(vals),
+        }
+    except (OSError, ValueError, IndexError):
+        return {"steal": 0, "idle": 0, "iowait": 0, "total": 0}
+
+
+def _proc_tree_ticks() -> tuple[set[int], int]:
+    """(descendant pids of this process incl. self, their summed
+    utime+stime ticks). The JVM is our child and the pyspark daemons/
+    workers are its descendants, so this is the bench's whole compute
+    footprint. Used per-query: wall time that our own tree's CPU
+    seconds cannot account for is someone else's load (or scheduler
+    starvation) — the discriminator BENCH_r10's run-level instruments
+    lacked. /proc scan errors degrade to (self-only, 0)."""
+    me = os.getpid()
+    children: dict[int, list[int]] = {}
+    ticks: dict[int, int] = {}
+    try:
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/stat") as f:
+                    after_comm = f.read().rsplit(")", 1)[1].split()
+            except (OSError, IndexError):
+                continue
+            pid = int(entry)
+            try:
+                ppid = int(after_comm[1])
+                ticks[pid] = int(after_comm[11]) + int(after_comm[12])
+            except (ValueError, IndexError):
+                continue
+            children.setdefault(ppid, []).append(pid)
+    except OSError:
+        return {me}, 0
+    tree = {me}
+    frontier = [me]
+    while frontier:
+        nxt = []
+        for p in frontier:
+            for c in children.get(p, []):
+                if c not in tree:
+                    tree.add(c)
+                    nxt.append(c)
+        frontier = nxt
+    return tree, sum(ticks.get(p, 0) for p in tree)
+
+
+def _query_env_probe(
+    before: dict[str, int],
+    tree_ticks_before: int,
+    wall: float,
+    own_tree: set[int],
+) -> tuple[dict[str, float | int], dict[str, int], int]:
+    """Environment delta over one query's timed repeats. Returns
+    (env record, after-snapshot, after-tree-ticks). Fields:
+      steal  — hypervisor steal %% of host ticks in the window
+      busy   — host non-idle non-iowait %% (100 = all 32 cores busy)
+      self_cores — cores' worth of CPU our own process tree consumed
+      foreign    — SparkSubmit JVMs alive NOW that are outside our
+                   tree (the start-of-run probe misses ones that
+                   appear mid-bench)
+    """
+    after = _stat_snapshot()
+    tree_now, tree_ticks_after = _proc_tree_ticks()
+    own_tree |= tree_now
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    dt = after["total"] - before["total"]
+    env: dict[str, float | int] = {}
+    if dt > 0:
+        env["steal"] = round(100.0 * (after["steal"] - before["steal"]) / dt, 2)
+        busy = dt - (after["idle"] - before["idle"]) - (after["iowait"] - before["iowait"])
+        env["busy"] = round(100.0 * busy / dt, 1)
+    if wall > 0:
+        env["self_cores"] = round((tree_ticks_after - tree_ticks_before) / hz / wall, 1)
+    foreign_now = [p for p in detect_foreign_spark_jvms() if p not in own_tree]
+    if foreign_now:
+        env["foreign"] = len(foreign_now)
+    return env, after, tree_ticks_after
+
+
 def read_cpu_steal() -> tuple[int, int]:
     """(steal_ticks, total_ticks) from /proc/stat — the hypervisor's
     blind spot in busy-detection: r9 measured the SAME codec query at
@@ -300,9 +409,13 @@ def main() -> None:
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float | None] = {}
+    query_env: dict[str, dict[str, float | int]] = {}
+    own_tree, tree_ticks = _proc_tree_ticks()
+    stat_before = _stat_snapshot()
     for name in HEADLINE:
         fn = registry[name].fn
         samples: list[float] = []
+        t_start = time.monotonic()
         try:
             for _ in range(repeats):
                 t0 = time.monotonic()
@@ -312,6 +425,10 @@ def main() -> None:
         except Exception as exc:
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        env, stat_before, tree_ticks = _query_env_probe(
+            stat_before, tree_ticks, time.monotonic() - t_start, own_tree
+        )
+        query_env[name] = env
 
     try:
         calibration = calibration_probes(spark)
@@ -339,6 +456,11 @@ def main() -> None:
         # had the physical cores part-time and CPU-bound rows are
         # inflated even though busy=false (measured 5x on codec rows)
         "cpu_steal_pct": steal_pct,
+        # per-query environment deltas (steal/busy/self_cores/foreign)
+        # — the BENCH_r10 instrument gap: interference that appears
+        # mid-run and hits a few tail queries is invisible to the
+        # run-level steal average and the start-only foreign probe
+        "query_env": query_env,
         "sf": sf,
     }
     if errors:
@@ -360,6 +482,14 @@ def main() -> None:
         "calibration": calibration,
         "busy": bool(foreign),
         "cpu_steal_pct": steal_pct,
+        # worst per-query steal and the count of queries during which
+        # a non-bench Spark JVM was alive: either being nonzero means
+        # some per-query medians are environment, not plan (read
+        # query_env in the full line for which ones)
+        "max_q_steal_pct": max(
+            (e.get("steal", 0.0) for e in query_env.values()), default=0.0
+        ),
+        "foreign_mid_run": sum(1 for e in query_env.values() if e.get("foreign")),
         "sf": sf,
         "line": "summary",
     }

@@ -187,7 +187,14 @@ def main() -> None:
             build(spark, out_dir, 30, tables=("documents", "events"))
             print(f"built 30x corpus in {time.monotonic() - t0:.1f}s")
         results = {}
-        for name in ("dedup_prefix_filter", "events_hourly_resample"):
+        # default: the two steepest 10x curves (VERDICT r8 #6);
+        # --only swaps in any documents/events-only query — used in
+        # r11 for the heaviest codec row (VERDICT r9 #8: one
+        # three-point codec curve)
+        t30_names = ("dedup_prefix_filter", "events_hourly_resample")
+        if "--only" in sys.argv:
+            t30_names = tuple(sys.argv[sys.argv.index("--only") + 1].split(","))
+        for name in t30_names:
             try:
                 registry[name].fn(spark, "/root/testdata/sf0.001").count()
             except Exception:
