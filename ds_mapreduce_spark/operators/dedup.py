@@ -1166,8 +1166,22 @@ def entropic_screen_corpus(docs: DataFrame) -> DataFrame:
     Docs in the same (decade % 16) group share the same passage, so
     every tier has real cross-doc sharing; lengths 40-69 tokens mirror
     the base corpus. Precision/recall then measure SCREEN SELECTIVITY,
-    not corpus degeneracy."""
-    return docs.select(
+    not corpus degeneracy.
+
+    The doc_id projection repartitions to the session's parallelism
+    BEFORE the text synthesis — the partition-for-output-width rule
+    from plans/multimodal_queries.py:_doc_ids_spread: the scan reads
+    one 8-byte column (a single split at test scale), but each row
+    expands into ~50 md5 tokens that then feed two gram/fingerprint
+    censuses, so input-byte-sized tasks serialize all that CPU onto
+    one core (measured in the r11 instrumented bench: 4.0 s with 1.8
+    cores busy on a 32-core box; 3.4 s with every subtree at 7-14
+    cores after — the residual is the two census aggregations, not
+    serialization). The shuffle carries only the narrow ids."""
+    spread = docs.select("doc_id").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    return spread.select(
         "doc_id",
         F.expr(
             "CASE WHEN doc_id % 10 < 2 THEN 'truth' "
@@ -1207,11 +1221,21 @@ def winnow_screen_eval_entropic(
 
     100 TB: identical plan shape to the base eval (two censuses +
     distinct flag sets + one bounded aggregate); the synth corpus adds
-    one map-side projection, no extra shuffle."""
+    one map-side projection, no extra shuffle.
+
+    The synthesized corpus is localCheckpoint'd: five branches
+    reference it (gram census x2, fingerprint census x2, the tier
+    spine) and Catalyst re-executes an un-checkpointed subtree per
+    branch — including its spread exchange, which the shuffle-budget
+    lock would count five times. The corpus is ~n_docs x ~500 B
+    (2.5 MB at sf0.1), far under the events_hourly_resample-style
+    rollup this convention was set for; join strategies verified
+    unchanged after adding it (4 BroadcastHashJoin / 0 SortMergeJoin
+    before and after — the CLAUDE.md checkpoint-statistics check)."""
     from ds_mapreduce_spark.functions.text import tokens
 
     w = L - k + 1
-    sdocs = entropic_screen_corpus(docs)
+    sdocs = entropic_screen_corpus(docs).localCheckpoint(eager=True)
     base = sdocs.select("doc_id", "tier", tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= L
     )

@@ -254,9 +254,12 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # semi/left joins are AQE broadcasts of Aggregate/Distinct-
         # bounded sides, never the fact side
         ("dedup_span_winnow_screen", 5),
-        # r11: the entropic selectivity eval — same shape as the base
-        # screen eval (the synth corpus is one map-side projection;
-        # the ROLLUP rides the same bounded aggregate)
+        # r11: the entropic selectivity eval — same audited shape as
+        # the base screen eval: the synthesized corpus (doc_id spread
+        # + md5 text expansion, the _doc_ids_spread rule) is
+        # checkpointed, so its spread exchange executes once instead
+        # of once per referencing branch and the audited plan shows
+        # only the census/distinct/summary shuffles
         ("dedup_span_winnow_screen_entropic", 5),
         # late-r7 locks at measured values — regression tripwires:
         # pair self-join sort + CC-label join + keep window (assignment
