@@ -333,6 +333,14 @@ def _query_env_probe(
       foreign    — SparkSubmit JVMs alive NOW that are outside our
                    tree (the start-of-run probe misses ones that
                    appear mid-bench)
+
+    Reading self_cores: LOW is only a finding when the row is
+    CPU-heavy (a codec/census row pinned near one core means a
+    serialized plan — how the entropic screen eval was caught at
+    busy 5.5%/1.8 cores). Iterative/many-small-stage rows (Lloyd
+    loops, checkpoint chains) legitimately idle at small SF because
+    scheduling latency, not CPU, dominates their wall time there —
+    their scale story is the tier curves, not this number.
     """
     after = _stat_snapshot()
     tree_now, tree_ticks_after = _proc_tree_ticks()
@@ -345,7 +353,13 @@ def _query_env_probe(
         busy = dt - (after["idle"] - before["idle"]) - (after["iowait"] - before["iowait"])
         env["busy"] = round(100.0 * busy / dt, 1)
     if wall > 0:
-        env["self_cores"] = round((tree_ticks_after - tree_ticks_before) / hz / wall, 1)
+        # clamp: the tree sum counts LIVE pids only, so a reaped
+        # python worker removes its accumulated ticks and the delta
+        # can go negative (observed -113 on dq_validation_suite);
+        # a clamped 0 reads as "unmeasurable this window", not idle
+        env["self_cores"] = round(
+            max(0.0, (tree_ticks_after - tree_ticks_before) / hz) / wall, 1
+        )
     foreign_now = [p for p in detect_foreign_spark_jvms() if p not in own_tree]
     if foreign_now:
         env["foreign"] = len(foreign_now)
