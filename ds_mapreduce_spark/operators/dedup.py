@@ -1033,6 +1033,29 @@ def duplicate_span_excision(
     return out
 
 
+def winnow_flagged_docs(docs: DataFrame, L: int = 20, k: int = 3) -> DataFrame:
+    """The winnowing SCREEN itself: distinct doc_ids sharing >= 1
+    winnowing fingerprint (window w = L - k + 1) with at least one
+    other document. `winnowing_fingerprints` emits distinct (doc, fp)
+    rows, so the fp census count equals the number of distinct docs
+    carrying the fp and >= 2 means a genuine cross-doc collision.
+
+    Shared between the batch eval rows (`winnow_screen_eval`,
+    `winnow_screen_eval_entropic` — where truth joins against it) and
+    the streaming ingest twin (`run_streaming_winnow_screen`, which
+    reproduces the same set incrementally against an accumulated fp
+    index). 100 TB: one census shuffle of 8-byte fps at winnowing's
+    ~2/(w+1) density, one AQE-broadcast semi join, one distinct."""
+    w = L - k + 1
+    fps = winnowing_fingerprints(docs, k=k, w=w)
+    shared = (
+        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2)
+    )
+    return (
+        fps.join(shared.select("fp"), "fp", "left_semi").select("doc_id").distinct()
+    )
+
+
 def winnow_screen_eval(docs: DataFrame, L: int = 20, k: int = 3) -> DataFrame:
     """Evaluate a winnowing-fingerprint PRESCREEN against the exact-L
     ExactSubstr touchstone (VERDICT r8's suggested comparison row):
@@ -1070,7 +1093,6 @@ def winnow_screen_eval(docs: DataFrame, L: int = 20, k: int = 3) -> DataFrame:
     subset. Both censuses partial-aggregate map-side; no collects."""
     from ds_mapreduce_spark.functions.text import tokens
 
-    w = L - k + 1
     base = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= L
     )
@@ -1085,13 +1107,7 @@ def winnow_screen_eval(docs: DataFrame, L: int = 20, k: int = 3) -> DataFrame:
         occ.groupBy("g").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2)
     )
     truth = occ.join(dup_g.select("g"), "g", "left_semi").select("doc_id").distinct()
-    fps = winnowing_fingerprints(docs, k=k, w=w)  # distinct (doc, fp) rows
-    shared = (
-        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2)
-    )
-    flagged = (
-        fps.join(shared.select("fp"), "fp", "left_semi").select("doc_id").distinct()
-    )
+    flagged = winnow_flagged_docs(docs, L=L, k=k)
     ev = (
         base.select("doc_id")
         .join(truth.withColumn("in_truth", F.lit(True)), "doc_id", "left")
@@ -1234,7 +1250,6 @@ def winnow_screen_eval_entropic(
     before and after — the CLAUDE.md checkpoint-statistics check)."""
     from ds_mapreduce_spark.functions.text import tokens
 
-    w = L - k + 1
     sdocs = entropic_screen_corpus(docs).localCheckpoint(eager=True)
     base = sdocs.select("doc_id", "tier", tokens(F.col("text")).alias("toks")).where(
         F.size("toks") >= L
@@ -1250,13 +1265,7 @@ def winnow_screen_eval_entropic(
         occ.groupBy("g").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2)
     )
     truth = occ.join(dup_g.select("g"), "g", "left_semi").select("doc_id").distinct()
-    fps = winnowing_fingerprints(sdocs, k=k, w=w)
-    shared = (
-        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2)
-    )
-    flagged = (
-        fps.join(shared.select("fp"), "fp", "left_semi").select("doc_id").distinct()
-    )
+    flagged = winnow_flagged_docs(sdocs, L=L, k=k)
     ev = (
         base.select("doc_id", "tier")
         .join(truth.withColumn("in_truth", F.lit(True)), "doc_id", "left")

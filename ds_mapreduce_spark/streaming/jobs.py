@@ -1111,6 +1111,105 @@ def run_streaming_minhash_lsh(
     )
 
 
+def run_streaming_winnow_screen(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    L: int = 20,
+    k: int = 3,
+) -> DataFrame:
+    """Winnowing PRESCREEN at ingest: each arriving micro-batch is
+    fingerprinted (`winnowing_fingerprints`, the same map-only
+    selection the batch screen uses via `winnow_flagged_docs`) and
+    probed against the accumulated (doc_id, fp) index — the
+    production shape for deciding, as shards land, WHICH docs get the
+    expensive exact-L excision pass, without re-running a corpus-wide
+    fingerprint census per shard.
+
+    State is the fingerprint index itself: distinct (doc_id, fp)
+    rows, APPEND-ONLY (fingerprinting is per-doc map-only, so any
+    chunking of the feed produces identical index rows). Per batch,
+    newly discovered collisions are (a) fps shared by >= 2 docs
+    WITHIN the batch and (b) batch fps hitting the landed index —
+    and a hit flags BOTH members, retro-flagging the earlier doc the
+    way `run_streaming_minhash_lsh` emits a pair when its LATER
+    member arrives. The union of per-batch flag emissions over any
+    chunking therefore equals the one-shot batch screen
+    (`winnow_flagged_docs`: fp census count >= 2) EXACTLY — the
+    invariant `tests/test_streaming.py` pins.
+
+    100 TB: per batch the work is |batch| map-side fingerprinting at
+    winnowing's ~2/(w+1) density plus one join keyed on the 8-byte fp
+    against the index — posting-list sized, never corpus-sized; in a
+    real deployment the index is bucketed by fp so the probe is
+    shuffle-free, and the flagged log is the work queue the exact-L
+    excision pass consumes incrementally."""
+    from ds_mapreduce_spark.operators.dedup import winnowing_fingerprints
+
+    w = L - k + 1
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if docs_dir.endswith(".parquet"):
+        base, _, fname = docs_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        docs_dir = base
+    stream = reader.parquet(docs_dir)
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        fps_new = winnowing_fingerprints(batch_df, k=k, w=w).localCheckpoint(
+            eager=True
+        )
+        # within-batch collisions: distinct (doc, fp) rows, so a count
+        # >= 2 is >= 2 distinct docs — same census as the batch screen
+        dup_fp = (
+            fps_new.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= 2)
+        )
+        within = fps_new.join(dup_fp.select("fp"), "fp", "left_semi").select(
+            "doc_id"
+        )
+        if batch_id > 0:
+            index = sess.read.parquet(f"{state_dir}/v{batch_id - 1}")
+            hit = fps_new.join(
+                index.withColumnRenamed("doc_id", "doc_old"), "fp"
+            )
+            flagged = (
+                within.unionByName(hit.select("doc_id"))
+                .unionByName(hit.select(F.col("doc_old").alias("doc_id")))
+                .distinct()
+            )
+            merged = index.unionByName(fps_new)
+        else:
+            flagged = within.distinct()
+            merged = fps_new
+        flagged.write.mode("overwrite").parquet(
+            f"{state_dir}/flagged_v{batch_id}"
+        )
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    versions = existing_state_versions(spark, state_dir, prefix="flagged_v")
+    if last_version[0] >= 0:
+        versions = [v for v in versions if v <= last_version[0]]
+    if not versions:  # empty feed: empty flag set with the right schema
+        return spark.createDataFrame([], "doc_id bigint")
+    return spark.read.parquet(
+        *[f"{state_dir}/flagged_v{i}" for i in versions]
+    ).distinct()
+
+
 def run_streaming_ingest_manifest(
     spark: SparkSession,
     docs_dir: str,
@@ -1753,6 +1852,11 @@ TWINS: tuple[dict, ...] = (
          state="accumulated LSH band index; each batch probed against it "
                "(near-dedup at ingest)",
          test="test_streaming_minhash_lsh_matches_batch"),
+    dict(fn="run_streaming_winnow_screen", batch="dedup_span_winnow_screen",
+         state="accumulated (doc_id, fp) winnowing-fingerprint index; "
+               "each batch probed against it, collisions retro-flag the "
+               "landed member (excision prescreen at ingest)",
+         test="test_streaming_winnow_screen_matches_batch"),
     dict(fn="run_streaming_ingest_manifest", batch="ingest_manifest_pipeline",
          state="kept-fingerprint store + running manifest cumsum "
                "(scrub -> gate -> dedup -> shard, composed)",

@@ -759,6 +759,36 @@ def test_streaming_minhash_lsh_matches_batch(spark, sf_dir, tmp_path):
     assert len(srows) > 0
 
 
+def test_streaming_winnow_screen_matches_batch(spark, sf_dir, tmp_path):
+    """Winnowing prescreen at ingest: probing each micro-batch's
+    fingerprints against the accumulated index — with a collision
+    retro-flagging the landed member — must reproduce the one-shot
+    batch screen (`winnow_flagged_docs`, the registered eval row's
+    flagged CTE) EXACTLY, however the feed is chunked: a doc is
+    flagged when the LATER member of its first colliding pair
+    arrives."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.operators.dedup import winnow_flagged_docs
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_winnow_screen
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = winnow_flagged_docs(docs, L=20, k=3)
+    feed_dir = str(tmp_path / "docs_feed")
+    # md5-shuffled 4-file feed: colliding docs land in different batches
+    docs.orderBy(F.md5(F.col("doc_id").cast("string"))).repartition(4).write.parquet(
+        feed_dir
+    )
+
+    streamed = run_streaming_winnow_screen(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    srows = sorted(r.doc_id for r in streamed.collect())
+    brows = sorted(r.doc_id for r in batch.collect())
+    assert srows == brows
+    assert len(srows) > 0
+
+
 def test_streaming_ingest_manifest_matches_batch(spark, sf_dir, tmp_path):
     """The composed ingest pipeline (scrub -> quality gate -> dedup ->
     shard routing) streamed in okey-ordered micro-batches must equal
