@@ -194,6 +194,9 @@ def main() -> None:
         t30_names = ("dedup_prefix_filter", "events_hourly_resample")
         if "--only" in sys.argv:
             t30_names = tuple(sys.argv[sys.argv.index("--only") + 1].split(","))
+            unknown = [n for n in t30_names if n not in registry]
+            if unknown:
+                raise SystemExit(f"--only names not registered: {unknown}")
         for name in t30_names:
             try:
                 registry[name].fn(spark, "/root/testdata/sf0.001").count()
