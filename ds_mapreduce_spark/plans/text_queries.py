@@ -3084,55 +3084,17 @@ FROM scored ORDER BY pmi_fp DESC, wa, wb LIMIT 30
     "absorb hot tokens map-side.",
 )
 def q_collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # partials + scoring tail shared with the streaming twin
+    # (run_streaming_pmi_counts): the counts are associative, so the
+    # one-shot composition here and the per-batch merge there are the
+    # same three functions — see operators/colloc.py
+    from ds_mapreduce_spark.operators.colloc import (
+        pmi_bigram_partial,
+        pmi_topk_from_counts,
+        pmi_unigram_partial,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens(F.col("text")).alias("t"))
-    uni = (
-        t.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
-    big = (
-        t.where(F.size("t") >= 2)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("t"), i.cast("int")).alias("wa"),
-                        F.element_at(F.col("t"), (i + 1).cast("int")).alias("wb"),
-                    ),
-                )
-            ).alias("p")
-        )
-        .groupBy(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
-        .where(F.col("c_ab") >= 5)
-    )
-    scored = (
-        big.join(uni.select(F.col("w").alias("wa"), F.col("c").alias("c_a")), "wa")
-        .join(uni.select(F.col("w").alias("wb"), F.col("c").alias("c_b")), "wb")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "wa",
-            "wb",
-            "c_ab",
-            "c_a",
-            "c_b",
-            F.expr(
-                "CAST((CAST(c_ab AS DECIMAL(38,0)) * n * 1000000)"
-                " DIV (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"
-            ).alias("pmi_fp"),
-        )
-    )
-    top = scored.orderBy(F.col("pmi_fp").desc(), "wa", "wb").limit(30)
-    w = Window.orderBy(F.col("pmi_fp").desc(), "wa", "wb")
-    return top.select(
-        F.row_number().over(w).cast("bigint").alias("rnk"),
-        "wa",
-        "wb",
-        "c_ab",
-        "c_a",
-        "c_b",
-        "pmi_fp",
+    return pmi_topk_from_counts(
+        pmi_unigram_partial(docs), pmi_bigram_partial(docs), floor=5, k=30
     )

@@ -1111,6 +1111,94 @@ def run_streaming_minhash_lsh(
     )
 
 
+def run_streaming_pmi_counts(
+    spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Collocation-statistics maintenance: documents arrive as
+    micro-batches and each batch's unigram and adjacent-bigram count
+    partials MERGE into two landed state tables — the corpus
+    statistics a tokenizer/phrase miner keeps warm while the crawl
+    lands, instead of re-censusing the corpus per shard. Counts are
+    associative, so the merged tables converge to the one-shot batch
+    censuses under ANY chunking of the feed; the top-k is then
+    recomputed from the merged counts through the SAME scoring tail
+    the registered `collocation_pmi_topk` query uses
+    (`pmi_topk_from_counts` — support floor applied only here, never
+    to the partials: a pair seen 3 + 2 times across two batches must
+    clear the floor after the merge).
+
+    State is chained through versioned parquet dirs
+    (``uni_v{batch_id}``/``big_v{batch_id}`` read their
+    ``{batch_id-1}`` predecessors) like ``run_streaming_heavy_hitters``
+    — a retried batch id rewrites its own version from its
+    predecessor, idempotent on top of at-least-once delivery.
+
+    100 TB: each micro-batch scans only its delta and shuffles
+    vocab/bigram-vocab-sized partials (hot tokens absorbed map-side);
+    the state tables are key-cardinality-sized (Heaps' law), and the
+    scoring tail is vocab-sized work done once at read."""
+    from ds_mapreduce_spark.operators.colloc import (
+        pmi_bigram_merge,
+        pmi_bigram_partial,
+        pmi_topk_from_counts,
+        pmi_unigram_merge,
+        pmi_unigram_partial,
+    )
+
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if docs_dir.endswith(".parquet"):
+        base, _, fname = docs_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        docs_dir = base
+    stream = reader.parquet(docs_dir)
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        uni_part = pmi_unigram_partial(batch_df)
+        big_part = pmi_bigram_partial(batch_df)
+        if batch_id > 0:
+            uni = pmi_unigram_merge(
+                sess.read.parquet(f"{state_dir}/uni_v{batch_id - 1}"), uni_part
+            )
+            big = pmi_bigram_merge(
+                sess.read.parquet(f"{state_dir}/big_v{batch_id - 1}"), big_part
+            )
+        else:
+            uni = pmi_unigram_merge(uni_part)
+            big = pmi_bigram_merge(big_part)
+        uni.write.mode("overwrite").parquet(f"{state_dir}/uni_v{batch_id}")
+        big.write.mode("overwrite").parquet(f"{state_dir}/big_v{batch_id}")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    # _resolve_final_version semantics under this job's uni_v/big_v
+    # naming: the max batch id that fired, else the latest landed
+    # version from a previous run, else None
+    if last_version[0] >= 0:
+        final: int | None = last_version[0]
+    else:
+        landed = existing_state_versions(spark, state_dir, prefix="uni_v")
+        final = landed[-1] if landed else None
+    if final is None:  # empty feed, no prior state: empty top-k shape
+        empty = spark.createDataFrame([], schema)
+        return pmi_topk_from_counts(
+            pmi_unigram_partial(empty), pmi_bigram_partial(empty)
+        )
+    return pmi_topk_from_counts(
+        spark.read.parquet(f"{state_dir}/uni_v{final}"),
+        spark.read.parquet(f"{state_dir}/big_v{final}"),
+    )
+
+
 def run_streaming_winnow_screen(
     spark: SparkSession,
     docs_dir: str,
@@ -1852,6 +1940,11 @@ TWINS: tuple[dict, ...] = (
          state="accumulated LSH band index; each batch probed against it "
                "(near-dedup at ingest)",
          test="test_streaming_minhash_lsh_matches_batch"),
+    dict(fn="run_streaming_pmi_counts", batch="collocation_pmi_topk",
+         state="two landed associative count tables (unigram, adjacent "
+               "bigram) merged per batch; PMI top-k recomputed from the "
+               "merged counts through the shared scoring tail",
+         test="test_streaming_pmi_counts_matches_batch"),
     dict(fn="run_streaming_winnow_screen", batch="dedup_span_winnow_screen",
          state="accumulated (doc_id, fp) winnowing-fingerprint index; "
                "each batch probed against it, collisions retro-flag the "

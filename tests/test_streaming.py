@@ -759,6 +759,34 @@ def test_streaming_minhash_lsh_matches_batch(spark, sf_dir, tmp_path):
     assert len(srows) > 0
 
 
+def test_streaming_pmi_counts_matches_batch(spark, sf_dir, tmp_path):
+    """Collocation-statistics maintenance: merging per-batch unigram/
+    bigram count partials and recomputing the PMI top-k from the
+    merged state must equal the one-shot registered query EXACTLY —
+    including pairs whose support accumulates ACROSS batches (the
+    floor applies to merged counts, never partials), which the
+    md5-shuffled 4-file feed exercises."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_pmi_counts
+
+    batch = load_all()["collocation_pmi_topk"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feed_dir = str(tmp_path / "docs_feed")
+    docs.orderBy(F.md5(F.col("doc_id").cast("string"))).repartition(4).write.parquet(
+        feed_dir
+    )
+
+    streamed = run_streaming_pmi_counts(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert srows == brows
+    assert len(srows) > 0
+
+
 def test_streaming_winnow_screen_matches_batch(spark, sf_dir, tmp_path):
     """Winnowing prescreen at ingest: probing each micro-batch's
     fingerprints against the accumulated index — with a collision
