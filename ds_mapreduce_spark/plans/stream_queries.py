@@ -1308,6 +1308,68 @@ def cms_counters(events: DataFrame, depth: int = 4, width: int = 256) -> DataFra
     )
 
 
+def cms_merge(*parts: DataFrame) -> DataFrame:
+    """Merge Count-Min sketches by elementwise counter addition — the
+    associative property that makes the sketch streamable: any chunking
+    of the feed, partially sketched and merged, lands bit-identical to
+    the one-pass sketch (asserted end-to-end through Structured
+    Streaming by tests/test_streaming.py::
+    test_streaming_cms_sketch_matches_batch)."""
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy("j", "bucket").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+
+
+def cms_probe_estimates(
+    cms: DataFrame, top: DataFrame, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Probe a landed (j, bucket, c) sketch for the keys in ``top``
+    (user_id, n_events): re-derive each key's depth buckets with the
+    same md5 hash family the sketch was built with, take the MIN
+    counter, and report (exact, estimate, overcount). Shared verbatim
+    by the batch ``cms_heavy_hitter_estimates`` and its streaming twin
+    so the scoring tail cannot drift between them. The sketch side of
+    the join is depth x width rows — broadcast, never shuffled."""
+    probes = top.select(
+        "user_id",
+        "n_events",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    est = (
+        probes.withColumn("bucket", bucket)
+        .join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("user_id", "n_events")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "n_events",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_events")).cast("bigint").alias("overcount"),
+    )
+
+
 @register(
     "cms_heavy_hitter_estimates",
     oracle="""
@@ -1363,41 +1425,7 @@ def q_cms_heavy_hitter_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "user_id")
         .limit(10)
     )
-    probes = top.select(
-        "user_id",
-        "n_events",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
-    )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("j").cast("string"),
-                        F.lit(":"),
-                        F.col("user_id").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 256
-    )
-    est = (
-        probes.withColumn("bucket", bucket)
-        .join(F.broadcast(cms), ["j", "bucket"])
-        .groupBy("user_id", "n_events")
-        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
-    )
-    return est.select(
-        "user_id",
-        "n_events",
-        "cms_estimate",
-        (F.col("cms_estimate") - F.col("n_events")).cast("bigint").alias("overcount"),
-    )
+    return cms_probe_estimates(cms, top, depth=4, width=256)
 
 
 @register(

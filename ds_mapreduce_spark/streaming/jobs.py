@@ -840,6 +840,89 @@ def run_streaming_heavy_hitters(
     return heavy_hitter_present(spark.read.parquet(f"{state_dir}/v{final}"))
 
 
+def run_streaming_cms_sketch(
+    spark: SparkSession, events_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming Count-Min sketch maintenance: each micro-batch is
+    sketched by the SAME ``cms_counters`` the batch query uses and the
+    partial sketches MERGE into a landed (j, bucket, c) counter table
+    via ``cms_merge`` — elementwise addition, the mergeable-summary
+    property that is the entire point of the sketch (Cormode/
+    Muthukrishnan): the landed state is BIT-IDENTICAL to the one-pass
+    sketch under ANY chunking or arrival order of the feed, and it is
+    CONSTANT-SIZE (depth x width = 1024 counters) however long the
+    stream runs — the state-bounded alternative the pipeline keeps
+    when the exact profile's per-key store
+    (``run_streaming_heavy_hitters``) outgrows memory. A second landed
+    table maintains the exact per-key counts through the shared
+    ``keycount_partial``/``keycount_merge`` — the same exact profile
+    the batch query probes with, kept here so the twin reproduces the
+    batch answer (exact, estimate, overcount) end-to-end; a real
+    deployment reads its probe keys from whatever candidate tracker it
+    runs beside the sketch. The final answer derives ENTIRELY from
+    landed state through the shared ``cms_probe_estimates`` scoring
+    tail. State chains through versioned parquet dirs (``v{batch_id}``
+    reads ``v{batch_id-1}``): a retried batch id rewrites its own
+    version from its predecessor — idempotent on at-least-once
+    delivery. 100 TB: each micro-batch shuffles at most 1024 sketch
+    partial rows plus |keys-in-batch| count partials; the sketch merge
+    cost is a constant regardless of stream size."""
+    from ds_mapreduce_spark.operators.skew import (
+        keycount_merge,
+        keycount_partial,
+    )
+    from ds_mapreduce_spark.plans.stream_queries import (
+        cms_counters,
+        cms_merge,
+        cms_probe_estimates,
+    )
+    from ds_mapreduce_spark.sources.catalog import normalize_events_ts
+
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if events_dir.endswith(".parquet"):
+        base, _, fname = events_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        events_dir = base
+    stream = normalize_events_ts(reader.parquet(events_dir))
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sketch = cms_counters(batch_df, depth=4, width=256)
+        counts = keycount_partial(batch_df)
+        if batch_id > 0:
+            prev = f"{state_dir}/v{batch_id - 1}"
+            sketch = cms_merge(sess.read.parquet(f"{prev}/sketch"), sketch)
+            counts = keycount_merge(sess.read.parquet(f"{prev}/counts"), counts)
+        else:
+            sketch = cms_merge(sketch)
+            counts = keycount_merge(counts)
+        cur = f"{state_dir}/v{batch_id}"
+        sketch.write.mode("overwrite").parquet(f"{cur}/sketch")
+        counts.write.mode("overwrite").parquet(f"{cur}/counts")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    final = _resolve_final_version(spark, state_dir, last_version[0])
+    if final is None:  # empty feed, no prior state: empty result, same schema
+        empty = normalize_events_ts(spark.createDataFrame([], schema))
+        return cms_probe_estimates(
+            cms_counters(empty), keycount_partial(empty).limit(0)
+        )
+    sketch = spark.read.parquet(f"{state_dir}/v{final}/sketch")
+    counts = spark.read.parquet(f"{state_dir}/v{final}/counts")
+    top = counts.orderBy(F.col("n_events").desc(), "user_id").limit(10)
+    return cms_probe_estimates(sketch, top, depth=4, width=256)
+
+
 def run_streaming_bm25_index(
     spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
 ) -> DataFrame:
@@ -1928,6 +2011,13 @@ TWINS: tuple[dict, ...] = (
     dict(fn="run_streaming_heavy_hitters", batch="events_heavy_hitter_profile",
          state="landed (key, n_events) counts, keycount partial/merge",
          test="test_streaming_heavy_hitters_matches_batch"),
+    dict(fn="run_streaming_cms_sketch", batch="cms_heavy_hitter_estimates",
+         state="landed constant-size (j, bucket, c) Count-Min counter "
+               "table merged elementwise per batch (bit-identical to the "
+               "one-pass sketch under any chunking) + the shared exact "
+               "keycount profile; estimates recomputed from landed state "
+               "through the shared cms_probe_estimates tail",
+         test="test_streaming_cms_sketch_matches_batch"),
     dict(fn="run_streaming_bm25_index", batch="bm25_search",
          state="four associative index tables (postings, doc stats, "
                "doc-frequency, corpus stats) merged per batch",

@@ -607,6 +607,9 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
         "robust": lambda state, ckpt: J.run_streaming_robust_outliers(
             spark, ev_dir, state, ckpt
         ),
+        "cms": lambda state, ckpt: J.run_streaming_cms_sketch(
+            spark, ev_dir, state, ckpt
+        ),
         "minhash": lambda state, ckpt: J.run_streaming_minhash_lsh(
             spark, doc_dir, state, ckpt
         ),
@@ -645,6 +648,44 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
         empty = run(str(tmp_path / f"{name}_s2"), str(tmp_path / f"{name}_c"))
         assert empty.columns == cols, name
         assert empty.count() == 0, name
+
+
+def test_streaming_cms_sketch_matches_batch(spark, sf_dir, tmp_path):
+    """The micro-batched Count-Min merge must land a sketch
+    BIT-IDENTICAL to the one-pass batch sketch (elementwise counter
+    addition is associative — the mergeable-summary property), and the
+    estimates derived from landed state through the shared probe tail
+    must equal the batch query exactly: events split into 4 files
+    (4 micro-batches via maxFilesPerTrigger=1)."""
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.plans.stream_queries import cms_counters
+    from ds_mapreduce_spark.sources.catalog import load_table
+    from ds_mapreduce_spark.streaming.jobs import (
+        existing_state_versions,
+        run_streaming_cms_sketch,
+    )
+
+    batch = load_all()["cms_heavy_hitter_estimates"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    feed_dir = str(tmp_path / "events_feed")
+    ev.repartition(4).write.parquet(feed_dir)
+
+    state_dir = str(tmp_path / "state")
+    streamed = run_streaming_cms_sketch(
+        spark, feed_dir, state_dir, str(tmp_path / "ckpt")
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+    # the landed counter table IS the one-pass sketch, counter for
+    # counter — not just "close": merged partials are bit-identical
+    final = existing_state_versions(spark, state_dir)[-1]
+    landed = spark.read.parquet(f"{state_dir}/v{final}/sketch")
+    onepass = cms_counters(ev, depth=4, width=256)
+    assert sorted(map(tuple, landed.collect())) == sorted(
+        map(tuple, onepass.collect())
+    )
 
 
 def test_streaming_bm25_index_matches_batch(spark, sf_dir, tmp_path):
