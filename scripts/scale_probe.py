@@ -267,6 +267,13 @@ def main() -> None:
         # r9: the perceptual-transform audio codec — batched numpy
         # MDCT + per-granule scalefactor search + bit packing
         "multimodal_mdct_roundtrip",
+        # r11: the two container-syntax rows — each wraps its r9
+        # signal path (MDCT granules / MCV frames) in the real byte
+        # syntax (MPEG-1 Layer III frames / H.264 Annex-B NALs), so
+        # the curve checks that the per-payload wrap/escape/parse
+        # chain stays linear on top of the already-measured codecs
+        "multimodal_mp3_framing_roundtrip",
+        "multimodal_h264_annexb_roundtrip",
     ]
     # --only a,b restricts the run to a subset (comma-separated) so a
     # fresh-session measurement of newly staged rows doesn't re-time
