@@ -414,6 +414,20 @@ def minhash_verified_pairs(
     so a cap can lower recall but never changes a reported Jaccard."""
     cand = minhash_lsh_pairs(docs, k, num_hashes, band_size, max_shingle_df)
     prof = shingle_profiles(docs, k).select("doc_id", "sh", "n_shingles")
+    return jaccard_verify_pairs(cand, prof, threshold)
+
+
+def jaccard_verify_pairs(
+    cand: DataFrame, prof: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against a (doc_id, sh, n_shingles) profile table — the scoring tail
+    of ``minhash_verified_pairs``, split out so the streaming
+    connected-components twin can verify arrival-time candidates
+    against its LANDED profile state with the identical integer
+    half-up arithmetic (a pair's Jaccard depends only on the two
+    docs' shingle sets, so batch and streaming verdicts cannot
+    diverge)."""
     a = prof.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_shingles").alias("n_a")
     )

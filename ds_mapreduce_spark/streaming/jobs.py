@@ -1194,6 +1194,149 @@ def run_streaming_minhash_lsh(
     )
 
 
+def run_streaming_connected_components(
+    spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Incremental dedup-cluster maintenance: documents arrive as
+    micro-batches and the CLUSTER PARTITION (connected components of
+    the Jaccard-verified MinHash-LSH pair graph — the batch
+    ``dedup_connected_components``) is maintained against each batch,
+    so keep/drop representatives are always current while the crawl
+    lands, instead of re-clustering the corpus per shard.
+
+    Three landed state tables:
+
+      bands    (doc_id, band, band_key)   append-only LSH index (the
+                                          ``run_streaming_minhash_lsh``
+                                          state, shared ``lsh_bands``);
+      profiles (doc_id, sh, n_shingles)   append-only shingle profiles
+                                          (shared ``shingle_profiles``)
+                                          — verification always scores
+                                          the two docs' full shingle
+                                          sets, so arrival order cannot
+                                          change a verdict;
+      labels   (id, comp)                 the maintained partition,
+                                          comp = min doc_id.
+
+    Per batch: candidate pairs are the batch docs' bucket collisions
+    (within-batch + batch x landed index, found when the LATER member
+    arrives — union over any chunking = the one-shot LSH pair set),
+    verified through the shared ``jaccard_verify_pairs`` arithmetic,
+    and folded into the partition COMPONENT-LOCALLY: only components
+    touched by a new edge endpoint are re-solved (their landed labels
+    re-enter as star edges id->comp, which preserve node sets,
+    connectivity, and min-id canonicality), untouched components pass
+    through unread. CC(star(CC(E1)) u E2) = CC(E1 u E2) — the
+    associativity that makes min-id labels a mergeable state, pinned by
+    the equivalence test under a 4-way-chunked feed. State chains
+    through versioned parquet dirs (``v{batch_id}`` reads
+    ``v{batch_id-1}``): a retried batch id rewrites its own version
+    from its predecessor — idempotent on at-least-once delivery.
+
+    100 TB: per batch the work is |batch bands| probe rows against a
+    band_key-bucketed index, a posting-list-sized verify join, and a
+    CC re-solve bounded by the TOUCHED components' star edges plus the
+    new edges — never the corpus, and never the untouched partition
+    (dedup clusters are tiny and dense, so the touched subgraph is a
+    few star edges per new pair). The bands/profiles stores append to
+    one bucketed table in a real deployment; the versioned rewrite
+    here is the test-scale stand-in."""
+    from ds_mapreduce_spark.operators.dedup import (
+        connected_components,
+        jaccard_verify_pairs,
+        lsh_bands,
+        lsh_bucket_pairs,
+        minhash_signatures,
+        shingle_profiles,
+    )
+
+    k, num_hashes, band_size, threshold = 3, 8, 2, 0.8
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if docs_dir.endswith(".parquet"):
+        base, _, fname = docs_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        docs_dir = base
+    stream = reader.parquet(docs_dir)
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sig = minhash_signatures(batch_df, k=k, num_hashes=num_hashes)
+        bands_new = lsh_bands(sig, num_hashes, band_size).localCheckpoint(eager=True)
+        prof_new = shingle_profiles(batch_df, k).select(
+            "doc_id", "sh", "n_shingles"
+        )
+        within = lsh_bucket_pairs(bands_new)
+        cur = f"{state_dir}/v{batch_id}"
+        if batch_id > 0:
+            prev = f"{state_dir}/v{batch_id - 1}"
+            index = sess.read.parquet(f"{prev}/bands")
+            hit = bands_new.join(
+                index.withColumnRenamed("doc_id", "doc_old"), ["band", "band_key"]
+            )
+            cross = hit.select(
+                F.least("doc_id", "doc_old").alias("doc_a"),
+                F.greatest("doc_id", "doc_old").alias("doc_b"),
+            )
+            pairs = within.unionByName(cross).distinct()
+            index.unionByName(bands_new).write.mode("overwrite").parquet(
+                f"{cur}/bands"
+            )
+            sess.read.parquet(f"{prev}/profiles").unionByName(
+                prof_new
+            ).write.mode("overwrite").parquet(f"{cur}/profiles")
+            prev_labels = sess.read.parquet(f"{prev}/labels")
+        else:
+            pairs = within
+            bands_new.write.mode("overwrite").parquet(f"{cur}/bands")
+            prof_new.write.mode("overwrite").parquet(f"{cur}/profiles")
+            prev_labels = sess.createDataFrame([], "id bigint, comp bigint")
+        profiles = sess.read.parquet(f"{cur}/profiles")
+        edges = (
+            jaccard_verify_pairs(pairs, profiles, threshold)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        # component-local fold: re-solve ONLY components a new edge
+        # touches; untouched labels pass through unread
+        touched = (
+            edges.select(F.col("doc_a").alias("id"))
+            .union(edges.select(F.col("doc_b").alias("id")))
+            .distinct()
+        )
+        touched_comps = (
+            prev_labels.join(touched, "id").select("comp").distinct()
+        )
+        sub = prev_labels.join(touched_comps, "comp").select("id", "comp")
+        untouched = prev_labels.join(touched_comps, "comp", "left_anti")
+        star = sub.where(F.col("id") != F.col("comp")).select(
+            F.col("id").alias("doc_a"), F.col("comp").alias("doc_b")
+        )
+        resolved = connected_components(
+            star.unionByName(edges), src="doc_a", dst="doc_b"
+        )
+        untouched.select("id", "comp").unionByName(
+            resolved.select("id", "comp")
+        ).write.mode("overwrite").parquet(f"{cur}/labels")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    final = _resolve_final_version(spark, state_dir, last_version[0])
+    if final is None:  # empty feed, no prior state: empty label schema
+        return spark.createDataFrame([], "doc_id bigint, comp_id bigint")
+    return spark.read.parquet(f"{state_dir}/v{final}/labels").select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("comp_id")
+    )
+
+
 def run_streaming_pmi_counts(
     spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
 ) -> DataFrame:
@@ -2030,6 +2173,15 @@ TWINS: tuple[dict, ...] = (
          state="accumulated LSH band index; each batch probed against it "
                "(near-dedup at ingest)",
          test="test_streaming_minhash_lsh_matches_batch"),
+    dict(fn="run_streaming_connected_components",
+         batch="dedup_connected_components",
+         state="three landed tables — append-only LSH band index + "
+               "shingle profiles (shared candidate/verify operators) and "
+               "the maintained (id, comp) partition; each batch's "
+               "verified edges fold in COMPONENT-LOCALLY (only touched "
+               "components re-solve, their labels re-entering as star "
+               "edges; untouched components pass through unread)",
+         test="test_streaming_connected_components_matches_batch"),
     dict(fn="run_streaming_pmi_counts", batch="collocation_pmi_topk",
          state="two landed associative count tables (unigram, adjacent "
                "bigram) merged per batch; PMI top-k recomputed from the "

@@ -613,6 +613,9 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
         "minhash": lambda state, ckpt: J.run_streaming_minhash_lsh(
             spark, doc_dir, state, ckpt
         ),
+        "cc": lambda state, ckpt: J.run_streaming_connected_components(
+            spark, doc_dir, state, ckpt
+        ),
         "ingest": lambda state, ckpt: J.run_streaming_ingest_manifest(
             spark, doc_dir, state, ckpt
         ),
@@ -798,6 +801,42 @@ def test_streaming_minhash_lsh_matches_batch(spark, sf_dir, tmp_path):
     brows = sorted(map(tuple, batch.select("doc_a", "doc_b").collect()))
     assert srows == brows
     assert len(srows) > 0
+
+
+def test_streaming_connected_components_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental cluster maintenance: folding each batch's verified
+    edges into the landed partition component-locally (touched
+    components re-solve from their star edges + the new edges,
+    untouched labels pass through) must converge to EXACTLY the batch
+    dedup_connected_components labels, however the feed is chunked —
+    CC(star(CC(E1)) u E2) = CC(E1 u E2) and comp = min doc_id is
+    canonical, so label values (not just the partition) must match.
+    The feed is md5-shuffled so related docs land in different
+    micro-batches (cross-batch edges exercise the landed-index probe
+    and the star-edge re-entry, not just within-batch pairs)."""
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.streaming.jobs import (
+        run_streaming_connected_components,
+    )
+
+    from pyspark.sql import functions as F
+
+    batch = load_all()["dedup_connected_components"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feed_dir = str(tmp_path / "docs_feed")
+    docs.orderBy(F.md5(F.col("doc_id").cast("string"))).repartition(4).write.parquet(
+        feed_dir
+    )
+
+    streamed = run_streaming_connected_components(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert srows == brows
+    assert len(srows) > 0
+    # the partition is non-trivial: at least one multi-doc cluster
+    assert len({c for _, c in srows}) < len(srows)
 
 
 def test_streaming_pmi_counts_matches_batch(spark, sf_dir, tmp_path):
