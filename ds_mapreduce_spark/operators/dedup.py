@@ -708,6 +708,45 @@ def connected_components(
     return labels
 
 
+def cc_fold(prev_labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Fold a batch of new undirected edges (doc_a, doc_b) into a
+    maintained min-id component partition (id, comp) COMPONENT-LOCALLY:
+    only components touched by a new edge endpoint re-solve — their
+    landed labels re-enter ``connected_components`` as star edges
+    (id -> comp), which preserve node sets, connectivity, and min-id
+    canonicality — while untouched components pass through unread.
+    CC(star(CC(E1)) ∪ E2) = CC(E1 ∪ E2), so folding any chunking of an
+    edge stream from an empty partition converges to the one-shot CC
+    labels exactly (tests/test_properties.py pins this against a
+    union-find ground truth over random edge streams and chunkings;
+    the streaming twin ``run_streaming_connected_components`` is this
+    fold per micro-batch).
+
+    Scale (100 TB): per fold the work is the touched components' star
+    edges plus the new edges — dedup clusters are tiny and dense, so
+    the re-solved subgraph is a few edges per new pair, never the
+    corpus and never the untouched partition."""
+    touched = (
+        edges.select(F.col("doc_a").alias("id"))
+        .union(edges.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    touched_comps = prev_labels.join(touched, "id").select("comp").distinct()
+    sub = prev_labels.join(touched_comps, "comp").select("id", "comp")
+    untouched = prev_labels.join(touched_comps, "comp", "left_anti")
+    star = sub.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_a"), F.col("comp").alias("doc_b")
+    )
+    resolved = connected_components(
+        star.unionByName(edges.select("doc_a", "doc_b")),
+        src="doc_a",
+        dst="doc_b",
+    )
+    return untouched.select("id", "comp").unionByName(
+        resolved.select("id", "comp")
+    )
+
+
 def incremental_dedup(
     history: DataFrame, batch: DataFrame
 ) -> DataFrame:

@@ -1242,7 +1242,7 @@ def run_streaming_connected_components(
     one bucketed table in a real deployment; the versioned rewrite
     here is the test-scale stand-in."""
     from ds_mapreduce_spark.operators.dedup import (
-        connected_components,
+        cc_fold,
         jaccard_verify_pairs,
         lsh_bands,
         lsh_bucket_pairs,
@@ -1299,26 +1299,11 @@ def run_streaming_connected_components(
             .localCheckpoint(eager=True)
         )
         # component-local fold: re-solve ONLY components a new edge
-        # touches; untouched labels pass through unread
-        touched = (
-            edges.select(F.col("doc_a").alias("id"))
-            .union(edges.select(F.col("doc_b").alias("id")))
-            .distinct()
+        # touches; untouched labels pass through unread (cc_fold —
+        # the algebra is property-tested against union-find)
+        cc_fold(prev_labels, edges).write.mode("overwrite").parquet(
+            f"{cur}/labels"
         )
-        touched_comps = (
-            prev_labels.join(touched, "id").select("comp").distinct()
-        )
-        sub = prev_labels.join(touched_comps, "comp").select("id", "comp")
-        untouched = prev_labels.join(touched_comps, "comp", "left_anti")
-        star = sub.where(F.col("id") != F.col("comp")).select(
-            F.col("id").alias("doc_a"), F.col("comp").alias("doc_b")
-        )
-        resolved = connected_components(
-            star.unionByName(edges), src="doc_a", dst="doc_b"
-        )
-        untouched.select("id", "comp").unionByName(
-            resolved.select("id", "comp")
-        ).write.mode("overwrite").parquet(f"{cur}/labels")
         last_version[0] = max(last_version[0], batch_id)
 
     q = (

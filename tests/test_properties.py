@@ -424,3 +424,66 @@ def test_bpe_merge_fold_matches_python_reference(spark, words, pair):
     }
     for i, w in enumerate(words):
         assert got[i] == _py_bpe_merge(w, pair[0], pair[1]), (w, pair)
+
+
+def _uf_min_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find ground truth: min node id per component, for nodes
+    that appear in at least one edge (the connected_components
+    contract — isolated nodes never enter the label table)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+_cc_edge_st = st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+    lambda t: t[0] != t[1]
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(_cc_edge_st, min_size=1, max_size=10),
+    batches=st.lists(st.integers(0, 3), min_size=10, max_size=10),
+)
+# a chain grown one edge per batch in reverse order: every fold merges
+# two landed components through their star edges
+@example(
+    edges=[(3, 4), (2, 3), (1, 2), (0, 1)], batches=[0, 1, 2, 3] + [0] * 6
+)
+# one batch merging THREE landed components at once
+@example(
+    edges=[(0, 1), (2, 3), (4, 5), (1, 2), (3, 4)],
+    batches=[0, 0, 0, 1, 1] + [0] * 5,
+)
+def test_cc_fold_any_chunking_matches_union_find(spark, edges, batches):
+    """cc_fold (the streaming connected-components twin's per-batch
+    fold) applied over ANY chunking of an edge stream, starting from an
+    empty partition, lands exactly the union-find min-id labels of the
+    full edge set — CC(star(CC(E1)) u E2) = CC(E1 u E2), including
+    folds whose batch is empty (untouched partition passes through)."""
+    from ds_mapreduce_spark.operators.dedup import cc_fold
+
+    expected = _uf_min_labels(edges)
+    assign = batches[: len(edges)]
+    labels = spark.createDataFrame([], "id bigint, comp bigint")
+    for b in range(max(assign) + 1):
+        batch_edges = [e for e, bb in zip(edges, assign) if bb == b]
+        edf = spark.createDataFrame(batch_edges, "doc_a bigint, doc_b bigint")
+        labels = cc_fold(labels, edf)
+    got = {r.id: r.comp for r in labels.collect()}
+    assert got == expected, (edges, assign)
