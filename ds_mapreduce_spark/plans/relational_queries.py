@@ -2047,6 +2047,62 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     return mv_present(mv_merge(base_mv, delta_mv))
 
 
+def hll_pgs_partial(o: DataFrame) -> DataFrame:
+    """(o_orderpriority, o_orderstatus, sk, n_orders): the
+    per-(priority, status) HLL-sketch partial — the associative state
+    the batch rollup aggregates in one plan and the streaming twin
+    (``streaming.jobs.run_streaming_hll_rollup``) maintains per
+    micro-batch: Datasketches HLL registers merge by per-register MAX
+    (``hll_union_agg``), so any chunking of the feed unions to the
+    identical estimate (chunking-invariance pinned by the twin's
+    equivalence test), and counts merge by SUM."""
+    return o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+
+
+def hll_pgs_merge(*parts: DataFrame) -> DataFrame:
+    """Merge per-(priority, status) sketch partials: sketch union +
+    count sum."""
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+    )
+
+
+def hll_rollup_from_pgs(pgs: DataFrame) -> DataFrame:
+    """Roll per-(priority, status) sketch state up to per-priority
+    merged estimates — shared by the batch query and the twin's
+    read-from-state path."""
+    return pgs.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__merged"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_statuses"),
+    )
+
+
+def hll_rollup_present(rolled: DataFrame, direct: DataFrame) -> DataFrame:
+    """Presentation tail shared by ``approx_distinct_rollup`` and its
+    streaming twin: join the rolled-up estimates to the direct
+    whole-partition sketch + exact distinct, emit exact counts plus the
+    union-consistency and error-bound booleans (engine-specific
+    estimates never cross the comparison boundary)."""
+    return rolled.join(direct, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        "n_statuses",
+        "exact_custs",
+        (F.abs(F.col("__merged") - F.col("__direct")) * 25 <= F.col("__direct"))
+        .alias("merge_consistent"),
+        (F.abs(F.col("__merged") - F.col("exact_custs")) * 20 <= F.col("exact_custs"))
+        .alias("hll_within_bounds"),
+    )
+
+
 @register(
     "approx_distinct_rollup",
     oracle="""
@@ -2077,29 +2133,12 @@ FROM orders GROUP BY o_orderpriority
 )
 def q_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    per_group = o.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.hll_sketch_agg("o_custkey").alias("sk"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-    rolled = per_group.groupBy("o_orderpriority").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__merged"),
-        F.sum("n_orders").cast("bigint").alias("n_orders"),
-        F.count(F.lit(1)).alias("n_statuses"),
-    )
+    rolled = hll_rollup_from_pgs(hll_pgs_partial(o))
     direct = o.groupBy("o_orderpriority").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("__direct"),
         F.countDistinct("o_custkey").cast("bigint").alias("exact_custs"),
     )
-    return rolled.join(direct, "o_orderpriority").select(
-        "o_orderpriority",
-        "n_orders",
-        "n_statuses",
-        "exact_custs",
-        (F.abs(F.col("__merged") - F.col("__direct")) * 25 <= F.col("__direct"))
-        .alias("merge_consistent"),
-        (F.abs(F.col("__merged") - F.col("exact_custs")) * 20 <= F.col("exact_custs"))
-        .alias("hll_within_bounds"),
-    )
+    return hll_rollup_present(rolled, direct)
 
 
 # --- data-quality validation + profiling (round 5) ---------------------------

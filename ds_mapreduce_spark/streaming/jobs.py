@@ -923,6 +923,109 @@ def run_streaming_cms_sketch(
     return cms_probe_estimates(sketch, top, depth=4, width=256)
 
 
+def run_streaming_hll_rollup(
+    spark: SparkSession, orders_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming sketch-store maintenance — the daily-sketch-store
+    pattern the batch ``approx_distinct_rollup`` docstring describes,
+    actually run: orders arrive as micro-batches and each batch's
+    per-(priority, status) Datasketches-HLL partials MERGE into a
+    landed sketch store via the shared ``hll_pgs_partial``/
+    ``hll_pgs_merge`` (register-wise MAX union + count SUM — both
+    associative, so the landed store is chunking-invariant: the twin's
+    equivalence test pins the full batch answer, booleans included,
+    proving the unioned sketches estimate IDENTICALLY to the one-pass
+    sketches). Three landed tables: the (priority, status) sketch
+    store, the per-priority direct sketch (same union merge), and the
+    exact (priority, custkey) pair set the error-bound boolean needs
+    (key-cardinality-sized — the evaluation side, not the production
+    state). The final answer derives entirely from landed state through
+    the shared ``hll_rollup_from_pgs``/``hll_rollup_present`` tail.
+    State chains through versioned parquet dirs (``v{batch_id}`` reads
+    ``v{batch_id-1}``): a retried batch id rewrites its own version
+    from its predecessor — idempotent on at-least-once delivery.
+    100 TB: per batch the work is the batch's group partials plus a
+    group-cardinality-sized sketch union — the fact table is never
+    re-read; a year of dailies rolls up by unioning 365 sketch rows
+    per group."""
+    from ds_mapreduce_spark.plans.relational_queries import (
+        hll_pgs_merge,
+        hll_pgs_partial,
+        hll_rollup_from_pgs,
+        hll_rollup_present,
+    )
+
+    schema = spark.read.parquet(orders_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if orders_dir.endswith(".parquet"):
+        base, _, fname = orders_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        orders_dir = base
+    stream = reader.parquet(orders_dir)
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        pgs = hll_pgs_partial(batch_df)
+        pri = batch_df.groupBy("o_orderpriority").agg(
+            F.hll_sketch_agg("o_custkey").alias("sk")
+        )
+        custs = batch_df.select("o_orderpriority", "o_custkey").distinct()
+        if batch_id > 0:
+            prev = f"{state_dir}/v{batch_id - 1}"
+            pgs = hll_pgs_merge(sess.read.parquet(f"{prev}/pgs"), pgs)
+            pri = (
+                sess.read.parquet(f"{prev}/pri")
+                .unionByName(pri)
+                .groupBy("o_orderpriority")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+            custs = (
+                sess.read.parquet(f"{prev}/custs").unionByName(custs).distinct()
+            )
+        else:
+            pgs = hll_pgs_merge(pgs)
+        cur = f"{state_dir}/v{batch_id}"
+        pgs.write.mode("overwrite").parquet(f"{cur}/pgs")
+        pri.write.mode("overwrite").parquet(f"{cur}/pri")
+        custs.write.mode("overwrite").parquet(f"{cur}/custs")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    final = _resolve_final_version(spark, state_dir, last_version[0])
+    if final is None:  # empty feed, no prior state: empty result schema
+        empty = spark.createDataFrame([], schema)
+        direct = empty.groupBy("o_orderpriority").agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("__direct"),
+            F.countDistinct("o_custkey").cast("bigint").alias("exact_custs"),
+        )
+        return hll_rollup_present(
+            hll_rollup_from_pgs(hll_pgs_partial(empty)), direct
+        )
+    rolled = hll_rollup_from_pgs(spark.read.parquet(f"{state_dir}/v{final}/pgs"))
+    direct = (
+        spark.read.parquet(f"{state_dir}/v{final}/pri")
+        .groupBy("o_orderpriority")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__direct"))
+        .join(
+            spark.read.parquet(f"{state_dir}/v{final}/custs")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.countDistinct("o_custkey").cast("bigint").alias("exact_custs")
+            ),
+            "o_orderpriority",
+        )
+    )
+    return hll_rollup_present(rolled, direct)
+
+
 def run_streaming_bm25_index(
     spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
 ) -> DataFrame:
@@ -2146,6 +2249,13 @@ TWINS: tuple[dict, ...] = (
                "keycount profile; estimates recomputed from landed state "
                "through the shared cms_probe_estimates tail",
          test="test_streaming_cms_sketch_matches_batch"),
+    dict(fn="run_streaming_hll_rollup", batch="approx_distinct_rollup",
+         state="landed re-aggregatable HLL sketch store (per-group "
+               "Datasketches sketches unioned register-wise per batch — "
+               "the daily-sketch-store pattern) + the exact pair set the "
+               "error-bound booleans need; rollup recomputed from landed "
+               "state through the shared partial/merge/present helpers",
+         test="test_streaming_hll_rollup_matches_batch"),
     dict(fn="run_streaming_bm25_index", batch="bm25_search",
          state="four associative index tables (postings, doc stats, "
                "doc-frequency, corpus stats) merged per batch",

@@ -610,6 +610,9 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
         "cms": lambda state, ckpt: J.run_streaming_cms_sketch(
             spark, ev_dir, state, ckpt
         ),
+        "hll": lambda state, ckpt: J.run_streaming_hll_rollup(
+            spark, ord_dir, state, ckpt
+        ),
         "minhash": lambda state, ckpt: J.run_streaming_minhash_lsh(
             spark, doc_dir, state, ckpt
         ),
@@ -651,6 +654,33 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
         empty = run(str(tmp_path / f"{name}_s2"), str(tmp_path / f"{name}_c"))
         assert empty.columns == cols, name
         assert empty.count() == 0, name
+
+
+def test_streaming_hll_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """The micro-batched HLL sketch-store merge must reproduce the
+    batch approx_distinct_rollup EXACTLY — including the
+    union-consistency and error-bound booleans, which only hold if the
+    unioned per-batch sketches estimate identically to the one-pass
+    sketches (Datasketches registers merge by per-register MAX, so the
+    union is chunking-invariant): orders split into 4 files
+    (4 micro-batches via maxFilesPerTrigger=1)."""
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_hll_rollup
+
+    batch = load_all()["approx_distinct_rollup"].fn(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    feed_dir = str(tmp_path / "orders_feed")
+    orders.repartition(4).write.parquet(feed_dir)
+
+    streamed = run_streaming_hll_rollup(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert srows == brows
+    assert len(srows) > 0
+    # the booleans are live assertions, not vacuous constants
+    assert all(r[-1] and r[-2] for r in srows)
 
 
 def test_streaming_cms_sketch_matches_batch(spark, sf_dir, tmp_path):
