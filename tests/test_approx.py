@@ -204,13 +204,12 @@ def test_cms_one_sided_error_and_mergeability(spark, sf_dir):
     assert bad / len(est) <= math.exp(-4.0) + 0.02, (bad, len(est))  # (b)
 
     # (c) mergeability: split the stream, build per-slice sketches,
-    # elementwise-sum them, compare to the whole-stream sketch
+    # merge through the SAME cms_merge the streaming twin maintains
+    # state with, compare to the whole-stream sketch
+    from ds_mapreduce_spark.plans.stream_queries import cms_merge
+
     a = ev.where(F.col("event_id") % 2 == 0)
     b = ev.where(F.col("event_id") % 2 == 1)
-    merged = (
-        cms_counters(a).unionByName(cms_counters(b))
-        .groupBy("j", "bucket")
-        .agg(F.sum("c").cast("bigint").alias("c"))
-    )
+    merged = cms_merge(cms_counters(a), cms_counters(b))
     whole = sorted(map(tuple, cms.collect()))
     assert sorted(map(tuple, merged.collect())) == whole
