@@ -319,6 +319,57 @@ def _proc_tree_ticks() -> tuple[set[int], int]:
     return tree, sum(ticks.get(p, 0) for p in tree)
 
 
+def _jvm_gc_seconds(spark) -> float:
+    """Cumulative stop-the-world GC time of the bench's OWN JVM (all
+    collector MXBeans), in seconds. The missing instrument of the
+    BENCH_r10 tail postmortem: a query window whose wall inflates
+    while self_cores stays pinned at ~all cores and gc_sec eats the
+    window is the JVM fighting its own heap — our load, not a
+    co-tenant's — which neither steal nor the foreign-JVM probe can
+    see."""
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        ms = 0
+        for i in range(beans.size()):
+            t = beans.get(i).getCollectionTime()
+            if t and t > 0:
+                ms += t
+        return ms / 1000.0
+    except Exception:  # telemetry must never kill the bench
+        return 0.0
+
+
+def _drop_dead_checkpoint_blocks(spark) -> int:
+    """Unpersist every persistent RDD (returns how many were dropped).
+
+    Every ``localCheckpoint(eager=True)`` in a query leaves its blocks
+    in the block manager FOREVER — the DataFrame is discarded after
+    the action but the RDD blocks are not. Across the 63-query
+    headline sequence (plus its sf0.001 warm pass) the dead blocks
+    accumulate until the storage region and the old generation are
+    full of them, and late CPU-heavy rows then burn the whole box in
+    GC (observed: the tail codec rows at 5-7x their quiet medians
+    with steal 0.05, zero foreign JVMs, and self_cores ~30 — OUR cpu,
+    full-throttle, going to the collector). Dropping the dead blocks
+    after each timed run makes every query measure in the same
+    clean-heap state the driver's one-query smoke or a production
+    job would see. Gated by SPARK_GRAFT_BENCH_KEEP_BLOCKS=1 for
+    re-diagnosis of the accumulation mode."""
+    if os.environ.get("SPARK_GRAFT_BENCH_KEEP_BLOCKS"):
+        return 0
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        rdds = list(jmap.values())
+        for r in rdds:
+            r.unpersist(False)
+        return len(rdds)
+    except Exception:  # hygiene must never kill the bench
+        return -1
+
+
 def _query_env_probe(
     before: dict[str, int],
     tree_ticks_before: int,
@@ -420,6 +471,7 @@ def main() -> None:
                 registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # recorded at timing time too; warm best-effort
                 errors[name] = f"warm: {type(exc).__name__}: {exc}"[:500]
+        _drop_dead_checkpoint_blocks(spark)
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float | None] = {}
@@ -430,18 +482,30 @@ def main() -> None:
         fn = registry[name].fn
         samples: list[float] = []
         t_start = time.monotonic()
+        gc_before = _jvm_gc_seconds(spark)
+        dropped = 0
         try:
             for _ in range(repeats):
                 t0 = time.monotonic()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(time.monotonic() - t0)
+                # between repeats, outside the timed window: drop the
+                # run's dead checkpoint blocks so every repeat (and
+                # every query) measures in the same clean-heap state
+                dropped += max(0, _drop_dead_checkpoint_blocks(spark))
             timings[name] = round(statistics.median(samples), 3)
         except Exception as exc:
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            dropped += max(0, _drop_dead_checkpoint_blocks(spark))
+        gc_sec = round(_jvm_gc_seconds(spark) - gc_before, 2)
         env, stat_before, tree_ticks = _query_env_probe(
             stat_before, tree_ticks, time.monotonic() - t_start, own_tree
         )
+        if gc_sec:
+            env["gc_sec"] = gc_sec
+        if dropped:
+            env["ckpt_blocks"] = dropped
         query_env[name] = env
 
     try:
@@ -504,6 +568,12 @@ def main() -> None:
             (e.get("steal", 0.0) for e in query_env.values()), default=0.0
         ),
         "foreign_mid_run": sum(1 for e in query_env.values() if e.get("foreign")),
+        # worst single-query JVM GC time: a large value on a row whose
+        # wall inflated (self_cores ~all) is the heap-pressure mode —
+        # our own collector, not environment
+        "max_q_gc_sec": max(
+            (e.get("gc_sec", 0.0) for e in query_env.values()), default=0.0
+        ),
         "sf": sf,
         "line": "summary",
     }

@@ -49,7 +49,6 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ds_mapreduce_spark.operators.flac import corruption_to_value_error
 from ds_mapreduce_spark.operators.gif import (
@@ -73,30 +72,39 @@ _BY_MOD = GIF_H - ANIM_BLOCK  # 11
 
 def synth_anim_frames(docs: DataFrame) -> DataFrame:
     """(doc_id, frames): ANIM_FRAMES full rasters (row-major index
-    lists), each = static background + the moving block, rendered
-    JVM-side by the same closed form the DuckDB oracle replays:
+    lists), each = static background + the moving block, numpy-rendered
+    (``multimodal.synth_map_arrays``) from the same closed form the
+    DuckDB oracle replays:
 
       bx(t) = (doc_id + 3t) mod 19,  by(t) = (doc_id div 7 + 2t) mod 11
       block pixel  = ((doc_id%256)*PCM_B + (1000t + 5(y-by) + (x-bx))*PCM_A) mod 255
       background   = ((doc_id%256)*PCM_A + i*PCM_B) mod 255
     """
+    import numpy as np
+
+    from ds_mapreduce_spark.operators.multimodal import synth_map_arrays
+
     n = GIF_W * GIF_H
-    return docs.select(
-        "doc_id",
-        F.expr(
-            f"""transform(sequence(0, {ANIM_FRAMES - 1}), t ->
-  transform(sequence(0, {n - 1}), i -> CAST(
-    CASE WHEN (i % {GIF_W}) >= (doc_id + t * 3) % {_BX_MOD}
-          AND (i % {GIF_W}) <  (doc_id + t * 3) % {_BX_MOD} + {ANIM_BLOCK}
-          AND (i div {GIF_W}) >= ((doc_id div 7) + t * 2) % {_BY_MOD}
-          AND (i div {GIF_W}) <  ((doc_id div 7) + t * 2) % {_BY_MOD} + {ANIM_BLOCK}
-    THEN ((doc_id % 256) * {PCM_B}L
-          + (t * 1000
-             + ((i div {GIF_W}) - ((doc_id div 7) + t * 2) % {_BY_MOD}) * {ANIM_BLOCK}
-             + ((i % {GIF_W}) - (doc_id + t * 3) % {_BX_MOD})) * {PCM_A}L) % {ANIM_VMOD}
-    ELSE ((doc_id % 256) * {PCM_A}L + i * {PCM_B}L) % {ANIM_VMOD}
-    END AS INT)))"""
-        ).alias("frames"),
+    i = np.arange(n, dtype=np.int64)
+    x = (i % GIF_W)[None, None, :]
+    y = (i // GIF_W)[None, None, :]
+    t = np.arange(ANIM_FRAMES, dtype=np.int64)[None, :, None]
+
+    def build(d):
+        dc = d[:, None, None]
+        dm = dc % 256
+        bx = (dc + t * 3) % _BX_MOD
+        by = (dc // 7 + t * 2) % _BY_MOD
+        mask = (x >= bx) & (x < bx + ANIM_BLOCK) & (y >= by) & (y < by + ANIM_BLOCK)
+        blockv = (
+            dm * PCM_B + (t * 1000 + (y - by) * ANIM_BLOCK + (x - bx)) * PCM_A
+        ) % ANIM_VMOD
+        bg = (dm * PCM_A + i[None, None, :] * PCM_B) % ANIM_VMOD
+        arr = np.where(mask, blockv, bg).astype(np.int32)
+        return {"frames": [list(mat) for mat in arr]}
+
+    return synth_map_arrays(
+        docs, "doc_id bigint, frames array<array<int>>", build
     )
 
 

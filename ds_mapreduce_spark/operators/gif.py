@@ -39,7 +39,6 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ds_mapreduce_spark.operators.multimodal import (
     PCM_A,
@@ -300,15 +299,20 @@ def parse_gif(payload: bytes):
 def synth_gif_indices(docs: DataFrame) -> DataFrame:
     """(doc_id, px): deterministic palette indices,
     px[i] = ((doc_id mod 256)*PCM_A + i*PCM_B) mod 256 — the shared
-    synth family (doc_id pre-reduced mod 256, BIGINT-budget rule)."""
+    synth family (doc_id pre-reduced mod 256, BIGINT-budget rule).
+    numpy-rendered (``multimodal.synth_map_arrays``)."""
+    import numpy as np
+
+    from ds_mapreduce_spark.operators.multimodal import synth_map_arrays
+
     n = GIF_W * GIF_H
-    return docs.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {n - 1}), i -> "
-            f"CAST(((doc_id % 256) * {PCM_A}L + i * {PCM_B}L) % 256 AS INT))"
-        ).alias("px"),
-    )
+    i = np.arange(n, dtype=np.int64)
+
+    def build(d):
+        arr = ((d[:, None] % 256) * PCM_A + i[None, :] * PCM_B) % 256
+        return {"px": list(arr.astype(np.int32))}
+
+    return synth_map_arrays(docs, "doc_id bigint, px array<int>", build)
 
 
 def encode_gif(df: DataFrame) -> DataFrame:

@@ -58,7 +58,6 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ds_mapreduce_spark.operators.flac import corruption_to_value_error
 from ds_mapreduce_spark.operators.multimodal import PCM_A, PCM_B
@@ -686,23 +685,27 @@ def synth_jpeg_pixels(docs: DataFrame) -> DataFrame:
     constant+step 8x8 blocks — block b's base value
     v0 = 32 + ((doc_id%256)*PCM_A + b*PCM_B) % 192 and step
     d = ((doc_id%256)*PCM_B + b*PCM_A) % 32 - 16; pixel (x,y) in the
-    block is v0 + (x%8 < 4 ? d : -d), always inside [16, 239]. Pure
-    JVM expression, exactly reproducible in ANSI SQL; doc_id is
-    pre-reduced mod 256 before the multiply (BIGINT-budget rule)."""
+    block is v0 + (x%8 < 4 ? d : -d), always inside [16, 239].
+    Exactly reproducible in ANSI SQL (the oracle replays it); doc_id
+    pre-reduced mod 256 before the multiply (BIGINT-budget rule);
+    numpy-rendered (``multimodal.synth_map_arrays``)."""
+    import numpy as np
+
+    from ds_mapreduce_spark.operators.multimodal import synth_map_arrays
+
     n = JPEG_W * JPEG_H
     bw = JPEG_W // 8
-    return docs.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {n - 1}), i -> CAST("
-            f"32 + ((doc_id % 256) * {PCM_A}L"
-            f" + ((i DIV {JPEG_W * 8}) * {bw} + (i % {JPEG_W}) DIV 8) * {PCM_B}L) % 192"
-            f" + IF((i % 8) < 4, 1, -1) *"
-            f" (((doc_id % 256) * {PCM_B}L"
-            f" + ((i DIV {JPEG_W * 8}) * {bw} + (i % {JPEG_W}) DIV 8) * {PCM_A}L) % 32 - 16)"
-            " AS INT))"
-        ).alias("px"),
-    )
+    i = np.arange(n, dtype=np.int64)
+    b = (i // (JPEG_W * 8)) * bw + (i % JPEG_W) // 8
+    sign = np.where(i % 8 < 4, 1, -1).astype(np.int64)
+
+    def build(d):
+        dm = d[:, None] % 256
+        base = 32 + (dm * PCM_A + b[None, :] * PCM_B) % 192
+        delta = (dm * PCM_B + b[None, :] * PCM_A) % 32 - 16
+        return {"px": list((base + sign[None, :] * delta).astype(np.int32))}
+
+    return synth_map_arrays(docs, "doc_id bigint, px array<int>", build)
 
 
 def encode_jpeg(df: DataFrame) -> DataFrame:
@@ -735,22 +738,24 @@ def synth_color_jpeg_pixels(docs: DataFrame) -> DataFrame:
     blocks PER CHANNEL — channel k of block b draws its (base, step)
     from extended block id 3b+k, so the three planes differ and the
     closed-form oracle covers each (block, channel) instance."""
+    import numpy as np
+
+    from ds_mapreduce_spark.operators.multimodal import synth_map_arrays
+
     n = JPEG_W * JPEG_H * 3
     bw = JPEG_W // 8
-    bid = (
-        f"(3 * (((j DIV 3) DIV {JPEG_W * 8}) * {bw}"
-        f" + ((j DIV 3) % {JPEG_W}) DIV 8) + j % 3)"
-    )
-    return docs.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {n - 1}), j -> CAST("
-            f"32 + ((doc_id % 256) * {PCM_A}L + {bid} * {PCM_B}L) % 192"
-            f" + IF(((j DIV 3) % 8) < 4, 1, -1) *"
-            f" (((doc_id % 256) * {PCM_B}L + {bid} * {PCM_A}L) % 32 - 16)"
-            " AS INT))"
-        ).alias("px"),
-    )
+    j = np.arange(n, dtype=np.int64)
+    p = j // 3
+    bid = 3 * ((p // (JPEG_W * 8)) * bw + (p % JPEG_W) // 8) + j % 3
+    sign = np.where(p % 8 < 4, 1, -1).astype(np.int64)
+
+    def build(d):
+        dm = d[:, None] % 256
+        base = 32 + (dm * PCM_A + bid[None, :] * PCM_B) % 192
+        delta = (dm * PCM_B + bid[None, :] * PCM_A) % 32 - 16
+        return {"px": list((base + sign[None, :] * delta).astype(np.int32))}
+
+    return synth_map_arrays(docs, "doc_id bigint, px array<int>", build)
 
 
 def encode_jpeg_color(df: DataFrame) -> DataFrame:

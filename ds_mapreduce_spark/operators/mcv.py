@@ -72,7 +72,6 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ds_mapreduce_spark.operators.flac import (
     BitReader,
@@ -113,23 +112,30 @@ MCV_FEATURE_SCHEMA = (
 def synth_scroll_frames(docs: DataFrame) -> DataFrame:
     """(doc_id, frames): MCV_FRAMES full rasters (row-major index
     lists), frame t = the base linear-congruential pattern scrolled by
-    (3t, 2t) with toroidal wrap — rendered JVM-side by the same closed
-    form the DuckDB oracle replays:
+    (3t, 2t) with toroidal wrap — numpy-rendered
+    (``multimodal.synth_map_arrays``) from the same closed form the
+    DuckDB oracle replays:
 
       base(i)      = ((doc_id%256)*PCM_A + i*PCM_B) mod 256
       cur(x, y, t) = base(((y+2t)%16)*24 + ((x+3t)%24))
     """
+    from ds_mapreduce_spark.operators.multimodal import synth_map_arrays
+
     n = MCV_W * MCV_H
-    return docs.select(
-        "doc_id",
-        F.expr(
-            f"""transform(sequence(0, {MCV_FRAMES - 1}), t ->
-  transform(sequence(0, {n - 1}), i -> CAST(
-    ((doc_id % 256) * {PCM_A}L
-     + ((((i div {MCV_W}) + {MCV_VY} * t) % {MCV_H}) * {MCV_W}
-        + (((i % {MCV_W}) + {MCV_VX} * t) % {MCV_W})) * {PCM_B}L) % 256
-  AS INT)))"""
-        ).alias("frames"),
+    i = np.arange(n, dtype=np.int64)
+    t = np.arange(MCV_FRAMES, dtype=np.int64)
+    # (frames, n): source index of each pixel after the (3t, 2t) scroll
+    src = (
+        (((i // MCV_W)[None, :] + MCV_VY * t[:, None]) % MCV_H) * MCV_W
+        + ((i % MCV_W)[None, :] + MCV_VX * t[:, None]) % MCV_W
+    )
+
+    def build(d):
+        arr = ((d[:, None, None] % 256) * PCM_A + src[None, :, :] * PCM_B) % 256
+        return {"frames": [list(mat) for mat in arr.astype(np.int32)]}
+
+    return synth_map_arrays(
+        docs, "doc_id bigint, frames array<array<int>>", build
     )
 
 

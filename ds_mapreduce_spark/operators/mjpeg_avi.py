@@ -27,7 +27,6 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ds_mapreduce_spark.operators.flac import corruption_to_value_error
 from ds_mapreduce_spark.operators.jpeg import (
@@ -174,24 +173,28 @@ def synth_mjpeg_pixels(docs: DataFrame) -> DataFrame:
     the JPEG synth family with the block id extended by the frame
     index (B = frame*JPEG_BLOCKS + block), so every frame differs and
     the closed-form oracle covers each (frame, block) instance."""
+    import numpy as np
+
+    from ds_mapreduce_spark.operators.multimodal import synth_map_arrays
+
     n = MJPEG_N_FRAMES * JPEG_W * JPEG_H
     per = JPEG_W * JPEG_H
     bw = JPEG_W // 8
+    j = np.arange(n, dtype=np.int64)
     bid = (
-        f"((j DIV {per}) * {JPEG_BLOCKS}"
-        f" + ((j % {per}) DIV {JPEG_W * 8}) * {bw}"
-        f" + ((j % {JPEG_W}) DIV 8))"
+        (j // per) * JPEG_BLOCKS
+        + ((j % per) // (JPEG_W * 8)) * bw
+        + (j % JPEG_W) // 8
     )
-    return docs.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {n - 1}), j -> CAST("
-            f"32 + ((doc_id % 256) * {PCM_A}L + {bid} * {PCM_B}L) % 192"
-            f" + IF((j % 8) < 4, 1, -1) *"
-            f" (((doc_id % 256) * {PCM_B}L + {bid} * {PCM_A}L) % 32 - 16)"
-            " AS INT))"
-        ).alias("px"),
-    )
+    sign = np.where(j % 8 < 4, 1, -1).astype(np.int64)
+
+    def build(d):
+        dm = d[:, None] % 256
+        base = 32 + (dm * PCM_A + bid[None, :] * PCM_B) % 192
+        delta = (dm * PCM_B + bid[None, :] * PCM_A) % 32 - 16
+        return {"px": list((base + sign[None, :] * delta).astype(np.int32))}
+
+    return synth_map_arrays(docs, "doc_id bigint, px array<int>", build)
 
 
 def encode_mjpeg_avi(df: DataFrame) -> DataFrame:

@@ -240,23 +240,61 @@ PPM_WIDTH = 24
 PPM_HEIGHT = 16
 
 
+def synth_map_arrays(docs: DataFrame, schema: str, build) -> DataFrame:
+    """Arrow-batched payload synthesizer: ``build(doc_ids int64
+    ndarray) -> {col: list-of-per-doc-values}`` rendered in vectorized
+    numpy inside ``mapInPandas``.
+
+    Every synth in the codec family is a linear-congruential closed
+    form over (doc_id, element index) — pure integer arithmetic that
+    the DuckDB oracles replay in SQL. The original implementation
+    rendered it JVM-side as ``transform(sequence(0, n-1), ...)``, but
+    Catalyst NEVER code-generates higher-order array functions: every
+    element evaluates through the interpreted ``Expression.eval``
+    chain, whose throughput is at the mercy of C2's speculative
+    compilation of megamorphic call sites. Measured (late r11, jstack
+    + per-process CPU attribution): the SAME query ran 1.2 s or 7.5 s
+    across full-bench runs — all 32 executor threads RUNNABLE inside
+    ``DivModLike.eval``/``BoundReference.eval``, 200+ core-seconds of
+    JVM user time, gc 0.05 s, steal 0, zero foreign processes — a
+    run-level bimodal entirely decided by which expression-type
+    profiles C2 happened to see first. numpy renders the identical
+    int64 arithmetic ~10x faster, deterministically, and the synth was
+    already feeding a mapInPandas chain, so this removes the codec
+    family's only JVM-side hotspot instead of adding a Python seam."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        for batch in batches:
+            d = batch["doc_id"].to_numpy(dtype="int64")
+            cols = {"doc_id": d}
+            cols.update(build(d))
+            yield pd.DataFrame(cols)
+
+    return docs.select("doc_id").mapInPandas(run, schema=schema)
+
+
 def synth_pcm_samples(docs: DataFrame) -> DataFrame:
     """(doc_id, samples): deterministic PCM16 samples in [-32768, 32767],
     sample i = (((doc_id mod 2^16)*PCM_A + i*PCM_B) mod 2^16) - 2^15 —
-    pure JVM expression, exactly reproducible in ANSI SQL. doc_id is
-    pre-reduced mod 2^16 BEFORE the multiply (identical result —
-    (d mod m)*A ≡ d*A (mod m) — and the product then tops out at
-    ~1.7e14, inside the BIGINT budget at ANY doc_id; the raw
-    doc_id*PCM_A form would silently wrap in Spark and raise in DuckDB
-    once doc_id passes ~3.5e9 — the CLAUDE.md 128-bit rule)."""
-    return docs.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {WAV_N_SAMPLES - 1}), i -> "
-            f"CAST(((doc_id % 65536) * {PCM_A}L + i * {PCM_B}L) % 65536"
-            " - 32768 AS INT))"
-        ).alias("samples"),
-    )
+    exactly reproducible in ANSI SQL (the oracles replay this closed
+    form). doc_id is pre-reduced mod 2^16 BEFORE the multiply
+    (identical result — (d mod m)*A ≡ d*A (mod m) — and the product
+    then tops out at ~1.7e14, inside the BIGINT budget at ANY doc_id;
+    the raw doc_id*PCM_A form would silently wrap in Spark and raise
+    in DuckDB once doc_id passes ~3.5e9 — the CLAUDE.md 128-bit rule).
+    Rendered in vectorized numpy via ``synth_map_arrays`` (see its
+    docstring for why not transform(sequence(...)))."""
+    import numpy as np
+
+    i = np.arange(WAV_N_SAMPLES, dtype=np.int64)
+
+    def build(d):
+        arr = ((d[:, None] % 65536) * PCM_A + i[None, :] * PCM_B) % 65536 - 32768
+        return {"samples": list(arr.astype(np.int32))}
+
+    return synth_map_arrays(docs, "doc_id bigint, samples array<int>", build)
 
 
 def encode_wav(df: DataFrame) -> DataFrame:
@@ -366,15 +404,18 @@ def synth_ppm_pixels(docs: DataFrame) -> DataFrame:
     """(doc_id, px): deterministic RGB bytes, px[i] =
     ((doc_id mod 256)*PCM_A + i*PCM_B) mod 256 for i < W*H*3 — doc_id
     pre-reduced mod 256 for the same BIGINT-budget reason as
-    synth_pcm_samples (identical values, overflow-proof)."""
+    synth_pcm_samples (identical values, overflow-proof). numpy-rendered
+    (``synth_map_arrays``)."""
+    import numpy as np
+
     n = PPM_WIDTH * PPM_HEIGHT * 3
-    return docs.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {n - 1}), i -> "
-            f"CAST(((doc_id % 256) * {PCM_A}L + i * {PCM_B}L) % 256 AS INT))"
-        ).alias("px"),
-    )
+    i = np.arange(n, dtype=np.int64)
+
+    def build(d):
+        arr = ((d[:, None] % 256) * PCM_A + i[None, :] * PCM_B) % 256
+        return {"px": list(arr.astype(np.int32))}
+
+    return synth_map_arrays(docs, "doc_id bigint, px array<int>", build)
 
 
 def encode_ppm(df: DataFrame) -> DataFrame:
