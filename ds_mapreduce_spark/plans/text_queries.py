@@ -2820,6 +2820,42 @@ def q_bpe_encode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def priority_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, priority): the deterministic priority-sampling
+    score (Duffield/Lund/Thorup) — priority = (w * 2^20) DIV u with u
+    the md5-portable hash of doc_id folded into [1, 2^20], pure BIGINT.
+    Shared by the batch ``weighted_priority_sample`` and its streaming
+    twin: the score depends only on the row, so any chunking of the
+    corpus scores identically."""
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.expr(
+            "(n_chars * 1048576) DIV ((CAST(conv(substring(md5(CAST(doc_id"
+            " AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1048576) + 1)"
+        ).alias("priority"),
+    )
+
+
+def priority_top_k(scored: DataFrame, k: int = 50) -> DataFrame:
+    """The k highest priorities (deterministic doc_id tie-break) —
+    TakeOrderedAndProject, never a global sort. Mergeable:
+    top_k(A ∪ B) = top_k(top_k(A) ∪ top_k(B)), which is what makes the
+    streaming twin's O(k) landed state exact under any chunking."""
+    return scored.orderBy(F.col("priority").desc(), "doc_id").limit(k)
+
+
+def priority_sample_present(top: DataFrame) -> DataFrame:
+    """Rank the bounded k-row sample for presentation — shared tail."""
+    w = Window.orderBy(F.col("priority").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        "doc_id",
+        "n_chars",
+        "priority",
+    )
+
+
 @register(
     "weighted_priority_sample",
     oracle="""
@@ -2850,22 +2886,7 @@ FROM pr ORDER BY priority DESC, doc_id LIMIT 50
 )
 def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pr = docs.select(
-        "doc_id",
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.expr(
-            "(n_chars * 1048576) DIV ((CAST(conv(substring(md5(CAST(doc_id"
-            " AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1048576) + 1)"
-        ).alias("priority"),
-    )
-    top = pr.orderBy(F.col("priority").desc(), "doc_id").limit(50)
-    w = Window.orderBy(F.col("priority").desc(), "doc_id")
-    return top.select(
-        F.row_number().over(w).cast("bigint").alias("rnk"),
-        "doc_id",
-        "n_chars",
-        "priority",
-    )
+    return priority_sample_present(priority_top_k(priority_scores(docs), 50))
 
 
 @register(

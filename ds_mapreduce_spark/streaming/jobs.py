@@ -1026,6 +1026,66 @@ def run_streaming_hll_rollup(
     return hll_rollup_present(rolled, direct)
 
 
+def run_streaming_priority_sample(
+    spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming weighted sampling without replacement — priority
+    sampling (Duffield/Lund/Thorup) as a one-pass O(k) stream state:
+    documents arrive as micro-batches, each batch scores through the
+    SAME deterministic ``priority_scores`` the batch query uses, and
+    the landed state is just the CURRENT TOP-k (50 rows, constant
+    size), merged per batch by re-taking the top-k of (landed ∪ batch
+    top-k) — exact because top_k(A ∪ B) = top_k(top_k(A) ∪ top_k(B))
+    and the md5-derived priorities depend only on the row (the
+    deterministic-reproducibility contract the batch query documents).
+    This is THE way to keep a weighted sub-corpus cut warm while a
+    100 TB crawl lands: per batch the work is one map-side scoring
+    pass + a TakeOrdered(k); state never exceeds k rows no matter how
+    long the stream runs — the sampling sibling of the CMS twin's
+    constant-size sketch. The final answer derives from landed state
+    through the shared ``priority_sample_present`` tail. State chains
+    through versioned parquet dirs (``v{batch_id}`` reads
+    ``v{batch_id-1}``): a retried batch id rewrites its own version
+    from its predecessor — idempotent on at-least-once delivery."""
+    from ds_mapreduce_spark.plans.text_queries import (
+        priority_sample_present,
+        priority_scores,
+        priority_top_k,
+    )
+
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if docs_dir.endswith(".parquet"):
+        base, _, fname = docs_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        docs_dir = base
+    stream = reader.parquet(docs_dir)
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        top = priority_top_k(priority_scores(batch_df), 50)
+        if batch_id > 0:
+            prev = sess.read.parquet(f"{state_dir}/v{batch_id - 1}")
+            top = priority_top_k(prev.unionByName(top), 50)
+        top.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    final = _resolve_final_version(spark, state_dir, last_version[0])
+    if final is None:  # empty feed, no prior state: empty sample schema
+        empty = spark.createDataFrame([], schema)
+        return priority_sample_present(priority_top_k(priority_scores(empty)))
+    return priority_sample_present(spark.read.parquet(f"{state_dir}/v{final}"))
+
+
 def run_streaming_bm25_index(
     spark: SparkSession, docs_dir: str, state_dir: str, checkpoint_dir: str
 ) -> DataFrame:
@@ -2249,6 +2309,12 @@ TWINS: tuple[dict, ...] = (
                "keycount profile; estimates recomputed from landed state "
                "through the shared cms_probe_estimates tail",
          test="test_streaming_cms_sketch_matches_batch"),
+    dict(fn="run_streaming_priority_sample", batch="weighted_priority_sample",
+         state="the current top-50 by deterministic md5 priority — an "
+               "O(k) constant-size landed sample, exact under any "
+               "chunking because top_k(A u B) = top_k(top_k(A) u "
+               "top_k(B)) and priorities depend only on the row",
+         test="test_streaming_priority_sample_matches_batch"),
     dict(fn="run_streaming_hll_rollup", batch="approx_distinct_rollup",
          state="landed re-aggregatable HLL sketch store (per-group "
                "Datasketches sketches unioned register-wise per batch — "

@@ -613,6 +613,9 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
         "hll": lambda state, ckpt: J.run_streaming_hll_rollup(
             spark, ord_dir, state, ckpt
         ),
+        "prio": lambda state, ckpt: J.run_streaming_priority_sample(
+            spark, doc_dir, state, ckpt
+        ),
         "minhash": lambda state, ckpt: J.run_streaming_minhash_lsh(
             spark, doc_dir, state, ckpt
         ),
@@ -654,6 +657,33 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
         empty = run(str(tmp_path / f"{name}_s2"), str(tmp_path / f"{name}_c"))
         assert empty.columns == cols, name
         assert empty.count() == 0, name
+
+
+def test_streaming_priority_sample_matches_batch(spark, sf_dir, tmp_path):
+    """A constant-size (k=50) landed top-by-priority state, re-taken
+    per batch from (landed u batch top-k), must reproduce the batch
+    weighted_priority_sample EXACTLY under any chunking — priorities
+    are deterministic md5 scores of the row and top_k is mergeable.
+    The feed is md5-shuffled so high-priority docs land in different
+    micro-batches."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.streaming.jobs import run_streaming_priority_sample
+
+    batch = load_all()["weighted_priority_sample"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feed_dir = str(tmp_path / "docs_feed")
+    docs.orderBy(F.md5(F.col("doc_id").cast("string"))).repartition(
+        4
+    ).write.parquet(feed_dir)
+
+    streamed = run_streaming_priority_sample(
+        spark, feed_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
 
 
 def test_streaming_hll_rollup_matches_batch(spark, sf_dir, tmp_path):
