@@ -272,3 +272,48 @@ def test_resize_rejects_corrupt_containers(spark):
     )
     with pytest.raises(Exception):
         resize_ppm_nearest(df, factor=2).collect()
+
+
+def test_numpy_synths_match_closed_forms_and_handle_empty(spark):
+    """The numpy-rendered synthesizers (multimodal.synth_map_arrays —
+    the late-r11 replacement for interpreted transform(sequence())
+    expressions) must (a) reproduce the documented closed forms
+    element-for-element on a concrete doc_id and (b) return an empty,
+    correctly-typed frame on an empty input (the empty-partition path
+    inside mapInPandas)."""
+    from ds_mapreduce_spark.operators.gif import GIF_H, GIF_W, synth_gif_indices
+    from ds_mapreduce_spark.operators.mcv import (
+        MCV_FRAMES,
+        MCV_H,
+        MCV_W,
+        synth_scroll_frames,
+    )
+    from ds_mapreduce_spark.operators.multimodal import (
+        PCM_A,
+        PCM_B,
+        WAV_N_SAMPLES,
+        synth_pcm_samples,
+    )
+
+    docs = spark.createDataFrame([(7,)], "doc_id bigint")
+
+    pcm = synth_pcm_samples(docs).collect()[0]["samples"]
+    assert len(pcm) == WAV_N_SAMPLES
+    assert list(pcm[:4]) == [
+        ((7 % 65536) * PCM_A + i * PCM_B) % 65536 - 32768 for i in range(4)
+    ]
+
+    gif = synth_gif_indices(docs).collect()[0]["px"]
+    assert len(gif) == GIF_W * GIF_H
+    assert gif[5] == ((7 % 256) * PCM_A + 5 * PCM_B) % 256
+
+    frames = synth_scroll_frames(docs).collect()[0]["frames"]
+    assert len(frames) == MCV_FRAMES
+    # frame 2, pixel (x=1, y=3): source index ((3+2*2)%16)*24 + (1+3*2)%24
+    src = ((3 + 4) % MCV_H) * MCV_W + (1 + 6) % MCV_W
+    assert frames[2][3 * MCV_W + 1] == ((7 % 256) * PCM_A + src * PCM_B) % 256
+
+    empty = spark.createDataFrame([], "doc_id bigint")
+    out = synth_pcm_samples(empty)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "samples"]
