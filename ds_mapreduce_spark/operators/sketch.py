@@ -1,0 +1,208 @@
+"""Mergeable quantile sketch: deterministic log-bucket (DDSketch-style)
+rank summaries over integer cents, completing the sketch-store family
+next to Count-Min (``plans/stream_queries.py:cms_counters``) and the
+HLL rollup (``plans/relational_queries.py:hll_pgs_partial``).
+
+Why this sketch and not KLL/t-digest (VERDICT r11 #7 named all three):
+KLL compaction is randomized and t-digest centroids are merge-order
+dependent — neither can pass the driver's bit-exact hash gate, and
+neither yields a chunking-invariant streaming state. The log-bucket
+design (the idea behind DDSketch, Masson/Rim/Lee VLDB'19, rendered in
+pure integer arithmetic) is DETERMINISTIC and its state is a plain
+(group, bucket, count) table that merges by counter ADDITION — the
+same associative property as Count-Min, so the streaming twin's landed
+state is bit-identical to the one-pass sketch under any chunking of
+the feed, and the DuckDB oracle can replay the whole construction
+closed-form.
+
+Bucket function (K = 6 sub-bucket bits, all int64, portable):
+
+- ``x < 64``             -> ``bucket = x``            (exact small values)
+- ``x >= 64``: ``m = length(bin(x)) - 1`` (= floor(log2 x), exact on
+  both engines — Spark and DuckDB both have ``bin()``), ``s = m - 6``,
+  ``bucket = (s + 1) * 64 + (x >> s) - 64``.
+
+Monotone in x, continuous across the two regions (at m = 6 it reduces
+to ``bucket = x``), and bucket widths are ``2^s`` — a RELATIVE-error
+guarantee of ``2^-6`` (~1.6%) per DDSketch's argument, with state
+bounded by 64 buckets per octave x 58 octaves (~3.7k buckets per
+group) REGARDLESS of stream size. Shift counts are data-dependent so
+they clamp to ``least(s, 63)`` on both engines (CLAUDE.md invariant:
+Spark masks shift counts to 6 bits, DuckDB saturates).
+
+Quantile answer: the bucket whose cumulative count straddles the
+target rank ``ceil(q * n) = (n*q_pct + 99) DIV 100``. Because buckets
+PARTITION the value domain, the exact rank-target value provably lies
+in that bucket's ``[lo, hi]`` range — the per-row deterministic
+containment guarantee the registered query grades (``in_bounds``),
+the quantile analogue of Count-Min's one-sided overcount.
+
+Values must be non-negative (money in cents is); the bucket function
+is not monotone over negatives — a signed domain would sketch
+magnitudes per sign, which nothing here needs.
+
+Shared verbatim by the batch query
+(``plans/stream_queries.py:quantile_sketch_estimates``) and the
+streaming twin (``streaming/jobs.py:run_streaming_quantile_sketch``);
+the exact side rides the same associative (group, cents, cnt) count
+table ``operators/robust.py`` uses per user.
+
+Reference parity note: the reference engine (772 LoC Rust, SURVEY.md
+§2) has no sketch family; this extends the engine's approximate-
+query surface for 100 TB streams where exact per-key rank state is
+too large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: sub-bucket bits: 64 sub-buckets per octave -> relative error 2^-6
+QSKETCH_K = 6
+QSKETCH_BASE = 1 << QSKETCH_K
+
+#: the graded quantiles, as integer percents (rank arithmetic stays
+#: exact: target rank = ceil(q_pct * n / 100) in int64)
+QSKETCH_Q_PCTS = (50, 90, 99)
+
+_BUCKET_SQL = (
+    f"CASE WHEN {{x}} < {QSKETCH_BASE} THEN {{x}} "
+    f"ELSE (length(bin({{x}})) - {QSKETCH_K}) * {QSKETCH_BASE} "
+    f"+ shiftright({{x}}, least(length(bin({{x}})) - {QSKETCH_K + 1}, 63)) "
+    f"- {QSKETCH_BASE} END"
+)
+
+
+def qsketch_bucket(col: str) -> F.Column:
+    """The log-bucket index of integer column ``col`` (Spark side)."""
+    return F.expr(_BUCKET_SQL.format(x=col))
+
+
+def qsketch_counters(events: DataFrame) -> DataFrame:
+    """(event_type, bucket, c): one batch's quantile-sketch partial —
+    a bounded groupBy (<= ~3.7k buckets per type however large the
+    stream); merges with any other partial by counter addition."""
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    return (
+        events.select("event_type", cents.alias("cents"))
+        .select("event_type", qsketch_bucket("cents").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def qsketch_merge(*parts: DataFrame) -> DataFrame:
+    """Merge sketch partials by elementwise counter addition — the
+    associative property that makes the landed state bit-identical to
+    the one-pass sketch under ANY chunking of the feed (asserted
+    end-to-end by tests/test_streaming.py::
+    test_streaming_quantile_sketch_matches_batch)."""
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy("event_type", "bucket").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+
+
+def type_cents_counts(events: DataFrame) -> DataFrame:
+    """(event_type, cents, cnt): the associative EXACT-side state the
+    graded comparison needs (same sufficient-statistic trick as
+    ``operators/robust.py:user_cents_counts``, keyed by type) — a real
+    deployment keeps only the sketch; the exact table is the
+    evaluation side, sized by distinct values per type."""
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    return (
+        events.select("event_type", cents.alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def type_cents_merge(*parts: DataFrame) -> DataFrame:
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy("event_type", "cents").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def _straddle(counts: DataFrame, order_col: str, weight_col: str) -> DataFrame:
+    """Per (event_type, q_pct): the single row whose cumulative weight
+    straddles the target rank — weighted exact rank selection over a
+    count table (``operators/robust.py:_rows_at_rank``, here with the
+    rank derived from the exploded q_pct list). Adds columns ``q_pct``,
+    ``n``, ``target_rank``; keeps the straddling row's ``order_col``."""
+    wt = Window.partitionBy("event_type")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        counts.withColumn("n", F.sum(weight_col).over(wt))
+        .withColumn("cum", F.sum(weight_col).over(wcum))
+        .withColumn(
+            "q_pct", F.explode(F.array(*[F.lit(q) for q in QSKETCH_Q_PCTS]))
+        )
+        .withColumn("target_rank", F.expr("(n * q_pct + 99) DIV 100"))
+        .where(
+            (F.col("cum") >= F.col("target_rank"))
+            & (F.col("cum") - F.col(weight_col) < F.col("target_rank"))
+        )
+    )
+
+
+def qsketch_estimates_from_state(
+    sketch: DataFrame, vcounts: DataFrame
+) -> DataFrame:
+    """Landed (sketch, exact-count) state -> the graded answer: per
+    (event_type, q_pct), the sketch bucket straddling the target rank
+    decoded to its ``[est_lo_cents, est_hi_cents]`` value range, next
+    to the exact rank-target value and the containment guarantee
+    ``in_bounds`` (1 whenever the sketch honored its contract — every
+    row, deterministically). Shared by the batch query and the
+    streaming twin so the scoring tail cannot drift. Plan: two bounded
+    window passes (sketch is <= ~3.7k rows per type, the count table
+    |distinct cents| per type) and one tiny equi-join."""
+    base = QSKETCH_BASE
+    shift = f"least(bucket DIV {base} - 1, 63)"
+    lo = F.expr(
+        f"CASE WHEN bucket < {base} THEN bucket "
+        f"ELSE shiftleft({base} + bucket % {base}, {shift}) END"
+    )
+    hi = F.expr(
+        f"CASE WHEN bucket < {base} THEN bucket "
+        f"ELSE shiftleft({base} + bucket % {base}, {shift}) "
+        f"+ shiftleft(CAST(1 AS BIGINT), {shift}) - 1 END"
+    )
+    est = _straddle(sketch, "bucket", "c").select(
+        "event_type",
+        F.col("q_pct").cast("bigint").alias("q_pct"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("target_rank").cast("bigint").alias("target_rank"),
+        lo.cast("bigint").alias("est_lo_cents"),
+        hi.cast("bigint").alias("est_hi_cents"),
+    )
+    exact = _straddle(vcounts, "cents", "cnt").select(
+        "event_type",
+        F.col("q_pct").cast("bigint").alias("q_pct"),
+        F.col("cents").cast("bigint").alias("exact_cents"),
+    )
+    return est.join(exact, ["event_type", "q_pct"]).select(
+        "event_type",
+        "q_pct",
+        "n_events",
+        "target_rank",
+        "est_lo_cents",
+        "est_hi_cents",
+        "exact_cents",
+        (
+            (F.col("est_lo_cents") <= F.col("exact_cents"))
+            & (F.col("exact_cents") <= F.col("est_hi_cents"))
+        )
+        .cast("bigint")
+        .alias("in_bounds"),
+    )

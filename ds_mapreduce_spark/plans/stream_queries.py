@@ -1512,3 +1512,107 @@ def q_events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "days_since_last",
     )
+
+
+@register(
+    "quantile_sketch_estimates",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+sk AS (
+  SELECT event_type,
+         CASE WHEN cents < 64 THEN cents
+              ELSE (length(bin(cents)) - 6) * 64
+                   + (cents >> least(length(bin(cents)) - 7, 63)) - 64
+         END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2
+),
+vc AS (
+  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM e GROUP BY 1, 2
+),
+q AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(q_pct)),
+skc AS (
+  SELECT event_type, bucket, c,
+         SUM(c) OVER (PARTITION BY event_type) AS n,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+  FROM sk
+),
+sel AS (
+  SELECT s.event_type, q.q_pct, s.n,
+         (s.n * q.q_pct + 99) // 100 AS target_rank, s.bucket
+  FROM skc s CROSS JOIN q
+  WHERE s.cum >= (s.n * q.q_pct + 99) // 100
+    AND s.cum - s.c < (s.n * q.q_pct + 99) // 100
+),
+dec AS (
+  SELECT event_type, q_pct, n, target_rank,
+         CASE WHEN bucket < 64 THEN bucket
+              ELSE (64 + bucket % 64) << least(bucket // 64 - 1, 63)
+         END AS lo,
+         CASE WHEN bucket < 64 THEN bucket
+              ELSE ((64 + bucket % 64) << least(bucket // 64 - 1, 63))
+                   + (1 << least(bucket // 64 - 1, 63)) - 1
+         END AS hi
+  FROM sel
+),
+vcc AS (
+  SELECT event_type, cents, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+  FROM vc
+),
+ex AS (
+  SELECT v.event_type, q.q_pct, v.cents AS exact_cents
+  FROM vcc v CROSS JOIN q
+  WHERE v.cum >= (v.n * q.q_pct + 99) // 100
+    AND v.cum - v.cnt < (v.n * q.q_pct + 99) // 100
+)
+SELECT event_type,
+       CAST(q_pct AS BIGINT) AS q_pct,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(target_rank AS BIGINT) AS target_rank,
+       CAST(lo AS BIGINT) AS est_lo_cents,
+       CAST(hi AS BIGINT) AS est_hi_cents,
+       CAST(exact_cents AS BIGINT) AS exact_cents,
+       CAST(CASE WHEN lo <= exact_cents AND exact_cents <= hi
+                 THEN 1 ELSE 0 END AS BIGINT) AS in_bounds
+FROM dec JOIN ex USING (event_type, q_pct)
+""",
+    doc="Mergeable quantile sketch (r12) — the rank member of the "
+    "sketch family next to Count-Min (cms_heavy_hitter_estimates) and "
+    "the HLL store (approx_distinct_rollup): a deterministic log-bucket "
+    "(DDSketch-style, Masson/Rim/Lee VLDB'19) summary of event value "
+    "cents per event_type, built as ONE bounded groupBy whose output "
+    "is <= ~64 buckets per octave per type however large the stream, "
+    "merging by counter addition (the streaming twin "
+    "run_streaming_quantile_sketch lands bit-identical state under any "
+    "chunking). Per (type, q in {p50,p90,p99}) the straddling bucket "
+    "decodes to [est_lo, est_hi] with a DETERMINISTIC containment "
+    "guarantee — the exact rank-target value provably lies inside — "
+    "graded on every row (in_bounds), beside the exact value computed "
+    "from the associative per-(type,cents) count table (the evaluation "
+    "side, as in the CMS row). KLL/t-digest were considered and "
+    "rejected: randomized compaction / merge-order-dependent centroids "
+    "cannot pass a bit-exact cross-engine gate. All arithmetic is "
+    "int64 (floor(log2) via length(bin(x)) on BOTH engines; shift "
+    "counts clamped least(s,63) per the CLAUDE.md invariant). 100 TB: "
+    "sketch state is constant-size per type; the only stream-sized "
+    "work is the partial-aggregated bucket groupBy — the shape that "
+    "replaces a full per-key sort when exact quantiles stop fitting.",
+)
+def q_quantile_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.sketch import (
+        qsketch_counters,
+        qsketch_estimates_from_state,
+        type_cents_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return qsketch_estimates_from_state(
+        qsketch_counters(ev), type_cents_counts(ev)
+    )

