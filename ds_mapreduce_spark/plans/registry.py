@@ -136,85 +136,87 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: doc_winnowing_fingerprints.
 #: Round-11 rotation (the staged r10 plan, executed): CORRECTNESS_r10
 #: graded the r10 window 50/50 hash-green (211/211 ever-graded, zero
-#: backlog), so OUT go all 50 — the 15 twice-evidenced codec rows and
-#: the refreshed r1/r2/r3 cohorts. IN (50): the TWO r11 registrations
-#: (multimodal_mp3_framing_roundtrip / multimodal_h264_annexb_roundtrip
-#: — the MPEG-framing and NAL-syntax container halves retiring the
-#: last declared codec seam, VERDICT r9 #5's named candidates), the
-#: remaining r3 cohort (null_semantics, sql_grouping_sets,
-#: stratified_sample, topk_orders), the FULL 15-entry r4 cohort, the
-#: FULL 16-entry r5 cohort, the THIRD r11 registration
-#: (dedup_span_winnow_screen_entropic — VERDICT r9 #4's high-entropy
-#: screen-selectivity eval), and 11 of the 28-entry r6 cohort chosen
-#: for family breadth (both similarity rows, both temporal rows, the
-#: core dedup trio, stream/JSON, graph, decontamination) — driving the
-#: oldest-evidence watermark from r3 to r6. The 15 r6 leftovers
-#: (agg_approx_suite, approx_distinct_rollup, corpus_shard_plan,
-#: decontamination, dedup_incremental, dq_validation_suite,
-#: events_native_session_window, events_rolling_1h_stats,
-#: events_rolling_7d_active_users, events_rolling_anomaly_flags,
-#: incremental_agg_maintenance, q3_shipping_priority,
-#: scd2_user_value_history, text_stats, zorder_write_prune, plus
-#: multimodal_features, swapped out for the entropic eval) are the
-#: core of the staged r12 cohort.
+#: backlog), so OUT went all 50. IN (50): the THREE r11 registrations
+#: (multimodal_mp3_framing_roundtrip, multimodal_h264_annexb_roundtrip,
+#: dedup_span_winnow_screen_entropic), the remaining r3 cohort, the
+#: FULL r4 and r5 cohorts, and 11 of the 28-entry r6 cohort + the r11
+#: entropic eval (family breadth: both similarity rows, both temporal
+#: rows, the core dedup trio, stream/JSON, graph, decontamination) —
+#: driving the oldest-evidence watermark from r3 to r6. Graded 50/50
+#: hash-green (CORRECTNESS_r11): 214/214 ever-graded, zero failures.
+#: Round-12 rotation (VERDICT r11 #1 — the staged plan, executed):
+#: OUT go all 50 r11 residents (all green, most twice-evidenced).
+#: IN (50): the ENTIRE stale cohort — all 16 entries last graded r6
+#: and all 22 last graded r7 (the 38 rows VERDICT r11 names as the
+#: stalest evidence) — plus 11 r8-cohort fills chosen for family
+#: breadth (format: orc_roundtrip; mr: mr_inverted_index_capped;
+#: dedup: the span-excision pair + SemDeDup; stream: CMS heavy
+#: hitters; text: Bloom decontam, hybrid rerank, DSIR; relational:
+#: q2 + graph BFS) and the ONE r12 registration
+#: (quantile_sketch_estimates — VERDICT r11 #7's named candidate, the
+#: mergeable quantile sketch completing the CMS/HLL sketch family;
+#: net-new held at 1 of the allowed 2). After this round the oldest
+#: grading evidence anywhere moves from r6 to r8 (events_robust_
+#: outliers, the 12th fill candidate, yields its slot to the new row
+#: and stays r8-evidenced under the in-repo gate). Every IN entry is
+#: green under the in-repo DuckDB parity gate at sf0.001 AND sf0.01
+#: every pytest run; no driver grading has ever diverged from it.
 PRIORITY: tuple[str, ...] = (
-    # ---- first ~9 slots: one per capability family (graceful
+    # ---- first 9 slots: one per capability family (graceful
     # ---- degradation if the driver window ever shrinks) ----
-    "multimodal_mp3_framing_roundtrip",  # r11: MPEG-audio frame syntax
-    "wholetext_file_stats",       # format: whole-chunk read (R4)
-    "mr_inverted_index",          # mr: inverted index
-    "null_semantics",             # relational: NULL three-valued logic
-    "knn_ivf",                    # similarity: IVF-bucketed ANN
-    "events_funnel",              # stream: ordered funnel census
-    "sessions_per_hour",          # temporal: session rollup
-    "lang_id_heuristic",          # text: n-gram language ID
-    "dedup_minhash_verified",     # dedup: MinHash-LSH + verify pass
-    # ---- r11 IN: the second new registration ----
-    "multimodal_h264_annexb_roundtrip",  # r11: H.264 Annex-B NAL syntax
-    # ---- r11 IN: the rest of the r3 cohort ----
-    "sql_grouping_sets",          # GROUPING SETS via spark.sql
-    "stratified_sample",          # per-stratum deterministic sample
-    "topk_orders",                # top-k with total tie-break
-    # ---- r11 IN: the rest of the r4 cohort ----
-    "agg_suite",                  # multi-aggregate suite
-    "dedup_ngram_jaccard",        # n-gram Jaccard near-dup
-    "dedup_simhash",              # SimHash near-dup
-    "join_full_outer",            # full outer join
-    "mr_secondary_sort",          # secondary sort within reducers
-    "multimodal_metadata_stats",  # payload metadata census
-    "q10_returned_item_customers",  # TPC-H q10
-    "q15_top_supplier",           # TPC-H q15 (view + max)
-    "q19_disjunctive_predicates",  # TPC-H q19
-    "scalar_functions",           # scalar expression suite
-    "tfidf_top_terms",            # TF-IDF top terms
-    # ---- r11 IN: the full r5 cohort ----
-    "bucketed_join_no_shuffle",   # bucketed co-located join
-    "contrastive_pairs",          # contrastive pair mining
-    "doc_chunking",               # fixed-token chunking
-    "dynamic_partition_pruning",  # DPP over partitioned parquet
-    "events_sliding_window",      # sliding event-time windows
-    "events_tumbling_window",     # tumbling event-time windows
-    "mixture_rebalance",          # domain-mixture rebalance
-    "mr_generic_wordcount",       # MapReducer-trait wordcount
-    "partitioned_write_prune",    # partitioned write + prune read
-    "pii_redaction",              # regex PII redaction census
-    "related_docs_topk",          # per-doc related top-k
-    "sequence_packing",           # greedy sequence packing
-    "span_corruption_plan",       # span-corruption denoising plan
-    "window_functions_suite",     # window-function suite
-    # ---- r11 IN: 12 of the r6 cohort (family breadth) ----
-    "kmeans_lloyd_refine",        # similarity: Lloyd refinement
-    "asof_join_click_purchase",   # temporal: as-of join
-    "interval_overlap_join",      # temporal: interval overlap join
-    "dedup_exact",                # dedup: exact hash-groupBy
-    "dedup_minhash_lsh",          # dedup: MinHash-LSH banding
-    "dedup_lsh_eval",             # dedup: LSH precision/recall eval
-    "events_sessionization",      # stream: gap sessionization
-    "events_json_extract",        # stream: typed JSON extraction
-    "dedup_span_winnow_screen_entropic",  # r11: screen selectivity eval
-    "graph_pagerank",             # graph: PageRank iterations
-    "graph_triangle_count",       # graph: oriented triangle count
-    "exact_ngram_decontamination",  # text: exact n-gram decontam
+    "kv_text_roundtrip",          # format: KV text sink/source (R5/R6)
+    "wordcount",                  # mr: the reference flagship (E4)
+    "q1_pricing_summary",         # relational: TPC-H q1
+    "knn_pq_adc",                 # similarity: PQ asymmetric distance
+    "events_rolling_1h_stats",    # stream: rolling 1h window stats
+    "events_hourly_resample",     # temporal: gapfill resample
+    "text_stats",                 # text: corpus statistics
+    "dedup_incremental",          # dedup: incremental MinHash ingest
+    "multimodal_features",        # multimodal: feature extraction
+    # ---- r12 IN: the rest of the r6 cohort ----
+    "agg_approx_suite",           # approx aggregates suite
+    "approx_distinct_rollup",     # HLL-style distinct rollup
+    "corpus_shard_plan",          # deterministic corpus sharding
+    "decontamination",            # benchmark decontamination
+    "dq_validation_suite",        # data-quality validation rules
+    "events_native_session_window",  # session_window() native
+    "events_rolling_7d_active_users",  # rolling 7d distinct users
+    "events_rolling_anomaly_flags",  # rolling z-score anomaly flags
+    "incremental_agg_maintenance",  # incremental agg upsert merge
+    "q3_shipping_priority",       # TPC-H q3
+    "scd2_user_value_history",    # SCD-2 history build
+    "zorder_write_prune",         # z-order interleaved write + prune
+    # ---- r12 IN: the rest of the r7 cohort ----
+    "bm25_search",                # BM25 ranked retrieval
+    "bpe_pair_merge_stats",       # BPE pair-merge statistics
+    "dedup_lsh_band_sweep",       # LSH band-config sweep
+    "dedup_prefix_filter",        # prefix-filter near-dup candidates
+    "embedding_pq_codes",         # PQ code assignment
+    "entity_resolution_clusters",  # blocking + entity resolution
+    "epoch_shuffle_plan",         # deterministic epoch shuffle
+    "equi_depth_histogram",       # equi-depth histogram build
+    "graph_pagerank_converged",   # PageRank to convergence
+    "leakage_safe_splits",        # train/test leakage-safe splits
+    "multi_touch_attribution",    # multi-touch attribution windows
+    "multimodal_payload_dedup",   # payload binary dedup
+    "pipeline_llm_training_prep",  # end-to-end LLM prep pipeline
+    "pq_trained_codebook_encode",  # trained PQ codebook encode
+    "table_profile",              # per-column table profiling
+    "trigram_substring_search",   # trigram substring search
+    "twap_user_value",            # time-weighted average value
+    # ---- r12 IN: 12 r8-cohort fills (family breadth) ----
+    "orc_roundtrip",              # format: ORC write/read
+    "mr_inverted_index_capped",   # mr: capped inverted index
+    "dedup_semdedup",             # dedup: SemDeDup clustering
+    "dedup_span_excision",        # dedup: exact-substr span excision
+    "dedup_span_excision_minlen",  # dedup: min-length span variant
+    "cms_heavy_hitter_estimates",  # stream: Count-Min heavy hitters
+    "quantile_sketch_estimates",  # r12: mergeable quantile sketch
+    "bloom_ngram_decontamination",  # text: Bloom-filter decontam
+    "hybrid_search_rerank",       # text: hybrid lexical+vector rerank
+    "dsir_importance_select",     # text: DSIR importance sampling
+    "q2_min_cost_supplier",       # relational: TPC-H q2
+    "graph_bfs_reach",            # relational: iterative BFS reach
 )
 
 

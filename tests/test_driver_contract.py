@@ -82,33 +82,32 @@ def test_queries_md_matches_registry():
 
 
 def test_check_window_covers_the_stale_cohort():
-    """The queries this round's rotation must grade: with 211/211
-    ever-graded after r10 and zero backlog, the window's job is
-    freshness — the two r11-new container-syntax registrations plus
-    the entire remaining ≤r5 cohort (a rotated-out entry keeps
-    both-scale in-repo DuckDB parity coverage every pytest run, and no
-    driver grading has ever diverged from that gate)."""
+    """The queries this round's rotation must grade: with 214/214
+    ever-graded after r11 and zero backlog, the window's job is
+    freshness — VERDICT r11 #1 names the full r6 and r7 cohorts (38
+    entries last graded four-to-five rounds ago) as the stalest
+    evidence (a rotated-out entry keeps both-scale in-repo DuckDB
+    parity coverage every pytest run, and no driver grading has ever
+    diverged from that gate)."""
     must_grade = {
-        # The two r11-new registrations (VERDICT r9 #5's candidates):
-        "multimodal_mp3_framing_roundtrip",
-        "multimodal_h264_annexb_roundtrip",
-        # The remaining r3 cohort:
-        "null_semantics", "sql_grouping_sets", "stratified_sample",
-        "topk_orders",
-        # The full r4 cohort:
-        "agg_suite", "dedup_minhash_verified", "dedup_ngram_jaccard",
-        "dedup_simhash", "join_full_outer", "lang_id_heuristic",
-        "mr_inverted_index", "mr_secondary_sort",
-        "multimodal_metadata_stats", "q10_returned_item_customers",
-        "q15_top_supplier", "q19_disjunctive_predicates",
-        "scalar_functions", "tfidf_top_terms", "wholetext_file_stats",
-        # The full r5 cohort:
-        "bucketed_join_no_shuffle", "contrastive_pairs", "doc_chunking",
-        "dynamic_partition_pruning", "events_funnel",
-        "events_sliding_window", "events_tumbling_window",
-        "mixture_rebalance", "mr_generic_wordcount",
-        "partitioned_write_prune", "pii_redaction", "related_docs_topk",
-        "sequence_packing", "sessions_per_hour", "span_corruption_plan",
-        "window_functions_suite",
+        # The full r6 cohort (16):
+        "agg_approx_suite", "approx_distinct_rollup", "corpus_shard_plan",
+        "decontamination", "dedup_incremental", "dq_validation_suite",
+        "events_native_session_window", "events_rolling_1h_stats",
+        "events_rolling_7d_active_users", "events_rolling_anomaly_flags",
+        "incremental_agg_maintenance", "multimodal_features",
+        "q3_shipping_priority", "scd2_user_value_history", "text_stats",
+        "zorder_write_prune",
+        # The full r7 cohort (22):
+        "bm25_search", "bpe_pair_merge_stats", "dedup_lsh_band_sweep",
+        "dedup_prefix_filter", "embedding_pq_codes",
+        "entity_resolution_clusters", "epoch_shuffle_plan",
+        "equi_depth_histogram", "events_hourly_resample",
+        "graph_pagerank_converged", "knn_pq_adc", "kv_text_roundtrip",
+        "leakage_safe_splits", "multi_touch_attribution",
+        "multimodal_payload_dedup", "pipeline_llm_training_prep",
+        "pq_trained_codebook_encode", "q1_pricing_summary",
+        "table_profile", "trigram_substring_search", "twap_user_value",
+        "wordcount",
     }
     assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))
