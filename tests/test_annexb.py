@@ -72,7 +72,10 @@ def test_escape_roundtrip(rbsp):
 
 @pytest.mark.parametrize(
     "bad", [b"\x00\x00\x00", b"\x00\x00\x01", b"\x00\x00\x02",
-            b"\x00\x00\x03\x04"]
+            b"\x00\x00\x03\x04",
+            # §7.4.1.1: an emulation byte must PRECEDE 00/01/02/03 —
+            # a 0x03 escape as the NAL's final byte is malformed
+            b"\x00\x00\x03"]
 )
 def test_unescape_rejects_violations(bad):
     with pytest.raises(ValueError):
