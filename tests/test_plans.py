@@ -809,3 +809,106 @@ def test_funnel_no_hot_window_partitions(spark, sf_dir):
     assert "conv(substring(" in plan, plan[:2000]  # pre-thin threshold filter
     # assert_true lowers to a raise_error branch in the physical plan
     assert "raise_error" in plan, plan[:2000]  # under-keep guard
+
+
+#: Queries whose optimized plan legitimately applies a higher-order
+#: array function over a generated ``sequence(...)``, with the exact
+#: occurrence count pinned. Every entry is the SHINGLE/WINDOW-BUILDER
+#: shape — ``transform(sequence(0, size(tokens)-k), i -> slice/hash)``
+#: or a per-band slicer — which is per-token LINEAR in the document and
+#: cold relative to the downstream shuffle. The pattern this lock
+#: exists to reject is the r10/r11 bench-tail bug (PLANS.md late-r11
+#: postmortem, CLAUDE.md rule): hot per-element ARITHMETIC rendered as
+#: ``transform(sequence(0, n-1), ...)`` over corpus-scaling n —
+#: Catalyst never code-generates higher-order functions, so every
+#: element walks the interpreted megamorphic Expression.eval chain
+#: whose speed is C2-profile luck (the same synth measured 1.2 s vs
+#: 7.5 s across runs on identical code). Payload/corpus synthesis must
+#: use vectorized numpy inside the mapInPandas chain instead
+#: (`multimodal.synth_map_arrays`).
+HOF_OVER_SEQUENCE_ALLOWED = {
+    "bloom_ngram_decontamination": 1,   # n-gram shingle builder
+    "bpe_pair_merge_stats": 1,          # adjacent-pair builder
+    "collocation_pmi_topk": 1,          # bigram builder
+    "contrastive_pairs": 6,             # shingle + per-band slicers
+    "decontamination": 4,               # n-gram builders (two sides)
+    "dedup_embedding_srp": 2,           # per-plane sign builder (k=16)
+    "dedup_lsh_band_sweep": 6,          # shingle + per-band slicers
+    "dedup_lsh_eval": 6,                # shingle + per-band slicers
+    "dedup_minhash_lsh": 3,             # shingle + band slicer
+    "dedup_minhash_verified": 5,        # shingle + band slicer + verify
+    "dedup_ngram_jaccard": 3,           # n-gram builders (both sides)
+    "dedup_span_winnow_screen": 6,      # k-gram + winnow windows
+    "dedup_span_winnow_screen_entropic": 6,  # same screen, synth corpus
+    "doc_winnowing_fingerprints": 2,    # k-gram + winnow windows
+    "exact_ngram_decontamination": 2,   # n-gram builders
+    "multimodal_payload_simhash": 8,    # byte-shingle + bit unpack (k=64)
+    "related_docs_topk": 6,             # shingle + per-band slicers
+    "span_corruption_plan": 3,          # span-start builder (per-token)
+    "trigram_substring_search": 3,      # trigram builders (both sides)
+}
+
+_HOF_CLASSES = frozenset({
+    "ArrayTransform", "ArrayAggregate", "ZipWith", "ArrayFilter",
+    "ArrayExists", "ArrayForAll", "MapFilter", "TransformKeys",
+    "TransformValues",
+})
+
+
+def _hof_over_sequence_count(df) -> int:
+    """Walk the optimized logical plan's JVM expression trees and count
+    higher-order array functions whose subtree contains a generated
+    Sequence. Optimized (not analyzed) plan so CollapseProject inlines
+    aliased builders — an alias hop can't hide the pattern."""
+
+    def subtree_has_sequence(e) -> bool:
+        stack = [e]
+        while stack:
+            x = stack.pop()
+            if x.getClass().getSimpleName() == "Sequence":
+                return True
+            kids = x.children()
+            for i in range(kids.length()):
+                stack.append(kids.apply(i))
+        return False
+
+    count = 0
+
+    def expr_walk(e):
+        nonlocal count
+        if e.getClass().getSimpleName() in _HOF_CLASSES and subtree_has_sequence(e):
+            count += 1
+        kids = e.children()
+        for i in range(kids.length()):
+            expr_walk(kids.apply(i))
+
+    def plan_walk(p):
+        exprs = p.expressions()
+        for i in range(exprs.length()):
+            expr_walk(exprs.apply(i))
+        kids = p.children()
+        for i in range(kids.length()):
+            plan_walk(kids.apply(i))
+
+    plan_walk(df._jdf.queryExecution().optimizedPlan())
+    return count
+
+
+@pytest.mark.parametrize("name", sorted(load_all()))
+def test_no_new_hof_over_sequence(spark, sf_dir, name):
+    """Regression lock for the interpreted-HOF rule (VERDICT r11 #4):
+    any NEW higher-order function applied over a sequence() builder —
+    or a new occurrence inside an already-allowlisted query — fails
+    here and must either move to numpy-in-mapInPandas (hot per-element
+    arithmetic) or be added to HOF_OVER_SEQUENCE_ALLOWED with a
+    per-token-linear justification."""
+    got = _hof_over_sequence_count(REGISTRY[name].fn(spark, sf_dir))
+    allowed = HOF_OVER_SEQUENCE_ALLOWED.get(name, 0)
+    assert got <= allowed, (
+        f"{name}: {got} HOF-over-sequence sites (allowlist: {allowed}). "
+        "Catalyst interprets higher-order functions element-by-element "
+        "(no codegen) — hot per-element arithmetic must be rendered in "
+        "numpy via the mapInPandas chain (CLAUDE.md; PLANS.md late-r11 "
+        "postmortem). If this is a per-token-linear shingle builder, "
+        "update HOF_OVER_SEQUENCE_ALLOWED with a justification."
+    )
