@@ -180,6 +180,12 @@ HEADLINE = [
     # the screen's confusion census on a corpus where fingerprint
     # collisions require genuinely shared text (VERDICT r9 #4)
     "dedup_span_winnow_screen_entropic",
+    # round 12: the rank member of the sketch family (deterministic
+    # log-bucket quantile sketch) — its delta vs the CMS row prices
+    # the two bounded window passes over bucket/count state vs the
+    # probe join (both rows' stream-sized work is one partial-agg
+    # groupBy over events)
+    "quantile_sketch_estimates",
 ]
 
 
