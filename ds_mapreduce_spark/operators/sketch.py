@@ -120,6 +120,28 @@ def type_cents_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def qsketch_from_value_counts(vcounts: DataFrame) -> DataFrame:
+    """Derive the sketch from the compressed (event_type, cents, cnt)
+    count table — BIT-IDENTICAL to ``qsketch_counters`` on the raw
+    stream (the bucket is a pure function of cents, so grouping counts
+    by bucket equals counting raw rows; pinned by
+    tests/test_approx.py). The batch query builds this way so ONE
+    events scan feeds both the exact side and the sketch side: the
+    (type, cents) aggregation exchange is identical in both branches
+    and Spark's ReuseExchange collapses them — at 100 TB that halves
+    the stream-sized work vs sketching the raw scan twice. The
+    streaming twin still sketches each micro-batch directly
+    (production keeps only the sketch; no count table to derive
+    from)."""
+    return (
+        vcounts.select(
+            "event_type", qsketch_bucket("cents").alias("bucket"), "cnt"
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+
+
 def type_cents_merge(*parts: DataFrame) -> DataFrame:
     merged = parts[0]
     for p in parts[1:]:

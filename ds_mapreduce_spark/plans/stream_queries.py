@@ -1607,12 +1607,11 @@ FROM dec JOIN ex USING (event_type, q_pct)
 )
 def q_quantile_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_mapreduce_spark.operators.sketch import (
-        qsketch_counters,
         qsketch_estimates_from_state,
+        qsketch_from_value_counts,
         type_cents_counts,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    return qsketch_estimates_from_state(
-        qsketch_counters(ev), type_cents_counts(ev)
-    )
+    vc = type_cents_counts(ev)
+    return qsketch_estimates_from_state(qsketch_from_value_counts(vc), vc)

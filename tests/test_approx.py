@@ -285,7 +285,9 @@ def test_qsketch_mergeability_and_bound_on_data(spark, sf_dir):
 
     from ds_mapreduce_spark.operators.sketch import (
         qsketch_counters,
+        qsketch_from_value_counts,
         qsketch_merge,
+        type_cents_counts,
     )
     from ds_mapreduce_spark.plans.registry import load_all
     from ds_mapreduce_spark.sources.catalog import load_table
@@ -296,6 +298,12 @@ def test_qsketch_mergeability_and_bound_on_data(spark, sf_dir):
     b = ev.where(F.col("event_id") % 2 == 1)
     merged = qsketch_merge(qsketch_counters(a), qsketch_counters(b))
     assert sorted(map(tuple, merged.collect())) == whole
+
+    # deriving the sketch from the compressed count table (what the
+    # batch query does so one scan feeds both sides) is bit-identical
+    # to sketching the raw stream — bucket is a pure function of cents
+    derived = qsketch_from_value_counts(type_cents_counts(ev))
+    assert sorted(map(tuple, derived.collect())) == whole
 
     rows = load_all()["quantile_sketch_estimates"].fn(spark, sf_dir).collect()
     assert rows

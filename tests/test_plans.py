@@ -912,3 +912,18 @@ def test_no_new_hof_over_sequence(spark, sf_dir, name):
         "postmortem). If this is a per-token-linear shingle builder, "
         "update HOF_OVER_SEQUENCE_ALLOWED with a justification."
     )
+
+
+def test_quantile_sketch_reuses_value_count_exchange(spark, sf_dir):
+    """The sketch side derives from the SAME (type, cents, cnt)
+    aggregation the exact side reads (bucket is a pure function of
+    cents — identity pinned in tests/test_approx.py), so at runtime
+    AQE's exchange reuse must collapse the twice-planned count
+    aggregation into one executed shuffle: the events table feeds the
+    whole query through ONE stream-sized aggregation. Executes the
+    query (cheap at test SF) because ReusedExchange only materializes
+    in the adaptive final plan."""
+    df = REGISTRY["quantile_sketch_estimates"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
