@@ -161,6 +161,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: and stays r8-evidenced under the in-repo gate). Every IN entry is
 #: green under the in-repo DuckDB parity gate at sf0.001 AND sf0.01
 #: every pytest run; no driver grading has ever diverged from it.
+#: Staged r13 cohort: the 15 r8 leftovers (customer_rfm_segments,
+#: events_heavy_hitter_profile, events_robust_outliers,
+#: hybrid_rrf_fusion, ingest_manifest_pipeline, market_basket_pairs,
+#: q7_volume_shipping, q9_product_type_profit,
+#: quality_classifier_linear, schema_evolution_roundtrip,
+#: session_path_analysis, skyline_3d_grid, skyline_price_size,
+#: snapshot_diff_census, text_quality_score) plus ~35 of the 50-entry
+#: r9 cohort, family-balanced.
 PRIORITY: tuple[str, ...] = (
     # ---- first 9 slots: one per capability family (graceful
     # ---- degradation if the driver window ever shrinks) ----
