@@ -274,6 +274,11 @@ def main() -> None:
         # chain stays linear on top of the already-measured codecs
         "multimodal_mp3_framing_roundtrip",
         "multimodal_h264_annexb_roundtrip",
+        # r12: the quantile-sketch row — its output (15 rows) and
+        # sketch state (<= ~3.7k buckets/type) are scale-INVARIANT, so
+        # the curve isolates the one stream-sized aggregation; the 10x
+        # events copies keep the same 5 types and value distribution
+        "quantile_sketch_estimates",
     ]
     # --only a,b restricts the run to a subset (comma-separated) so a
     # fresh-session measurement of newly staged rows doesn't re-time
