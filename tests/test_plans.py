@@ -296,6 +296,11 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         ("leakage_safe_splits_neardup", 8),
         # blocked pair-gen + CC-label join back to the name table
         ("entity_resolution_clusters", 3),
+        # r12: ONE stream-sized count agg (AQE-reused across both
+        # sides — see test_quantile_sketch_reuses_value_count_exchange)
+        # + the bounded bucket re-agg + the two per-type straddle
+        # windows; the estimate/exact join broadcasts
+        ("quantile_sketch_estimates", 5),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
