@@ -186,6 +186,10 @@ HEADLINE = [
     # probe join (both rows' stream-sized work is one partial-agg
     # groupBy over events)
     "quantile_sketch_estimates",
+    # round 12: the day-store re-aggregation half — its delta vs the
+    # estimates row prices the (type, day, bucket) store build +
+    # checkpoint + the second (one-pass evaluation) sketch branch
+    "quantile_sketch_rollup",
 ]
 
 

@@ -142,6 +142,38 @@ def qsketch_from_value_counts(vcounts: DataFrame) -> DataFrame:
     )
 
 
+def qsketch_day_store(events: DataFrame) -> DataFrame:
+    """(event_type, day, bucket, c): the TIME-PARTITIONED sketch store
+    — the production shape at 100 TB (one bounded sketch per type per
+    ingest day, landed beside the data like the HLL daily store of
+    ``approx_distinct_rollup``): any time range re-aggregates by
+    summing counters over its days, deterministically identical to
+    sketching the raw range (counter addition is associative), so a
+    year answers from 365 bounded rows per (type, bucket) and the
+    fact table is never re-read. ``day`` uses the repo's portable
+    epoch-day arithmetic (unix_micros DIV 86400000000)."""
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    return (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+            cents.alias("cents"),
+        )
+        .select("event_type", "day", qsketch_bucket("cents").alias("bucket"))
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def qsketch_rollup_store(store: DataFrame) -> DataFrame:
+    """Day store -> the per-type sketch: counters summed over days —
+    the re-aggregation whose result is provably bit-identical to the
+    one-pass sketch (the graded rollup row carries the comparison)."""
+    return store.groupBy("event_type", "bucket").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+
+
 def type_cents_merge(*parts: DataFrame) -> DataFrame:
     merged = parts[0]
     for p in parts[1:]:
@@ -177,6 +209,33 @@ def _straddle(counts: DataFrame, order_col: str, weight_col: str) -> DataFrame:
     )
 
 
+def qsketch_quantiles(sketch: DataFrame) -> DataFrame:
+    """Sketch state -> per (event_type, q_pct): the straddling bucket
+    decoded to its value range: (event_type, q_pct, n_events,
+    target_rank, est_lo_cents, est_hi_cents). The answer-side walk
+    shared by the estimate/exact comparison row and the day-store
+    rollup row — one bounded per-type window pass."""
+    base = QSKETCH_BASE
+    shift = f"least(bucket DIV {base} - 1, 63)"
+    lo = F.expr(
+        f"CASE WHEN bucket < {base} THEN bucket "
+        f"ELSE shiftleft({base} + bucket % {base}, {shift}) END"
+    )
+    hi = F.expr(
+        f"CASE WHEN bucket < {base} THEN bucket "
+        f"ELSE shiftleft({base} + bucket % {base}, {shift}) "
+        f"+ shiftleft(CAST(1 AS BIGINT), {shift}) - 1 END"
+    )
+    return _straddle(sketch, "bucket", "c").select(
+        "event_type",
+        F.col("q_pct").cast("bigint").alias("q_pct"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("target_rank").cast("bigint").alias("target_rank"),
+        lo.cast("bigint").alias("est_lo_cents"),
+        hi.cast("bigint").alias("est_hi_cents"),
+    )
+
+
 def qsketch_estimates_from_state(
     sketch: DataFrame, vcounts: DataFrame
 ) -> DataFrame:
@@ -189,25 +248,7 @@ def qsketch_estimates_from_state(
     streaming twin so the scoring tail cannot drift. Plan: two bounded
     window passes (sketch is <= ~3.7k rows per type, the count table
     |distinct cents| per type) and one tiny equi-join."""
-    base = QSKETCH_BASE
-    shift = f"least(bucket DIV {base} - 1, 63)"
-    lo = F.expr(
-        f"CASE WHEN bucket < {base} THEN bucket "
-        f"ELSE shiftleft({base} + bucket % {base}, {shift}) END"
-    )
-    hi = F.expr(
-        f"CASE WHEN bucket < {base} THEN bucket "
-        f"ELSE shiftleft({base} + bucket % {base}, {shift}) "
-        f"+ shiftleft(CAST(1 AS BIGINT), {shift}) - 1 END"
-    )
-    est = _straddle(sketch, "bucket", "c").select(
-        "event_type",
-        F.col("q_pct").cast("bigint").alias("q_pct"),
-        F.col("n").cast("bigint").alias("n_events"),
-        F.col("target_rank").cast("bigint").alias("target_rank"),
-        lo.cast("bigint").alias("est_lo_cents"),
-        hi.cast("bigint").alias("est_hi_cents"),
-    )
+    est = qsketch_quantiles(sketch)
     exact = _straddle(vcounts, "cents", "cnt").select(
         "event_type",
         F.col("q_pct").cast("bigint").alias("q_pct"),

@@ -151,23 +151,25 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: stalest evidence) — plus 11 r8-cohort fills chosen for family
 #: breadth (format: orc_roundtrip; mr: mr_inverted_index_capped;
 #: dedup: the span-excision pair + SemDeDup; stream: CMS heavy
-#: hitters; text: Bloom decontam, hybrid rerank, DSIR; relational:
-#: q2 + graph BFS) and the ONE r12 registration
-#: (quantile_sketch_estimates — VERDICT r11 #7's named candidate, the
-#: mergeable quantile sketch completing the CMS/HLL sketch family;
-#: net-new held at 1 of the allowed 2). After this round the oldest
-#: grading evidence anywhere moves from r6 to r8 (events_robust_
-#: outliers, the 12th fill candidate, yields its slot to the new row
-#: and stays r8-evidenced under the in-repo gate). Every IN entry is
-#: green under the in-repo DuckDB parity gate at sf0.001 AND sf0.01
-#: every pytest run; no driver grading has ever diverged from it.
-#: Staged r13 cohort: the 15 r8 leftovers (customer_rfm_segments,
+#: hitters; text: Bloom decontam + DSIR; relational: q2 + graph BFS)
+#: and the TWO r12 registrations (quantile_sketch_estimates +
+#: quantile_sketch_rollup — VERDICT r11 #7's named candidate in both
+#: its halves: the mergeable quantile sketch's estimate/exact
+#: contract AND the day-store re-aggregation query, completing the
+#: CMS/HLL sketch family; net-new = the allowed 2). After this round
+#: the oldest grading evidence anywhere moves from r6 to r8
+#: (events_robust_outliers and hybrid_search_rerank, the 11th/12th
+#: fill candidates, yield their slots to the new rows and stay
+#: r8-evidenced under the in-repo gate). Every IN entry is green
+#: under the in-repo DuckDB parity gate at sf0.001 AND sf0.01 every
+#: pytest run; no driver grading has ever diverged from it.
+#: Staged r13 cohort: the 16 r8 leftovers (customer_rfm_segments,
 #: events_heavy_hitter_profile, events_robust_outliers,
-#: hybrid_rrf_fusion, ingest_manifest_pipeline, market_basket_pairs,
-#: q7_volume_shipping, q9_product_type_profit,
+#: hybrid_rrf_fusion, hybrid_search_rerank, ingest_manifest_pipeline,
+#: market_basket_pairs, q7_volume_shipping, q9_product_type_profit,
 #: quality_classifier_linear, schema_evolution_roundtrip,
 #: session_path_analysis, skyline_3d_grid, skyline_price_size,
-#: snapshot_diff_census, text_quality_score) plus ~35 of the 50-entry
+#: snapshot_diff_census, text_quality_score) plus ~34 of the 50-entry
 #: r9 cohort, family-balanced.
 PRIORITY: tuple[str, ...] = (
     # ---- first 9 slots: one per capability family (graceful
@@ -221,7 +223,7 @@ PRIORITY: tuple[str, ...] = (
     "cms_heavy_hitter_estimates",  # stream: Count-Min heavy hitters
     "quantile_sketch_estimates",  # r12: mergeable quantile sketch
     "bloom_ngram_decontamination",  # text: Bloom-filter decontam
-    "hybrid_search_rerank",       # text: hybrid lexical+vector rerank
+    "quantile_sketch_rollup",     # r12: day-store re-aggregation
     "dsir_importance_select",     # text: DSIR importance sampling
     "q2_min_cost_supplier",       # relational: TPC-H q2
     "graph_bfs_reach",            # relational: iterative BFS reach

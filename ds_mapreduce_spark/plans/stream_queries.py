@@ -1615,3 +1615,169 @@ def q_quantile_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     vc = type_cents_counts(ev)
     return qsketch_estimates_from_state(qsketch_from_value_counts(vc), vc)
+
+
+@register(
+    "quantile_sketch_rollup",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+store AS (
+  SELECT event_type, day,
+         CASE WHEN cents < 64 THEN cents
+              ELSE (length(bin(cents)) - 6) * 64
+                   + (cents >> least(length(bin(cents)) - 7, 63)) - 64
+         END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, bucket, CAST(SUM(c) AS BIGINT) AS c
+  FROM store GROUP BY 1, 2
+),
+onepass AS (
+  SELECT event_type,
+         CASE WHEN cents < 64 THEN cents
+              ELSE (length(bin(cents)) - 6) * 64
+                   + (cents >> least(length(bin(cents)) - 7, 63)) - 64
+         END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2
+),
+q AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(q_pct)),
+mc AS (
+  SELECT event_type, bucket, c,
+         SUM(c) OVER (PARTITION BY event_type) AS n,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+  FROM merged
+),
+msel AS (
+  SELECT m.event_type, q.q_pct, m.n,
+         (m.n * q.q_pct + 99) // 100 AS target_rank, m.bucket
+  FROM mc m CROSS JOIN q
+  WHERE m.cum >= (m.n * q.q_pct + 99) // 100
+    AND m.cum - m.c < (m.n * q.q_pct + 99) // 100
+),
+mdec AS (
+  SELECT event_type, q_pct, n, target_rank,
+         CASE WHEN bucket < 64 THEN bucket
+              ELSE (64 + bucket % 64) << least(bucket // 64 - 1, 63)
+         END AS lo,
+         CASE WHEN bucket < 64 THEN bucket
+              ELSE ((64 + bucket % 64) << least(bucket // 64 - 1, 63))
+                   + (1 << least(bucket // 64 - 1, 63)) - 1
+         END AS hi
+  FROM msel
+),
+oc AS (
+  SELECT event_type, bucket, c,
+         SUM(c) OVER (PARTITION BY event_type) AS n,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+  FROM onepass
+),
+osel AS (
+  SELECT o.event_type, q.q_pct, o.n,
+         (o.n * q.q_pct + 99) // 100 AS target_rank, o.bucket
+  FROM oc o CROSS JOIN q
+  WHERE o.cum >= (o.n * q.q_pct + 99) // 100
+    AND o.cum - o.c < (o.n * q.q_pct + 99) // 100
+),
+odec AS (
+  SELECT event_type, q_pct, n, target_rank,
+         CASE WHEN bucket < 64 THEN bucket
+              ELSE (64 + bucket % 64) << least(bucket // 64 - 1, 63)
+         END AS lo,
+         CASE WHEN bucket < 64 THEN bucket
+              ELSE ((64 + bucket % 64) << least(bucket // 64 - 1, 63))
+                   + (1 << least(bucket // 64 - 1, 63)) - 1
+         END AS hi
+  FROM osel
+),
+census AS (
+  SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+         CAST(COUNT(*) AS BIGINT) AS store_rows
+  FROM store GROUP BY 1
+)
+SELECT event_type,
+       CAST(q_pct AS BIGINT) AS q_pct,
+       CAST(m.n AS BIGINT) AS n_events,
+       CAST(m.target_rank AS BIGINT) AS target_rank,
+       CAST(m.lo AS BIGINT) AS est_lo_cents,
+       CAST(m.hi AS BIGINT) AS est_hi_cents,
+       census.n_days, census.store_rows,
+       CAST(CASE WHEN m.n = o.n AND m.target_rank = o.target_rank
+                  AND m.lo = o.lo AND m.hi = o.hi
+            THEN 1 ELSE 0 END AS BIGINT) AS matches_onepass
+FROM mdec m
+JOIN odec o USING (event_type, q_pct)
+JOIN census USING (event_type)
+""",
+    doc="Quantile-sketch DAY-STORE rollup (r12) — the re-aggregation "
+    "half of the sketch prescription, the rank analogue of "
+    "approx_distinct_rollup's daily HLL store: one bounded log-bucket "
+    "sketch lands per (event_type, ingest day), and any time range "
+    "answers by SUMMING counters over its days — deterministically "
+    "IDENTICAL to sketching the raw range, which the graded row "
+    "proves per (type, p50/p90/p99) by walking quantiles from the "
+    "rolled-up store AND from an independent one-pass sketch and "
+    "hashing the equality flag (matches_onepass — the rank version "
+    "of the HLL row's union-losslessness booleans; exact-value "
+    "containment is the sibling row quantile_sketch_estimates' "
+    "contract). n_days / store_rows expose the landed state's size: "
+    "types x days x <=64 buckets/octave, INDEPENDENT of row volume. "
+    "100 TB: the store is what you keep NEXT to time-partitioned "
+    "data — a year of p99s answers from 365 bounded rows per (type, "
+    "bucket) with the fact table never re-read; the day store is "
+    "checkpointed (types x days x buckets rows) so events scans once "
+    "for the store side, and the one-pass branch exists only as the "
+    "graded evaluation.",
+)
+def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.sketch import (
+        qsketch_counters,
+        qsketch_day_store,
+        qsketch_quantiles,
+        qsketch_rollup_store,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    store = qsketch_day_store(ev).localCheckpoint(eager=True)
+    est = qsketch_quantiles(qsketch_rollup_store(store))
+    onepass = qsketch_quantiles(qsketch_counters(ev)).select(
+        "event_type",
+        "q_pct",
+        F.col("n_events").alias("op_n"),
+        F.col("target_rank").alias("op_rank"),
+        F.col("est_lo_cents").alias("op_lo"),
+        F.col("est_hi_cents").alias("op_hi"),
+    )
+    census = store.groupBy("event_type").agg(
+        F.countDistinct("day").cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("store_rows"),
+    )
+    return (
+        est.join(onepass, ["event_type", "q_pct"])
+        .join(census, "event_type")
+        .select(
+            "event_type",
+            "q_pct",
+            "n_events",
+            "target_rank",
+            "est_lo_cents",
+            "est_hi_cents",
+            "n_days",
+            "store_rows",
+            (
+                (F.col("n_events") == F.col("op_n"))
+                & (F.col("target_rank") == F.col("op_rank"))
+                & (F.col("est_lo_cents") == F.col("op_lo"))
+                & (F.col("est_hi_cents") == F.col("op_hi"))
+            )
+            .cast("bigint")
+            .alias("matches_onepass"),
+        )
+    )
