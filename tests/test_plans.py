@@ -301,6 +301,10 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # + the bounded bucket re-agg + the two per-type straddle
         # windows; the estimate/exact join broadcasts
         ("quantile_sketch_estimates", 5),
+        # r12: day-store build (inside the checkpoint) + one-pass eval
+        # agg + bounded re-agg/straddle/census exchanges; all joins
+        # broadcast
+        ("quantile_sketch_rollup", 6),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
