@@ -279,6 +279,10 @@ def main() -> None:
         # the curve isolates the one stream-sized aggregation; the 10x
         # events copies keep the same 5 types and value distribution
         "quantile_sketch_estimates",
+        # r12: the day-store rollup — store rows grow with DAYS not
+        # volume, so the curve isolates the two sketch-build aggs
+        # (store + the one-pass evaluation branch)
+        "quantile_sketch_rollup",
     ]
     # --only a,b restricts the run to a subset (comma-separated) so a
     # fresh-session measurement of newly staged rows doesn't re-time
