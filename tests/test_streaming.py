@@ -610,6 +610,9 @@ def test_versioned_state_jobs_survive_no_batch_run(spark, sf_dir, tmp_path):
         "cms": lambda state, ckpt: J.run_streaming_cms_sketch(
             spark, ev_dir, state, ckpt
         ),
+        "qsketch": lambda state, ckpt: J.run_streaming_quantile_sketch(
+            spark, ev_dir, state, ckpt
+        ),
         "hll": lambda state, ckpt: J.run_streaming_hll_rollup(
             spark, ord_dir, state, ckpt
         ),
