@@ -936,3 +936,21 @@ def test_quantile_sketch_reuses_value_count_exchange(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_hof_over_sequence_detector_self_test(spark):
+    """The lock must actually fire on a reintroduced synth: a plan
+    carrying transform(sequence(...)) counts 1; a HOF over a literal
+    array (the allowed small/cold shape) counts 0; an ALIASED sequence
+    consumed by a HOF one Project later still counts (CollapseProject
+    inlines it in the optimized plan the walker reads)."""
+    bad = spark.range(3).selectExpr("transform(sequence(0, id), x -> x * 2) AS a")
+    assert _hof_over_sequence_count(bad) == 1
+    ok = spark.range(3).selectExpr("transform(array(1, 2), x -> x + id) AS a")
+    assert _hof_over_sequence_count(ok) == 0
+    aliased = (
+        spark.range(3)
+        .selectExpr("sequence(0, id) AS s")
+        .selectExpr("aggregate(s, 0L, (acc, x) -> acc + x) AS t")
+    )
+    assert _hof_over_sequence_count(aliased) == 1
