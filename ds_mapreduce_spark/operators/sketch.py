@@ -269,3 +269,33 @@ def qsketch_estimates_from_state(
         .cast("bigint")
         .alias("in_bounds"),
     )
+
+
+def qsketch_bucket_sql_duckdb(x: str) -> str:
+    """The bucket function in DuckDB dialect (``>>`` for shiftright),
+    generated from the SAME constants as the Spark rendering — the
+    minhash/SRP/winnowing generated-oracle pattern (CLAUDE.md): change
+    QSKETCH_K here and both engines follow."""
+    k, base = QSKETCH_K, QSKETCH_BASE
+    return (
+        f"CASE WHEN {x} < {base} THEN {x} "
+        f"ELSE (length(bin({x})) - {k}) * {base} "
+        f"+ ({x} >> least(length(bin({x})) - {k + 1}, 63)) - {base} END"
+    )
+
+
+def qsketch_decode_sql_duckdb() -> tuple[str, str]:
+    """(lo, hi) decode expressions over a ``bucket`` column, DuckDB
+    dialect, generated from the shared constants."""
+    base = QSKETCH_BASE
+    shift = f"least(bucket // {base} - 1, 63)"
+    lo = (
+        f"CASE WHEN bucket < {base} THEN bucket "
+        f"ELSE ({base} + bucket % {base}) << {shift} END"
+    )
+    hi = (
+        f"CASE WHEN bucket < {base} THEN bucket "
+        f"ELSE (({base} + bucket % {base}) << {shift}) "
+        f"+ (1 << {shift}) - 1 END"
+    )
+    return lo, hi

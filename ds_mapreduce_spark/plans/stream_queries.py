@@ -19,6 +19,16 @@ from pyspark.sql import functions as F
 from ds_mapreduce_spark.functions.temporal import epoch_day, epoch_sec, epoch_us, idiv_floor
 from ds_mapreduce_spark.plans.registry import register
 from ds_mapreduce_spark.sources.catalog import load_table
+from ds_mapreduce_spark.operators.sketch import (
+    qsketch_bucket_sql_duckdb,
+    qsketch_decode_sql_duckdb,
+)
+
+#: DuckDB-dialect fragments for the quantile-sketch oracles, generated
+#: from operators/sketch.py's constants (the generated-oracle
+#: shared-constant convention — change QSKETCH_K in ONE place only)
+_QS_BUCKET = qsketch_bucket_sql_duckdb("cents")
+_QS_LO, _QS_HI = qsketch_decode_sql_duckdb()
 
 
 @register(
@@ -1516,7 +1526,7 @@ def q_events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quantile_sketch_estimates",
-    oracle="""
+    oracle=f"""
 WITH e AS (
   SELECT event_type,
          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
@@ -1524,10 +1534,7 @@ WITH e AS (
 ),
 sk AS (
   SELECT event_type,
-         CASE WHEN cents < 64 THEN cents
-              ELSE (length(bin(cents)) - 6) * 64
-                   + (cents >> least(length(bin(cents)) - 7, 63)) - 64
-         END AS bucket,
+         {_QS_BUCKET} AS bucket,
          CAST(COUNT(*) AS BIGINT) AS c
   FROM e GROUP BY 1, 2
 ),
@@ -1551,13 +1558,8 @@ sel AS (
 ),
 dec AS (
   SELECT event_type, q_pct, n, target_rank,
-         CASE WHEN bucket < 64 THEN bucket
-              ELSE (64 + bucket % 64) << least(bucket // 64 - 1, 63)
-         END AS lo,
-         CASE WHEN bucket < 64 THEN bucket
-              ELSE ((64 + bucket % 64) << least(bucket // 64 - 1, 63))
-                   + (1 << least(bucket // 64 - 1, 63)) - 1
-         END AS hi
+         {_QS_LO} AS lo,
+         {_QS_HI} AS hi
   FROM sel
 ),
 vcc AS (
@@ -1619,7 +1621,7 @@ def q_quantile_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quantile_sketch_rollup",
-    oracle="""
+    oracle=f"""
 WITH e AS (
   SELECT event_type,
          epoch_us(ts) // 86400000000 AS day,
@@ -1628,10 +1630,7 @@ WITH e AS (
 ),
 store AS (
   SELECT event_type, day,
-         CASE WHEN cents < 64 THEN cents
-              ELSE (length(bin(cents)) - 6) * 64
-                   + (cents >> least(length(bin(cents)) - 7, 63)) - 64
-         END AS bucket,
+         {_QS_BUCKET} AS bucket,
          CAST(COUNT(*) AS BIGINT) AS c
   FROM e GROUP BY 1, 2, 3
 ),
@@ -1641,10 +1640,7 @@ merged AS (
 ),
 onepass AS (
   SELECT event_type,
-         CASE WHEN cents < 64 THEN cents
-              ELSE (length(bin(cents)) - 6) * 64
-                   + (cents >> least(length(bin(cents)) - 7, 63)) - 64
-         END AS bucket,
+         {_QS_BUCKET} AS bucket,
          CAST(COUNT(*) AS BIGINT) AS c
   FROM e GROUP BY 1, 2
 ),
@@ -1664,13 +1660,8 @@ msel AS (
 ),
 mdec AS (
   SELECT event_type, q_pct, n, target_rank,
-         CASE WHEN bucket < 64 THEN bucket
-              ELSE (64 + bucket % 64) << least(bucket // 64 - 1, 63)
-         END AS lo,
-         CASE WHEN bucket < 64 THEN bucket
-              ELSE ((64 + bucket % 64) << least(bucket // 64 - 1, 63))
-                   + (1 << least(bucket // 64 - 1, 63)) - 1
-         END AS hi
+         {_QS_LO} AS lo,
+         {_QS_HI} AS hi
   FROM msel
 ),
 oc AS (
@@ -1688,13 +1679,8 @@ osel AS (
 ),
 odec AS (
   SELECT event_type, q_pct, n, target_rank,
-         CASE WHEN bucket < 64 THEN bucket
-              ELSE (64 + bucket % 64) << least(bucket // 64 - 1, 63)
-         END AS lo,
-         CASE WHEN bucket < 64 THEN bucket
-              ELSE ((64 + bucket % 64) << least(bucket // 64 - 1, 63))
-                   + (1 << least(bucket // 64 - 1, 63)) - 1
-         END AS hi
+         {_QS_LO} AS lo,
+         {_QS_HI} AS hi
   FROM osel
 ),
 census AS (
