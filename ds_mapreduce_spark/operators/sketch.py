@@ -39,7 +39,14 @@ the quantile analogue of Count-Min's one-sided overcount.
 
 Values must be non-negative (money in cents is); the bucket function
 is not monotone over negatives — a signed domain would sketch
-magnitudes per sign, which nothing here needs.
+magnitudes per sign, which nothing here needs. Nothing REJECTS a
+negative input either: a negative ``x`` falls into the ``x < 64``
+identity branch, so each distinct negative value gets its own exact
+bucket — cross-engine parity still holds (both engines render the
+same CASE), but state over a wide negative domain degrades from
+bounded log-buckets to exact counting. Callers feeding a signed
+domain must pre-split by sign (sketch ``abs(x)`` per sign) rather
+than rely on the identity fallback.
 
 Shared verbatim by the batch query
 (``plans/stream_queries.py:quantile_sketch_estimates``) and the

@@ -148,7 +148,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: OUT go all 50 r11 residents (all green, most twice-evidenced).
 #: IN (50): the ENTIRE stale cohort — all 16 entries last graded r6
 #: and all 22 last graded r7 (the 38 rows VERDICT r11 names as the
-#: stalest evidence) — plus 11 r8-cohort fills chosen for family
+#: stalest evidence) — plus 10 r8-cohort fills chosen for family
 #: breadth (format: orc_roundtrip; mr: mr_inverted_index_capped;
 #: dedup: the span-excision pair + SemDeDup; stream: CMS heavy
 #: hitters; text: Bloom decontam + DSIR; relational: q2 + graph BFS)
@@ -214,7 +214,7 @@ PRIORITY: tuple[str, ...] = (
     "table_profile",              # per-column table profiling
     "trigram_substring_search",   # trigram substring search
     "twap_user_value",            # time-weighted average value
-    # ---- r12 IN: 12 r8-cohort fills (family breadth) ----
+    # ---- r12 IN: 10 r8-cohort fills + the 2 r12 registrations ----
     "orc_roundtrip",              # format: ORC write/read
     "mr_inverted_index_capped",   # mr: capped inverted index
     "dedup_semdedup",             # dedup: SemDeDup clustering

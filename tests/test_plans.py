@@ -863,12 +863,23 @@ _HOF_CLASSES = frozenset({
     "TransformValues",
 })
 
+#: Subquery expression nodes carry a nested PLAN, not children — the
+#: walker recurses into e.plan() for these so a HOF-over-sequence
+#: smuggled inside a scalar/IN/EXISTS subquery can't escape the lock
+#: (ADVICE r12). InSubquery itself is covered via its ListQuery child.
+_SUBQUERY_CLASSES = frozenset({
+    "ScalarSubquery", "ListQuery", "Exists", "LateralSubquery",
+    "DynamicPruningSubquery",
+})
+
 
 def _hof_over_sequence_count(df) -> int:
     """Walk the optimized logical plan's JVM expression trees and count
     higher-order array functions whose subtree contains a generated
     Sequence. Optimized (not analyzed) plan so CollapseProject inlines
-    aliased builders — an alias hop can't hide the pattern."""
+    aliased builders — an alias hop can't hide the pattern. Recurses
+    into subquery plans (ScalarSubquery/ListQuery/...), which hang off
+    expressions as e.plan() rather than plan children."""
 
     def subtree_has_sequence(e) -> bool:
         stack = [e]
@@ -887,6 +898,8 @@ def _hof_over_sequence_count(df) -> int:
         nonlocal count
         if e.getClass().getSimpleName() in _HOF_CLASSES and subtree_has_sequence(e):
             count += 1
+        if e.getClass().getSimpleName() in _SUBQUERY_CLASSES:
+            plan_walk(e.plan())
         kids = e.children()
         for i in range(kids.length()):
             expr_walk(kids.apply(i))
@@ -954,3 +967,12 @@ def test_hof_over_sequence_detector_self_test(spark):
         .selectExpr("aggregate(s, 0L, (acc, x) -> acc + x) AS t")
     )
     assert _hof_over_sequence_count(aliased) == 1
+    # A HOF-over-sequence hiding inside a scalar subquery's plan must
+    # also count (ADVICE r12: subqueries hang off e.plan(), not plan
+    # children). max(id) keeps the sequence non-foldable so constant
+    # folding can't erase the pattern before the walker sees it.
+    subq = spark.range(3).where(
+        "id > (SELECT aggregate(sequence(0L, max(id)), 0L,"
+        " (acc, x) -> acc + x) FROM range(5))"
+    )
+    assert _hof_over_sequence_count(subq) == 1
