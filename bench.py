@@ -190,6 +190,13 @@ HEADLINE = [
     # estimates row prices the (type, day, bucket) store build +
     # checkpoint + the second (one-pass evaluation) sketch branch
     "quantile_sketch_rollup",
+    # round 13: the landed store's production RANGE read — the store
+    # write is memoized per session (repeat 1 pays it; the median-of-3
+    # prices the steady-state read), so this row times what a
+    # dashboard pays: a statically-pruned scan of days-in-range
+    # kilobyte counters, never the fact table. Its gap under the
+    # rollup row is the whole point: reads that skip the corpus.
+    "quantile_sketch_day_range",
 ]
 
 

@@ -1767,3 +1767,162 @@ def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("matches_onepass"),
         )
     )
+
+
+#: (applicationId, sf basename) -> (store path, d_lo, d_hi): the
+#: day-partitioned quantile-sketch store written ONCE per session (the
+#: format_queries _WRITTEN memo pattern — schema-only consumers don't
+#: re-run the write job; applicationId keying avoids cross-run races on
+#: a predictable /tmp path), plus the middle-third day bounds derived
+#: from the store's partition metadata. Bounds are literals by the time
+#: the graded query plans, so the day filter prunes STATICALLY.
+_QS_STORE: dict[tuple[str, str], tuple[str, int, int]] = {}
+
+
+def _qsketch_landed_store(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    import os
+    import tempfile
+
+    from ds_mapreduce_spark.operators.sketch import qsketch_day_store
+
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    app = spark.sparkContext.applicationId
+    key = (app, sf)
+    if key not in _QS_STORE:
+        out = os.path.join(
+            tempfile.gettempdir(), "ds_mapreduce_spark", app, f"qsketch_day_store_{sf}"
+        )
+        ev = load_table(spark, sf_dir, "events")
+        # ONE events scan: the write is the only action that touches the
+        # fact table. repartition("day") puts each day wholly in one
+        # task so partitionBy("day") emits one file per day directory.
+        (
+            qsketch_day_store(ev)
+            .repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(out)
+        )
+        # Middle-third contiguous day range [dmin + span/3, dmin + 2*span/3]:
+        # min/max of a partition column resolve from directory metadata —
+        # no data files are opened, and the fact table is not re-read.
+        row = (
+            spark.read.parquet(out)
+            .agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+            .first()
+        )
+        dmin, dmax = int(row["dmin"]), int(row["dmax"])
+        span = dmax - dmin
+        _QS_STORE[key] = (out, dmin + span // 3, dmin + 2 * span // 3)
+    return _QS_STORE[key]
+
+
+@register(
+    "quantile_sketch_day_range",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+b AS (
+  SELECT MIN(day) + (MAX(day) - MIN(day)) // 3 AS d_lo,
+         MIN(day) + 2 * (MAX(day) - MIN(day)) // 3 AS d_hi
+  FROM e
+),
+f AS (SELECT e.* FROM e, b WHERE e.day BETWEEN b.d_lo AND b.d_hi),
+store AS (
+  SELECT event_type, day,
+         {_QS_BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM f GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, bucket, CAST(SUM(c) AS BIGINT) AS c
+  FROM store GROUP BY 1, 2
+),
+q AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(q_pct)),
+mc AS (
+  SELECT event_type, bucket, c,
+         SUM(c) OVER (PARTITION BY event_type) AS n,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+  FROM merged
+),
+sel AS (
+  SELECT m.event_type, q.q_pct, m.n,
+         (m.n * q.q_pct + 99) // 100 AS target_rank, m.bucket
+  FROM mc m CROSS JOIN q
+  WHERE m.cum >= (m.n * q.q_pct + 99) // 100
+    AND m.cum - m.c < (m.n * q.q_pct + 99) // 100
+),
+dec AS (
+  SELECT event_type, q_pct, n, target_rank,
+         {_QS_LO} AS lo,
+         {_QS_HI} AS hi
+  FROM sel
+),
+census AS (
+  SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days_read,
+         CAST(COUNT(*) AS BIGINT) AS store_rows_read
+  FROM store GROUP BY 1
+)
+SELECT event_type,
+       CAST(q_pct AS BIGINT) AS q_pct,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(target_rank AS BIGINT) AS target_rank,
+       CAST(lo AS BIGINT) AS est_lo_cents,
+       CAST(hi AS BIGINT) AS est_hi_cents,
+       CAST((SELECT d_lo FROM b) AS BIGINT) AS d_lo,
+       CAST((SELECT d_hi FROM b) AS BIGINT) AS d_hi,
+       n_days_read, store_rows_read
+FROM dec JOIN census USING (event_type)
+""",
+    doc="Quantile-sketch day-RANGE read (r13) — the production read "
+    "path of the landed day store the rollup row only exercised "
+    "whole-corpus (VERDICT r12 #4): the (event_type, day, bucket, c) "
+    "store is WRITTEN once as day-partitioned parquet, and the graded "
+    "query answers per-type p50/p90/p99 for a contiguous middle-third "
+    "day subrange purely from that store — the day filter is a literal "
+    "BETWEEN over the hive partition column, resolved against "
+    "directory metadata at PLANNING time (plan-locked: every store "
+    "scan carries a day PartitionFilters entry, day is absent from "
+    "ReadSchema, and the fact table appears nowhere in the plan). The "
+    "oracle rebuilds the same range sketch from the RAW filtered "
+    "events, so the hash proves range re-aggregation from landed "
+    "per-day counters is bit-identical to sketching the raw range — "
+    "counter addition is associative — AND that the partitioned write "
+    "round-trips losslessly. n_days_read / store_rows_read expose how "
+    "little the read touches: days-in-range x <=64 buckets/octave per "
+    "type, independent of row volume. 100 TB: this is the dashboard "
+    "query — a month of p99s over a year-partitioned store opens ~30 "
+    "directories of kilobyte counters and never re-reads the fact "
+    "table; the write amortizes over every subsequent range read.",
+)
+def q_quantile_sketch_day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.sketch import (
+        qsketch_quantiles,
+        qsketch_rollup_store,
+    )
+
+    path, d_lo, d_hi = _qsketch_landed_store(spark, sf_dir)
+    store = spark.read.parquet(path).where(
+        (F.col("day") >= F.lit(d_lo)) & (F.col("day") <= F.lit(d_hi))
+    )
+    est = qsketch_quantiles(qsketch_rollup_store(store))
+    census = store.groupBy("event_type").agg(
+        F.countDistinct("day").cast("bigint").alias("n_days_read"),
+        F.count(F.lit(1)).cast("bigint").alias("store_rows_read"),
+    )
+    return est.join(census, "event_type").select(
+        "event_type",
+        "q_pct",
+        "n_events",
+        "target_rank",
+        "est_lo_cents",
+        "est_hi_cents",
+        F.lit(d_lo).cast("bigint").alias("d_lo"),
+        F.lit(d_hi).cast("bigint").alias("d_hi"),
+        "n_days_read",
+        "store_rows_read",
+    )

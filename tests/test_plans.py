@@ -305,6 +305,11 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # agg + bounded re-agg/straddle/census exchanges; all joins
         # broadcast
         ("quantile_sketch_rollup", 6),
+        # r13: the range read plans over the PRUNED landed store only
+        # (store-sized, days x types x buckets): bucket re-agg + the
+        # per-type straddle window + the census (type, day) + (type)
+        # aggs; the census join broadcasts and events appears nowhere
+        ("quantile_sketch_day_range", 4),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
@@ -949,6 +954,25 @@ def test_quantile_sketch_reuses_value_count_exchange(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_quantile_sketch_day_range_reads_only_the_pruned_store(spark, sf_dir):
+    """The graded plan must answer ENTIRELY from the landed day store:
+    every store scan resolves the literal day range against hive
+    directory metadata at planning time (a day PartitionFilters entry
+    with BOTH bounds; day absent from ReadSchema — it exists only as
+    directory names), and the events fact table appears nowhere in the
+    plan — the docstring's 'fact table never re-read' claim. Losing the
+    pruning turns a kilobyte dashboard read into a full store scan;
+    losing the store turns it into a fact-table re-read."""
+    plan = _plan(spark, sf_dir, "quantile_sketch_day_range")
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pfs, plan
+    assert all("day" in p and ">=" in p and "<=" in p for p in pfs), pfs
+    for rs in re.findall(r"ReadSchema: ([^\n]*)", plan):
+        assert "day" not in rs, rs
+    assert "qsketch_day_store" in plan, plan
+    assert "events.parquet" not in plan and "testdata" not in plan, plan
 
 
 def test_hof_over_sequence_detector_self_test(spark):
