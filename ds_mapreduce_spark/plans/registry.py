@@ -163,70 +163,84 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: r8-evidenced under the in-repo gate). Every IN entry is green
 #: under the in-repo DuckDB parity gate at sf0.001 AND sf0.01 every
 #: pytest run; no driver grading has ever diverged from it.
-#: Staged r13 cohort: the 16 r8 leftovers (customer_rfm_segments,
-#: events_heavy_hitter_profile, events_robust_outliers,
-#: hybrid_rrf_fusion, hybrid_search_rerank, ingest_manifest_pipeline,
-#: market_basket_pairs, q7_volume_shipping, q9_product_type_profit,
-#: quality_classifier_linear, schema_evolution_roundtrip,
-#: session_path_analysis, skyline_3d_grid, skyline_price_size,
-#: snapshot_diff_census, text_quality_score) plus ~34 of the 50-entry
-#: r9 cohort, family-balanced.
+#: Round-13 rotation (VERDICT r12 #1 — the staged plan, executed):
+#: CORRECTNESS_r12 graded the r12 window 50/50 hash-green (216/216
+#: ever-graded, zero latest-grade failures), so OUT go all 50 r12
+#: residents. IN (50): ALL 16 entries last graded r8 (the stalest
+#: evidence anywhere — VERDICT r12 #1 names them), 33 of the 50-entry
+#: r9 cohort chosen family-balanced (all of dedup/format/mr/
+#: multimodal/relational/similarity/temporal's r9 rows; 5 of 10
+#: stream rows; 13 of 19 text rows), and the ONE r13 registration
+#: (quantile_sketch_day_range — VERDICT r12 #4's named candidate: the
+#: landed day store's production range-read path, day filter
+#: plan-locked pruned, fact table never re-read). After this round
+#: the oldest grading evidence anywhere moves from r8 to r9; the 17
+#: r9 leftovers (events_dow_hour_profile, events_pivot,
+#: events_unpivot, events_user_activity, events_value_histogram,
+#: array_functions, bpe_encode_census, deterministic_sample,
+#: doc_repetition_stats, domain_quota_sample, fuzzy_name_pairs,
+#: length_bucketed_batching, map_functions, pipeline_corpus_prep,
+#: term_frequencies, unigram_commonness, vocab_oov_rates) are the
+#: natural head of the staged r14 window, topped up from the 50-entry
+#: r10 cohort, family-balanced. Every IN entry is green under the
+#: in-repo DuckDB parity gate at sf0.001 AND sf0.01 every pytest run;
+#: no driver grading has ever diverged from it.
 PRIORITY: tuple[str, ...] = (
     # ---- first 9 slots: one per capability family (graceful
     # ---- degradation if the driver window ever shrinks) ----
-    "kv_text_roundtrip",          # format: KV text sink/source (R5/R6)
-    "wordcount",                  # mr: the reference flagship (E4)
-    "q1_pricing_summary",         # relational: TPC-H q1
-    "knn_pq_adc",                 # similarity: PQ asymmetric distance
-    "events_rolling_1h_stats",    # stream: rolling 1h window stats
-    "events_hourly_resample",     # temporal: gapfill resample
-    "text_stats",                 # text: corpus statistics
-    "dedup_incremental",          # dedup: incremental MinHash ingest
-    "multimodal_features",        # multimodal: feature extraction
-    # ---- r12 IN: the rest of the r6 cohort ----
-    "agg_approx_suite",           # approx aggregates suite
-    "approx_distinct_rollup",     # HLL-style distinct rollup
-    "corpus_shard_plan",          # deterministic corpus sharding
-    "decontamination",            # benchmark decontamination
-    "dq_validation_suite",        # data-quality validation rules
-    "events_native_session_window",  # session_window() native
-    "events_rolling_7d_active_users",  # rolling 7d distinct users
-    "events_rolling_anomaly_flags",  # rolling z-score anomaly flags
-    "incremental_agg_maintenance",  # incremental agg upsert merge
-    "q3_shipping_priority",       # TPC-H q3
-    "scd2_user_value_history",    # SCD-2 history build
-    "zorder_write_prune",         # z-order interleaved write + prune
-    # ---- r12 IN: the rest of the r7 cohort ----
-    "bm25_search",                # BM25 ranked retrieval
-    "bpe_pair_merge_stats",       # BPE pair-merge statistics
-    "dedup_lsh_band_sweep",       # LSH band-config sweep
-    "dedup_prefix_filter",        # prefix-filter near-dup candidates
-    "embedding_pq_codes",         # PQ code assignment
-    "entity_resolution_clusters",  # blocking + entity resolution
-    "epoch_shuffle_plan",         # deterministic epoch shuffle
-    "equi_depth_histogram",       # equi-depth histogram build
-    "graph_pagerank_converged",   # PageRank to convergence
-    "leakage_safe_splits",        # train/test leakage-safe splits
-    "multi_touch_attribution",    # multi-touch attribution windows
-    "multimodal_payload_dedup",   # payload binary dedup
-    "pipeline_llm_training_prep",  # end-to-end LLM prep pipeline
-    "pq_trained_codebook_encode",  # trained PQ codebook encode
-    "table_profile",              # per-column table profiling
-    "trigram_substring_search",   # trigram substring search
-    "twap_user_value",            # time-weighted average value
-    # ---- r12 IN: 10 r8-cohort fills + the 2 r12 registrations ----
-    "orc_roundtrip",              # format: ORC write/read
-    "mr_inverted_index_capped",   # mr: capped inverted index
-    "dedup_semdedup",             # dedup: SemDeDup clustering
-    "dedup_span_excision",        # dedup: exact-substr span excision
-    "dedup_span_excision_minlen",  # dedup: min-length span variant
-    "cms_heavy_hitter_estimates",  # stream: Count-Min heavy hitters
-    "quantile_sketch_estimates",  # r12: mergeable quantile sketch
-    "bloom_ngram_decontamination",  # text: Bloom-filter decontam
-    "quantile_sketch_rollup",     # r12: day-store re-aggregation
-    "dsir_importance_select",     # text: DSIR importance sampling
-    "q2_min_cost_supplier",       # relational: TPC-H q2
-    "graph_bfs_reach",            # relational: iterative BFS reach
+    "csv_roundtrip",              # format: CSV sink/source roundtrip
+    "mr_distributed_grep",        # mr: distributed grep (R8 family)
+    "q7_volume_shipping",         # relational: TPC-H q7
+    "knn_quality_gated",          # similarity: curation-gated ANN
+    "events_heavy_hitter_profile",  # stream: heavy-hitter profile
+    "events_gapfill_interpolate",  # temporal: gapfill + interpolate
+    "text_quality_score",         # text: quality scoring
+    "dedup_span_excision_exact20",  # dedup: exact-20 span excision
+    "multimodal_wav_roundtrip",   # multimodal: WAV container roundtrip
+    # ---- r13 IN: the remaining 13 of the 16-entry r8 cohort ----
+    "customer_rfm_segments",      # RFM segmentation
+    "events_robust_outliers",     # median/MAD robust outliers
+    "hybrid_rrf_fusion",          # reciprocal-rank fusion
+    "hybrid_search_rerank",       # lexical+vector hybrid rerank
+    "ingest_manifest_pipeline",   # manifest-driven ingest
+    "market_basket_pairs",        # co-occurrence basket pairs
+    "q9_product_type_profit",     # TPC-H q9
+    "quality_classifier_linear",  # linear quality classifier
+    "schema_evolution_roundtrip",  # format: schema-merge roundtrip
+    "session_path_analysis",      # session path analysis
+    "skyline_3d_grid",            # 3-D grid skyline
+    "skyline_price_size",         # 2-D skyline
+    "snapshot_diff_census",       # snapshot diff census
+    # ---- r13 IN: 27 more of the 50-entry r9 cohort ----
+    "dedup_semdedup_trained",     # dedup: trained SemDeDup
+    "leakage_safe_splits_neardup",  # dedup: near-dup-safe splits
+    "compaction_rebalance",       # format: small-file compaction
+    "jsonl_roundtrip",            # format: JSONL sink/source
+    "table_antientropy_checksums",  # format: anti-entropy checksums
+    "multimodal_payload_simhash",  # multimodal: byte-shingle SimHash
+    "multimodal_ppm_roundtrip",   # multimodal: PPM image roundtrip
+    "q11_important_value_parts",  # relational: TPC-H q11
+    "q20_dominant_part_shippers",  # relational: TPC-H q20
+    "q21_waiting_sole_late_supplier",  # relational: TPC-H q21
+    "q8_market_share",            # relational: TPC-H q8
+    "embedding_norm_stats",       # similarity: norm statistics
+    "embedding_pca_power",        # similarity: PCA power iteration
+    "knn_jl_recall_eval",         # similarity: JL-projection recall
+    "seasonal_naive_backtest",    # temporal: seasonal-naive backtest
+    "events_attribution_join",    # stream: attribution join
+    "events_decayed_engagement",  # stream: decayed engagement
+    "events_hierarchical_rollup",  # stream: ROLLUP hierarchy
+    "events_props_typed",         # stream: typed JSON props (E14)
+    "skew_salted_join",           # stream: salted skew join
+    "bpe_train_merges",           # text: BPE merge training
+    "collocation_pmi_topk",       # text: PMI collocations
+    "doc_fingerprint",            # text: rolling-hash fingerprint
+    "lang_breakdown",             # text: language-ID breakdown
+    "token_count",                # text: tokenizer census
+    "weighted_priority_sample",   # text: weighted sampling
+    "boilerplate_ngram_coverage",  # text: boilerplate n-gram coverage
+    # ---- r13 IN: the 1 net-new registration ----
+    "quantile_sketch_day_range",  # r13: pruned day-range store read
 )
 
 

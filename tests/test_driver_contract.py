@@ -82,32 +82,51 @@ def test_queries_md_matches_registry():
 
 
 def test_check_window_covers_the_stale_cohort():
-    """The queries this round's rotation must grade: with 214/214
-    ever-graded after r11 and zero backlog, the window's job is
-    freshness — VERDICT r11 #1 names the full r6 and r7 cohorts (38
-    entries last graded four-to-five rounds ago) as the stalest
-    evidence (a rotated-out entry keeps both-scale in-repo DuckDB
-    parity coverage every pytest run, and no driver grading has ever
-    diverged from that gate)."""
-    must_grade = {
-        # The full r6 cohort (16):
-        "agg_approx_suite", "approx_distinct_rollup", "corpus_shard_plan",
-        "decontamination", "dedup_incremental", "dq_validation_suite",
-        "events_native_session_window", "events_rolling_1h_stats",
-        "events_rolling_7d_active_users", "events_rolling_anomaly_flags",
-        "incremental_agg_maintenance", "multimodal_features",
-        "q3_shipping_priority", "scd2_user_value_history", "text_stats",
-        "zorder_write_prune",
-        # The full r7 cohort (22):
-        "bm25_search", "bpe_pair_merge_stats", "dedup_lsh_band_sweep",
-        "dedup_prefix_filter", "embedding_pq_codes",
-        "entity_resolution_clusters", "epoch_shuffle_plan",
-        "equi_depth_histogram", "events_hourly_resample",
-        "graph_pagerank_converged", "knn_pq_adc", "kv_text_roundtrip",
-        "leakage_safe_splits", "multi_touch_attribution",
-        "multimodal_payload_dedup", "pipeline_llm_training_prep",
-        "pq_trained_codebook_encode", "q1_pricing_summary",
-        "table_profile", "trigram_substring_search", "twap_user_value",
-        "wordcount",
+    """The queries this round's rotation must grade: with 216/216
+    ever-graded after r12 and zero backlog, the window's job is
+    freshness — VERDICT r12 #1 names the 16-entry r8 cohort (the
+    stalest evidence anywhere) plus ~34 of the 50-entry r9 cohort (a
+    rotated-out entry keeps both-scale in-repo DuckDB parity coverage
+    every pytest run, and no driver grading has ever diverged from
+    that gate). Beyond requiring the full r8 cohort, this pins the
+    REST of the window to r9-cohort rows + the r13 registration, so a
+    fresh entry can't silently displace a stale one."""
+    r8_cohort = {
+        # The full r8 cohort (16) — must all be graded this round:
+        "customer_rfm_segments", "events_heavy_hitter_profile",
+        "events_robust_outliers", "hybrid_rrf_fusion",
+        "hybrid_search_rerank", "ingest_manifest_pipeline",
+        "market_basket_pairs", "q7_volume_shipping",
+        "q9_product_type_profit", "quality_classifier_linear",
+        "schema_evolution_roundtrip", "session_path_analysis",
+        "skyline_3d_grid", "skyline_price_size", "snapshot_diff_census",
+        "text_quality_score",
     }
-    assert must_grade <= set(PRIORITY), sorted(must_grade - set(PRIORITY))
+    r9_cohort = {
+        "array_functions", "boilerplate_ngram_coverage",
+        "bpe_encode_census", "bpe_train_merges", "collocation_pmi_topk",
+        "compaction_rebalance", "csv_roundtrip", "dedup_semdedup_trained",
+        "dedup_span_excision_exact20", "deterministic_sample",
+        "doc_fingerprint", "doc_repetition_stats", "domain_quota_sample",
+        "embedding_norm_stats", "embedding_pca_power",
+        "events_attribution_join", "events_decayed_engagement",
+        "events_dow_hour_profile", "events_gapfill_interpolate",
+        "events_hierarchical_rollup", "events_pivot", "events_props_typed",
+        "events_unpivot", "events_user_activity", "events_value_histogram",
+        "fuzzy_name_pairs", "jsonl_roundtrip", "knn_jl_recall_eval",
+        "knn_quality_gated", "lang_breakdown", "leakage_safe_splits_neardup",
+        "length_bucketed_batching", "map_functions", "mr_distributed_grep",
+        "multimodal_payload_simhash", "multimodal_ppm_roundtrip",
+        "multimodal_wav_roundtrip", "pipeline_corpus_prep",
+        "q11_important_value_parts", "q20_dominant_part_shippers",
+        "q21_waiting_sole_late_supplier", "q8_market_share",
+        "seasonal_naive_backtest", "skew_salted_join",
+        "table_antientropy_checksums", "term_frequencies", "token_count",
+        "unigram_commonness", "vocab_oov_rates", "weighted_priority_sample",
+    }
+    r13_new = {"quantile_sketch_day_range"}
+    window = set(PRIORITY)
+    assert r8_cohort <= window, sorted(r8_cohort - window)
+    rest = window - r8_cohort
+    assert rest <= r9_cohort | r13_new, sorted(rest - (r9_cohort | r13_new))
+    assert len(window & r9_cohort) == 33
