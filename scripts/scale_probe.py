@@ -283,6 +283,13 @@ def main() -> None:
         # volume, so the curve isolates the two sketch-build aggs
         # (store + the one-pass evaluation branch)
         "quantile_sketch_rollup",
+        # r13: the landed store's pruned range read — the store write
+        # memo is keyed by sf-dir basename, so each tier's FIRST timed
+        # run pays that tier's store write + the pruned read (the
+        # sf0.001 warm pass only writes the sf0.001 store): the curve
+        # therefore checks that the WRITE half stays one bounded agg
+        # over the tier's events while the read stays store-sized
+        "quantile_sketch_day_range",
     ]
     # --only a,b restricts the run to a subset (comma-separated) so a
     # fresh-session measurement of newly staged rows doesn't re-time
