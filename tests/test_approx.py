@@ -356,3 +356,34 @@ def test_qsketch_day_range_read_equals_raw_range_sketch(spark, sf_dir):
         assert pruned == raw, (lo, hi)
         if (lo, hi) == (dmin, dmax):
             assert pruned == whole
+
+
+def test_qsketch_bucket_negative_domain_identity(spark):
+    """ADVICE r12 pinned as behavior, not just prose: negative inputs
+    are DOCUMENTED to degrade to exact identity buckets (the
+    ``x < 64`` branch catches them before either engine's log
+    rendering — where ``length(bin(x))`` on a negative would read the
+    two's-complement string). Pin the three renderings agreeing on
+    ``bucket(x) == x`` across the negative domain, so a signed feed
+    degrades to exact counting with cross-engine parity intact, never
+    to a wrong or divergent bucket."""
+    import duckdb
+
+    from ds_mapreduce_spark.operators.sketch import (
+        qsketch_bucket,
+        qsketch_bucket_sql_duckdb,
+    )
+
+    xs = [-1, -2, -63, -64, -65, -4096, -((1 << 62) - 1), -(1 << 62)]
+    df = spark.createDataFrame([(x,) for x in xs], "cents bigint").select(
+        "cents", qsketch_bucket("cents").alias("bucket")
+    )
+    got = {r["cents"]: r["bucket"] for r in df.collect()}
+    expr = qsketch_bucket_sql_duckdb("x")
+    con = duckdb.connect()
+    for x in xs:
+        assert got[x] == x, (x, got[x])
+        dd = con.execute(
+            f"SELECT {expr} FROM (SELECT CAST({x} AS BIGINT) AS x)"
+        ).fetchone()[0]
+        assert dd == x, (x, dd)
