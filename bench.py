@@ -490,6 +490,19 @@ def main() -> None:
                 errors[name] = f"warm: {type(exc).__name__}: {exc}"[:500]
         _drop_dead_checkpoint_blocks(spark)
 
+    # calibration BEFORE the query loop as well as after (r13): the
+    # r13 interference window ROTATED mid-run — one run stalled an
+    # early row and read a clean end-of-run shuffle probe, the next
+    # read 7x — so a single end-of-run probe can both under- and
+    # over-label a run. The pre/post PAIR bounds the window's drift
+    # across the ~10 min the queries take; `calibration` stays the
+    # end-of-run reading every cross-round comparison already uses.
+    try:
+        calibration_pre = calibration_probes(spark)
+    except Exception as exc:
+        calibration_pre = {}
+        errors["__calibration_pre__"] = f"{type(exc).__name__}: {exc}"[:500]
+
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float | None] = {}
     query_env: dict[str, dict[str, float | int]] = {}
@@ -545,6 +558,7 @@ def main() -> None:
         "queries": timings,
         "repeats": repeats,
         "calibration": calibration,
+        "calibration_pre": calibration_pre,
         "busy": bool(foreign),
         "foreign_spark_pids": foreign,
         # hypervisor steal over the whole run: >2-3% means a co-tenant
@@ -575,6 +589,7 @@ def main() -> None:
         "n_errors": len(errors),
         "repeats": repeats,
         "calibration": calibration,
+        "calibration_pre": calibration_pre,
         "busy": bool(foreign),
         "cpu_steal_pct": steal_pct,
         # worst per-query steal and the count of queries during which
