@@ -197,6 +197,12 @@ HEADLINE = [
     # kilobyte counters, never the fact table. Its gap under the
     # rollup row is the whole point: reads that skip the corpus.
     "quantile_sketch_day_range",
+    # round 14: the HLL member of the day-store read family — the
+    # pruned sketch-union read (register-wise MAX over days-in-range
+    # kilobyte sketches) plus the graded evaluation's single filtered
+    # events scan; its delta vs the quantile day-range row prices the
+    # ObjectHashAggregate sketch-union path vs pure counter addition
+    "hll_sketch_day_range",
 ]
 
 
@@ -242,6 +248,75 @@ def calibration_probes(spark) -> dict[str, float]:
             times.append(time.monotonic() - t0)
         out[name] = round(sorted(times)[1], 3)
     return out
+
+
+#: In-family calibration thresholds for the quiet gate (VERDICT r13
+#: #2): the 86-90 s bench family reads cpu ~0.28-0.32 / shuffle
+#: ~1.0-1.2; a run is certified quiet only if both probes land at or
+#: under these bounds AND hypervisor steal over the probe window stays
+#: under 0.5% — the three signals that self-labeled every one of
+#: r13's six tainted attempts.
+QUIET_CPU_MAX = 0.35
+QUIET_SHUFFLE_MAX = 1.4
+QUIET_STEAL_MAX_PCT = 0.5
+
+
+def wait_for_quiet(spark) -> dict[str, object]:
+    """--require-quiet (VERDICT r13 #2): poll the calibration probes
+    until they read in-family, so quiet-hunting is mechanical instead
+    of six manually-labeled attempts (the r13 record). Each poll runs
+    the same table-independent cpu/shuffle probes the recorded bench
+    carries and measures /proc/stat steal across the probe window;
+    off-family polls sleep SPARK_GRAFT_QUIET_POLL_SEC (default 60) and
+    retry until SPARK_GRAFT_QUIET_DEADLINE_SEC (default 3600) elapses.
+    Returns a quiet_gate record for the JSON lines either way — on a
+    missed deadline the bench still RUNS (labeled attempts beat no
+    data; achieved=false tells the reader the gate never opened)."""
+    deadline = float(os.environ.get("SPARK_GRAFT_QUIET_DEADLINE_SEC", "3600"))
+    poll_sleep = float(os.environ.get("SPARK_GRAFT_QUIET_POLL_SEC", "60"))
+    t_start = time.monotonic()
+    attempts = 0
+    last: dict[str, object] = {}
+    while True:
+        attempts += 1
+        s0, t0 = read_cpu_steal()
+        try:
+            probes = calibration_probes(spark)
+        except Exception as exc:
+            probes = {}
+            last = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+        s1, t1 = read_cpu_steal()
+        steal = round(100.0 * (s1 - s0) / (t1 - t0), 2) if t1 > t0 else None
+        if probes:
+            last = {**probes, "steal_pct": steal}
+            quiet = (
+                probes.get("cpu", 99.0) <= QUIET_CPU_MAX
+                and probes.get("shuffle", 99.0) <= QUIET_SHUFFLE_MAX
+                and (steal is None or steal <= QUIET_STEAL_MAX_PCT)
+            )
+            if quiet:
+                return {
+                    "required": True,
+                    "achieved": True,
+                    "attempts": attempts,
+                    "waited_sec": round(time.monotonic() - t_start, 1),
+                    "probe": last,
+                }
+        waited = time.monotonic() - t_start
+        if waited + poll_sleep > deadline:
+            return {
+                "required": True,
+                "achieved": False,
+                "attempts": attempts,
+                "waited_sec": round(waited, 1),
+                "probe": last,
+            }
+        print(
+            f"quiet gate: attempt {attempts} off-family ({last}); "
+            f"sleeping {poll_sleep:.0f}s ({waited:.0f}/{deadline:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(poll_sleep)
 
 
 def detect_foreign_spark_jvms() -> list[int]:
@@ -490,6 +565,27 @@ def main() -> None:
                 errors[name] = f"warm: {type(exc).__name__}: {exc}"[:500]
         _drop_dead_checkpoint_blocks(spark)
 
+    # --require-quiet (or SPARK_GRAFT_REQUIRE_QUIET=1): gate the timed
+    # loop on an in-family calibration read so the recorded total is
+    # certified-quiet by construction (VERDICT r13 #2). Placed AFTER
+    # warmup so the gate's own probes don't pay classloading, and
+    # immediately BEFORE calibration_pre so the certified window and
+    # the recorded pre-probe are back-to-back.
+    quiet_gate: dict[str, object] | None = None
+    if "--require-quiet" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_REQUIRE_QUIET"
+    ) == "1":
+        quiet_gate = wait_for_quiet(spark)
+        if not quiet_gate["achieved"]:
+            print(
+                "WARNING: quiet-gate deadline expired without an "
+                "in-family probe; recording a labeled (non-quiet) run",
+                file=sys.stderr,
+            )
+        # the gate's own steal window ends here; restart the run-level
+        # steal counters so the recorded run steal excludes the wait
+        steal0, total0 = read_cpu_steal()
+
     # calibration BEFORE the query loop as well as after (r13): the
     # r13 interference window ROTATED mid-run — one run stalled an
     # early row and read a clean end-of-run shuffle probe, the next
@@ -572,6 +668,8 @@ def main() -> None:
         "query_env": query_env,
         "sf": sf,
     }
+    if quiet_gate is not None:
+        result["quiet_gate"] = quiet_gate
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
@@ -608,6 +706,7 @@ def main() -> None:
         ),
         "sf": sf,
         "line": "summary",
+        **({"quiet_gate": quiet_gate} if quiet_gate is not None else {}),
     }
     print(json.dumps(summary))
 

@@ -306,3 +306,32 @@ def qsketch_decode_sql_duckdb() -> tuple[str, str]:
         f"+ (1 << {shift}) - 1 END"
     )
     return lo, hi
+
+
+def hll_day_store(events: DataFrame) -> DataFrame:
+    """(event_type, day, sk, n_events): the TIME-PARTITIONED
+    cardinality store — the HLL member of the landed day-store family
+    next to ``qsketch_day_store`` (rank) and the CMS day rows
+    (frequency): one Datasketches-HLL sketch of ``user_id`` per
+    (type, ingest day) plus the exact mergeable event count. Any day
+    range re-aggregates by register-wise MAX union
+    (``F.hll_union_agg``) for the distinct estimate and counter SUM
+    for the exact event count — the fact table is never re-read. The
+    sketch column is opaque bytes, so it parquet-roundtrips losslessly
+    and unions identically after landing. ``day`` uses the repo's
+    portable epoch-day arithmetic (unix_micros DIV 86400000000).
+    100 TB: state is (types x days) rows of ~KB sketches however large
+    the stream; a year of daily-active-user dashboards answers from
+    365 sketch rows per type."""
+    return (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )

@@ -185,64 +185,86 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: r10 cohort, family-balanced. Every IN entry is green under the
 #: in-repo DuckDB parity gate at sf0.001 AND sf0.01 every pytest run;
 #: no driver grading has ever diverged from it.
+#: Round-14 rotation (VERDICT r13 #3 — the staged plan, executed):
+#: CORRECTNESS_r13 graded the r13 window 50/50 hash-green (217/217
+#: ever-graded, zero latest-grade failures), so OUT go all 50 r13
+#: residents. IN (50): ALL 17 r9 leftovers (the stalest evidence
+#: anywhere — VERDICT r13 #3 names them), 32 of the 50-entry r10
+#: cohort chosen family-balanced (all of dedup/format/mr/similarity/
+#: temporal's r10 rows, both r10 stream/text rows, 8 of 15 multimodal,
+#: 12 of 23 relational), and the ONE r14 registration
+#: (hll_sketch_day_range — VERDICT r13 #5's named candidate: the
+#: cardinality member of the landed day-store read family, day filter
+#: plan-locked pruned, estimate branch never touching the fact
+#: table). After this round the oldest grading evidence anywhere
+#: moves from r9 to r10; the 18 r10 leftovers (multimodal: mdct,
+#: mjpeg_avi, png, ppm_resize_real, resize, ulaw, wav_decimate_real;
+#: relational: q16, q17, q18, q22, q4, q5, regex_functions,
+#: set_operations, sql_q6_forecast_revenue, window_rank_per_group,
+#: window_running_sum) are the natural head of the staged r15 window,
+#: topped up from the 50-entry r11 cohort, family-balanced. Every IN
+#: entry is green under the in-repo DuckDB parity gate at sf0.001 AND
+#: sf0.01 every pytest run; no driver grading has ever diverged from
+#: it.
 PRIORITY: tuple[str, ...] = (
     # ---- first 9 slots: one per capability family (graceful
     # ---- degradation if the driver window ever shrinks) ----
-    "csv_roundtrip",              # format: CSV sink/source roundtrip
-    "mr_distributed_grep",        # mr: distributed grep (R8 family)
-    "q7_volume_shipping",         # relational: TPC-H q7
-    "knn_quality_gated",          # similarity: curation-gated ANN
-    "events_heavy_hitter_profile",  # stream: heavy-hitter profile
-    "events_gapfill_interpolate",  # temporal: gapfill + interpolate
-    "text_quality_score",         # text: quality scoring
-    "dedup_span_excision_exact20",  # dedup: exact-20 span excision
-    "multimodal_wav_roundtrip",   # multimodal: WAV container roundtrip
-    # ---- r13 IN: the remaining 13 of the 16-entry r8 cohort ----
-    "customer_rfm_segments",      # RFM segmentation
-    "events_robust_outliers",     # median/MAD robust outliers
-    "hybrid_rrf_fusion",          # reciprocal-rank fusion
-    "hybrid_search_rerank",       # lexical+vector hybrid rerank
-    "ingest_manifest_pipeline",   # manifest-driven ingest
-    "market_basket_pairs",        # co-occurrence basket pairs
-    "q9_product_type_profit",     # TPC-H q9
-    "quality_classifier_linear",  # linear quality classifier
-    "schema_evolution_roundtrip",  # format: schema-merge roundtrip
-    "session_path_analysis",      # session path analysis
-    "skyline_3d_grid",            # 3-D grid skyline
-    "skyline_price_size",         # 2-D skyline
-    "snapshot_diff_census",       # snapshot diff census
-    # ---- r13 IN: 27 more of the 50-entry r9 cohort ----
-    "dedup_semdedup_trained",     # dedup: trained SemDeDup
-    "leakage_safe_splits_neardup",  # dedup: near-dup-safe splits
-    "compaction_rebalance",       # format: small-file compaction
-    "jsonl_roundtrip",            # format: JSONL sink/source
-    "table_antientropy_checksums",  # format: anti-entropy checksums
-    "multimodal_payload_simhash",  # multimodal: byte-shingle SimHash
-    "multimodal_ppm_roundtrip",   # multimodal: PPM image roundtrip
-    "q11_important_value_parts",  # relational: TPC-H q11
-    "q20_dominant_part_shippers",  # relational: TPC-H q20
-    "q21_waiting_sole_late_supplier",  # relational: TPC-H q21
-    "q8_market_share",            # relational: TPC-H q8
-    "embedding_norm_stats",       # similarity: norm statistics
-    "embedding_pca_power",        # similarity: PCA power iteration
-    "knn_jl_recall_eval",         # similarity: JL-projection recall
-    "seasonal_naive_backtest",    # temporal: seasonal-naive backtest
-    "events_attribution_join",    # stream: attribution join
-    "events_decayed_engagement",  # stream: decayed engagement
-    "events_hierarchical_rollup",  # stream: ROLLUP hierarchy
-    "events_props_typed",         # stream: typed JSON props (E14)
-    "skew_salted_join",           # stream: salted skew join
-    "bpe_train_merges",           # text: BPE merge training
-    "collocation_pmi_topk",       # text: PMI collocations
-    "doc_fingerprint",            # text: rolling-hash fingerprint
-    "lang_breakdown",             # text: language-ID breakdown
-    "token_count",                # text: tokenizer census
-    "weighted_priority_sample",   # text: weighted sampling
-    "boilerplate_ngram_coverage",  # text: boilerplate n-gram coverage
-    # ---- r13 IN: the 1 net-new registration ----
-    "quantile_sketch_day_range",  # r13: pruned day-range store read
+    "gzip_jsonl_roundtrip",       # format: gzip JSONL roundtrip
+    "mr_salted_wordcount",        # mr: salted wordcount
+    "q12_priority_by_returnflag",  # relational: TPC-H q12
+    "knn_bruteforce",             # similarity: brute-force top-k
+    "events_user_activity",       # stream: per-user activity profile
+    "range_join_price_bands",     # temporal: range join
+    "term_frequencies",           # text: term frequencies
+    "dedup_connected_components",  # dedup: CC over near-dup edges
+    "multimodal_jpeg_roundtrip",  # multimodal: JPEG roundtrip
+    # ---- r14 IN: the remaining 15 of the 17-entry r9 cohort ----
+    "events_dow_hour_profile",    # day-of-week/hour profile
+    "events_pivot",               # pivot to per-type columns
+    "events_unpivot",             # unpivot back to long form
+    "events_value_histogram",     # fixed-width value histogram
+    "array_functions",            # array function suite
+    "bpe_encode_census",          # BPE encode census
+    "deterministic_sample",       # hash-deterministic sample
+    "doc_repetition_stats",       # intra-doc repetition stats
+    "domain_quota_sample",        # per-domain quota sample
+    "fuzzy_name_pairs",           # fuzzy name-pair blocking
+    "length_bucketed_batching",   # length-bucketed batch plan
+    "map_functions",              # map function suite
+    "pipeline_corpus_prep",       # chained corpus-prep pipeline
+    "unigram_commonness",         # unigram commonness scoring
+    "vocab_oov_rates",            # vocabulary OOV rates
+    # ---- r14 IN: 25 more of the 50-entry r10 cohort ----
+    "dedup_embedding_cosine",     # dedup: embedding-cosine near-dup
+    "dedup_embedding_srp",        # dedup: SRP-LSH near-dup
+    "dedup_span_winnow_screen",   # dedup: winnowing span screen
+    "mr_generic_charcount",       # mr: generic char count
+    "wordcount_topk",             # mr: top-k wordcount
+    "events_cohort_retention",    # stream: cohort retention
+    "doc_winnowing_fingerprints",  # text: winnowing fingerprints
+    "multimodal_adpcm_roundtrip",  # multimodal: ADPCM roundtrip
+    "multimodal_animgif_roundtrip",  # multimodal: animated GIF
+    "multimodal_flac_roundtrip",  # multimodal: FLAC roundtrip
+    "multimodal_frame_sample",    # multimodal: frame sampling
+    "multimodal_gif_roundtrip",   # multimodal: GIF roundtrip
+    "multimodal_jpeg_color_roundtrip",  # multimodal: color JPEG
+    "multimodal_mcv_roundtrip",   # multimodal: MCV roundtrip
+    "agg_cube",                   # relational: CUBE aggregate
+    "agg_percentiles",            # relational: exact percentiles
+    "agg_rollup",                 # relational: ROLLUP aggregate
+    "cdc_latest_wins_merge",      # relational: CDC latest-wins
+    "date_functions",             # relational: date function suite
+    "distinct_values",            # relational: distinct census
+    "filter_project",             # relational: filter+project
+    "join_left_outer",            # relational: left outer join
+    "join_semi_anti",             # relational: semi/anti joins
+    "q13_order_count_distribution",  # relational: TPC-H q13
+    "q14_promo_revenue_ratio",    # relational: TPC-H q14
+    # (5 r10 slots above are family reps in the first 9; the other 18
+    # r10 rows stay r10-evidenced and head the staged r15 window)
+    # ---- r14 IN: the 1 net-new registration ----
+    "hll_sketch_day_range",       # r14: pruned HLL day-range read
 )
-
 
 def load_all() -> dict[str, Query]:
     """Import every plan module (side-effect: fills REGISTRY), then

@@ -1769,52 +1769,78 @@ def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: (applicationId, sf basename) -> (store path, d_lo, d_hi): the
-#: day-partitioned quantile-sketch store written ONCE per session (the
+#: (applicationId, sf basename, store name) -> (store path, d_lo,
+#: d_hi): a day-partitioned sketch store written ONCE per session (the
 #: format_queries _WRITTEN memo pattern — schema-only consumers don't
 #: re-run the write job; applicationId keying avoids cross-run races on
 #: a predictable /tmp path), plus the middle-third day bounds derived
 #: from the store's partition metadata. Bounds are literals by the time
 #: the graded query plans, so the day filter prunes STATICALLY.
-_QS_STORE: dict[tuple[str, str], tuple[str, int, int]] = {}
+_DAY_STORES: dict[tuple[str, str, str], tuple[str, int, int]] = {}
 
 
-def _qsketch_landed_store(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+def _landed_day_store(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: "Callable[[DataFrame], DataFrame]",
+) -> tuple[str, int, int]:
+    """Memoized day-partitioned landed store: ``build(events)`` must
+    emit a ``day`` column; the result lands as day-partitioned parquet
+    under /tmp exactly once per (session, sf). A memo hit re-checks the
+    store's ``_SUCCESS`` marker and rebuilds if a /tmp wipe took the
+    directory (VERDICT r13 #4 — the r13 scale-tier session hit exactly
+    that mid-session wipe, and a stale memo turns the next range read
+    into an AnalysisException on a missing path)."""
     import os
     import tempfile
 
-    from ds_mapreduce_spark.operators.sketch import qsketch_day_store
-
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     app = spark.sparkContext.applicationId
-    key = (app, sf)
-    if key not in _QS_STORE:
-        out = os.path.join(
-            tempfile.gettempdir(), "ds_mapreduce_spark", app, f"qsketch_day_store_{sf}"
-        )
-        ev = load_table(spark, sf_dir, "events")
-        # ONE events scan: the write is the only action that touches the
-        # fact table. repartition("day") puts each day wholly in one
-        # task so partitionBy("day") emits one file per day directory.
-        (
-            qsketch_day_store(ev)
-            .repartition("day")
-            .write.mode("overwrite")
-            .partitionBy("day")
-            .parquet(out)
-        )
-        # Middle-third contiguous day range [dmin + span/3, dmin + 2*span/3]:
-        # min/max of a partition column resolve from directory metadata —
-        # no data files are opened, and the fact table is not re-read.
-        row = (
-            spark.read.parquet(out)
-            .agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
-            .first()
-        )
-        dmin, dmax = int(row["dmin"]), int(row["dmax"])
-        span = dmax - dmin
-        _QS_STORE[key] = (out, dmin + span // 3, dmin + 2 * span // 3)
-    return _QS_STORE[key]
+    key = (app, sf, name)
+    if key in _DAY_STORES:
+        path = _DAY_STORES[key][0]
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return _DAY_STORES[key]
+        del _DAY_STORES[key]
+    out = os.path.join(
+        tempfile.gettempdir(), "ds_mapreduce_spark", app, f"{name}_{sf}"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    # ONE events scan: the write is the only action that touches the
+    # fact table. repartition("day") puts each day wholly in one
+    # task so partitionBy("day") emits one file per day directory.
+    (
+        build(ev)
+        .repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    # Middle-third contiguous day range [dmin + span/3, dmin + 2*span/3]:
+    # min/max of a partition column resolve from directory metadata —
+    # no data files are opened, and the fact table is not re-read.
+    row = (
+        spark.read.parquet(out)
+        .agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+        .first()
+    )
+    dmin, dmax = int(row["dmin"]), int(row["dmax"])
+    span = dmax - dmin
+    _DAY_STORES[key] = (out, dmin + span // 3, dmin + 2 * span // 3)
+    return _DAY_STORES[key]
+
+
+def _qsketch_landed_store(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    from ds_mapreduce_spark.operators.sketch import qsketch_day_store
+
+    return _landed_day_store(spark, sf_dir, "qsketch_day_store", qsketch_day_store)
+
+
+def _hll_landed_store(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    from ds_mapreduce_spark.operators.sketch import hll_day_store
+
+    return _landed_day_store(spark, sf_dir, "hll_day_store", hll_day_store)
 
 
 @register(
@@ -1925,4 +1951,89 @@ def q_quantile_sketch_day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(d_hi).cast("bigint").alias("d_hi"),
         "n_days_read",
         "store_rows_read",
+    )
+
+
+@register(
+    "hll_sketch_day_range",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         user_id
+  FROM events
+),
+b AS (
+  SELECT MIN(day) + (MAX(day) - MIN(day)) // 3 AS d_lo,
+         MIN(day) + 2 * (MAX(day) - MIN(day)) // 3 AS d_hi
+  FROM e
+),
+f AS (SELECT e.* FROM e, b WHERE e.day BETWEEN b.d_lo AND b.d_hi)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days_read,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST((SELECT d_lo FROM b) AS BIGINT) AS d_lo,
+       CAST((SELECT d_hi FROM b) AS BIGINT) AS d_hi,
+       TRUE AS merge_consistent,
+       TRUE AS hll_within_bounds
+FROM f GROUP BY event_type
+""",
+    doc="HLL day-RANGE read (r14) — the cardinality member of the "
+    "landed day-store read family, completing the pattern "
+    "quantile_sketch_day_range (rank, r13) proved: one Datasketches-"
+    "HLL sketch of user_id plus an exact event count lands per "
+    "(event_type, ingest day) as day-partitioned parquet "
+    "(operators/sketch.py:hll_day_store, written once per session via "
+    "the memoized _landed_day_store), and per-type distinct-user "
+    "estimates for a contiguous middle-third day subrange are answered "
+    "from that store by register-wise MAX union (F.hll_union_agg) over "
+    "the pruned days — the day filter is a literal BETWEEN over the "
+    "hive partition column, resolved against directory metadata at "
+    "planning time (plan-locked: the store scan carries a day "
+    "PartitionFilters entry with both bounds and day is absent from "
+    "ReadSchema). Engine-specific estimates never cross the comparison "
+    "boundary (the approx_distinct_rollup contract): the graded row "
+    "emits the EXACT mergeable n_events summed from landed counters "
+    "(hash-proving the partitioned write round-trips losslessly), the "
+    "days-read census, the exact distinct-user count, and two "
+    "Spark-side booleans — merged-union-vs-direct-sketch consistency "
+    "within 4% (densified HLL_4 unions drift ~1% through the HLL_8 "
+    "gadget) and estimate-vs-exact within 5%. The exact/direct side is "
+    "the query's ONE events scan, filtered to the same literal day "
+    "range. 100 TB: the daily-active-users dashboard — a month of "
+    "per-type DAU over a year-partitioned store opens ~30 directories "
+    "of kilobyte sketches; only the graded evaluation ever touches the "
+    "fact table, and on day-partitioned production data that scan "
+    "prunes to the same ~30 days.",
+)
+def q_hll_sketch_day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, d_lo, d_hi = _hll_landed_store(spark, sf_dir)
+    store = spark.read.parquet(path).where(
+        (F.col("day") >= F.lit(d_lo)) & (F.col("day") <= F.lit(d_hi))
+    )
+    merged = store.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__merged"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.countDistinct("day").cast("bigint").alias("n_days_read"),
+    )
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    ev = load_table(spark, sf_dir, "events").where(
+        (day >= F.lit(d_lo)) & (day <= F.lit(d_hi))
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("__direct"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        "n_events",
+        "n_days_read",
+        "exact_users",
+        F.lit(d_lo).cast("bigint").alias("d_lo"),
+        F.lit(d_hi).cast("bigint").alias("d_hi"),
+        (F.abs(F.col("__merged") - F.col("__direct")) * 25 <= F.col("__direct"))
+        .alias("merge_consistent"),
+        (F.abs(F.col("__merged") - F.col("exact_users")) * 20 <= F.col("exact_users"))
+        .alias("hll_within_bounds"),
     )

@@ -82,51 +82,53 @@ def test_queries_md_matches_registry():
 
 
 def test_check_window_covers_the_stale_cohort():
-    """The queries this round's rotation must grade: with 216/216
-    ever-graded after r12 and zero backlog, the window's job is
-    freshness — VERDICT r12 #1 names the 16-entry r8 cohort (the
-    stalest evidence anywhere) plus ~34 of the 50-entry r9 cohort (a
+    """The queries this round's rotation must grade: with 217/217
+    ever-graded after r13 and zero backlog, the window's job is
+    freshness — VERDICT r13 #3 names the 17 r9 leftovers (the stalest
+    evidence anywhere) topped up from the 50-entry r10 cohort (a
     rotated-out entry keeps both-scale in-repo DuckDB parity coverage
     every pytest run, and no driver grading has ever diverged from
-    that gate). Beyond requiring the full r8 cohort, this pins the
-    REST of the window to r9-cohort rows + the r13 registration, so a
-    fresh entry can't silently displace a stale one."""
-    r8_cohort = {
-        # The full r8 cohort (16) — must all be graded this round:
-        "customer_rfm_segments", "events_heavy_hitter_profile",
-        "events_robust_outliers", "hybrid_rrf_fusion",
-        "hybrid_search_rerank", "ingest_manifest_pipeline",
-        "market_basket_pairs", "q7_volume_shipping",
-        "q9_product_type_profit", "quality_classifier_linear",
-        "schema_evolution_roundtrip", "session_path_analysis",
-        "skyline_3d_grid", "skyline_price_size", "snapshot_diff_census",
-        "text_quality_score",
+    that gate). Beyond requiring the full r9-leftover set, this pins
+    the REST of the window to r10-cohort rows + the r14 registration,
+    so a fresh entry can't silently displace a stale one."""
+    r9_leftovers = {
+        # All 17 entries last graded r9 — must all be graded this round:
+        "array_functions", "bpe_encode_census", "deterministic_sample",
+        "doc_repetition_stats", "domain_quota_sample",
+        "events_dow_hour_profile", "events_pivot", "events_unpivot",
+        "events_user_activity", "events_value_histogram",
+        "fuzzy_name_pairs", "length_bucketed_batching", "map_functions",
+        "pipeline_corpus_prep", "term_frequencies", "unigram_commonness",
+        "vocab_oov_rates",
     }
-    r9_cohort = {
-        "array_functions", "boilerplate_ngram_coverage",
-        "bpe_encode_census", "bpe_train_merges", "collocation_pmi_topk",
-        "compaction_rebalance", "csv_roundtrip", "dedup_semdedup_trained",
-        "dedup_span_excision_exact20", "deterministic_sample",
-        "doc_fingerprint", "doc_repetition_stats", "domain_quota_sample",
-        "embedding_norm_stats", "embedding_pca_power",
-        "events_attribution_join", "events_decayed_engagement",
-        "events_dow_hour_profile", "events_gapfill_interpolate",
-        "events_hierarchical_rollup", "events_pivot", "events_props_typed",
-        "events_unpivot", "events_user_activity", "events_value_histogram",
-        "fuzzy_name_pairs", "jsonl_roundtrip", "knn_jl_recall_eval",
-        "knn_quality_gated", "lang_breakdown", "leakage_safe_splits_neardup",
-        "length_bucketed_batching", "map_functions", "mr_distributed_grep",
-        "multimodal_payload_simhash", "multimodal_ppm_roundtrip",
-        "multimodal_wav_roundtrip", "pipeline_corpus_prep",
-        "q11_important_value_parts", "q20_dominant_part_shippers",
-        "q21_waiting_sole_late_supplier", "q8_market_share",
-        "seasonal_naive_backtest", "skew_salted_join",
-        "table_antientropy_checksums", "term_frequencies", "token_count",
-        "unigram_commonness", "vocab_oov_rates", "weighted_priority_sample",
+    r10_cohort = {
+        "agg_cube", "agg_percentiles", "agg_rollup",
+        "cdc_latest_wins_merge", "date_functions",
+        "dedup_connected_components", "dedup_embedding_cosine",
+        "dedup_embedding_srp", "dedup_span_winnow_screen",
+        "distinct_values", "doc_winnowing_fingerprints",
+        "events_cohort_retention", "filter_project",
+        "gzip_jsonl_roundtrip", "join_left_outer", "join_semi_anti",
+        "knn_bruteforce", "mr_generic_charcount", "mr_salted_wordcount",
+        "multimodal_adpcm_roundtrip", "multimodal_animgif_roundtrip",
+        "multimodal_flac_roundtrip", "multimodal_frame_sample",
+        "multimodal_gif_roundtrip", "multimodal_jpeg_color_roundtrip",
+        "multimodal_jpeg_roundtrip", "multimodal_mcv_roundtrip",
+        "multimodal_mdct_roundtrip", "multimodal_mjpeg_avi_roundtrip",
+        "multimodal_png_roundtrip", "multimodal_ppm_resize_real",
+        "multimodal_resize", "multimodal_ulaw_roundtrip",
+        "multimodal_wav_decimate_real", "q12_priority_by_returnflag",
+        "q13_order_count_distribution", "q14_promo_revenue_ratio",
+        "q16_supplier_part_variety", "q17_small_quantity_revenue",
+        "q18_large_volume_customers", "q22_dormant_rich_customers",
+        "q4_late_shipment_priority", "q5_local_supplier_volume",
+        "range_join_price_bands", "regex_functions", "set_operations",
+        "sql_q6_forecast_revenue", "window_rank_per_group",
+        "window_running_sum", "wordcount_topk",
     }
-    r13_new = {"quantile_sketch_day_range"}
+    r14_new = {"hll_sketch_day_range"}
     window = set(PRIORITY)
-    assert r8_cohort <= window, sorted(r8_cohort - window)
-    rest = window - r8_cohort
-    assert rest <= r9_cohort | r13_new, sorted(rest - (r9_cohort | r13_new))
-    assert len(window & r9_cohort) == 33
+    assert r9_leftovers <= window, sorted(r9_leftovers - window)
+    rest = window - r9_leftovers
+    assert rest <= r10_cohort | r14_new, sorted(rest - (r10_cohort | r14_new))
+    assert len(window & r10_cohort) == 32

@@ -975,6 +975,63 @@ def test_quantile_sketch_day_range_reads_only_the_pruned_store(spark, sf_dir):
     assert "events.parquet" not in plan and "testdata" not in plan, plan
 
 
+def test_hll_day_range_prunes_store_and_scans_events_once(spark, sf_dir):
+    """The HLL day-range read (r14) must answer its estimate branch
+    ENTIRELY from the landed day store: the store scan resolves the
+    literal day range against hive directory metadata at planning time
+    (a day PartitionFilters entry with BOTH bounds; day absent from
+    every ReadSchema — it exists only as directory names). Unlike the
+    quantile row, the graded evaluation side (exact distinct + direct
+    sketch) legitimately reads events — but exactly ONCE: both exact
+    columns come from one groupBy over one filtered scan. A second
+    events scan means the estimate branch fell back to the fact table;
+    a missing PartitionFilters means the dashboard read scans every
+    day ever landed."""
+    plan = _plan(spark, sf_dir, "hll_sketch_day_range")
+    assert "hll_day_store" in plan, plan
+    store_pfs = [
+        p
+        for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "day" in p
+    ]
+    assert store_pfs and all(">=" in p and "<=" in p for p in store_pfs), plan
+    for rs in re.findall(r"ReadSchema: ([^\n]*)", plan):
+        assert "day" not in rs, rs
+    assert len(re.findall(r"events\.parquet", plan)) == 1, plan
+
+
+def test_landed_day_store_rebuilds_after_tmp_wipe(spark, sf_dir):
+    """VERDICT r13 #4: a memo hit on `_landed_day_store` must
+    existence-check the store directory — the r13 scale-tier session
+    hit a mid-session /tmp wipe, and a stale memo would turn the next
+    day-range call into an AnalysisException on a missing path. Wipe
+    the store between two calls and the query must rebuild and return
+    the identical answer."""
+    import shutil
+
+    from ds_mapreduce_spark.plans import stream_queries as sq
+
+    before = sorted(
+        REGISTRY["hll_sketch_day_range"].fn(spark, sf_dir).collect()
+    )
+    path, _, _ = sq._hll_landed_store(spark, sf_dir)
+    shutil.rmtree(path)
+    after = sorted(
+        REGISTRY["hll_sketch_day_range"].fn(spark, sf_dir).collect()
+    )
+    assert after == before
+    # The quantile store shares the helper — same contract.
+    qpath, _, _ = sq._qsketch_landed_store(spark, sf_dir)
+    qbefore = sorted(
+        REGISTRY["quantile_sketch_day_range"].fn(spark, sf_dir).collect()
+    )
+    shutil.rmtree(qpath)
+    qafter = sorted(
+        REGISTRY["quantile_sketch_day_range"].fn(spark, sf_dir).collect()
+    )
+    assert qafter == qbefore
+
+
 def test_hof_over_sequence_detector_self_test(spark):
     """The lock must actually fire on a reintroduced synth: a plan
     carrying transform(sequence(...)) counts 1; a HOF over a literal
