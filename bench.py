@@ -203,6 +203,11 @@ HEADLINE = [
     # events scan; its delta vs the quantile day-range row prices the
     # ObjectHashAggregate sketch-union path vs pure counter addition
     "hll_sketch_day_range",
+    # round 14: the frequency member completing the day-store triad —
+    # counter-SUM range merge over pruned days + the exact top-10
+    # probe; its delta vs the quantile day-range row prices the x4
+    # explode probe join vs pure window walking
+    "cms_sketch_day_range",
 ]
 
 

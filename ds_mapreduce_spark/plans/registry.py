@@ -189,17 +189,19 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: CORRECTNESS_r13 graded the r13 window 50/50 hash-green (217/217
 #: ever-graded, zero latest-grade failures), so OUT go all 50 r13
 #: residents. IN (50): ALL 17 r9 leftovers (the stalest evidence
-#: anywhere — VERDICT r13 #3 names them), 32 of the 50-entry r10
+#: anywhere — VERDICT r13 #3 names them), 31 of the 50-entry r10
 #: cohort chosen family-balanced (all of dedup/format/mr/similarity/
 #: temporal's r10 rows, both r10 stream/text rows, 8 of 15 multimodal,
-#: 12 of 23 relational), and the ONE r14 registration
+#: 11 of 23 relational), and the TWO r14 registrations
 #: (hll_sketch_day_range — VERDICT r13 #5's named candidate: the
-#: cardinality member of the landed day-store read family, day filter
-#: plan-locked pruned, estimate branch never touching the fact
-#: table). After this round the oldest grading evidence anywhere
-#: moves from r9 to r10; the 18 r10 leftovers (multimodal: mdct,
+#: cardinality member of the landed day-store read family — and
+#: cms_sketch_day_range, the frequency member that completes the
+#: CMS/HLL/quantile triad; both day filters plan-locked pruned, both
+#: estimate branches never touching the fact table; net-new = the
+#: allowed 2). After this round the oldest grading evidence anywhere
+#: moves from r9 to r10; the 19 r10 leftovers (multimodal: mdct,
 #: mjpeg_avi, png, ppm_resize_real, resize, ulaw, wav_decimate_real;
-#: relational: q16, q17, q18, q22, q4, q5, regex_functions,
+#: relational: q14, q16, q17, q18, q22, q4, q5, regex_functions,
 #: set_operations, sql_q6_forecast_revenue, window_rank_per_group,
 #: window_running_sum) are the natural head of the staged r15 window,
 #: topped up from the 50-entry r11 cohort, family-balanced. Every IN
@@ -259,11 +261,11 @@ PRIORITY: tuple[str, ...] = (
     "join_left_outer",            # relational: left outer join
     "join_semi_anti",             # relational: semi/anti joins
     "q13_order_count_distribution",  # relational: TPC-H q13
-    "q14_promo_revenue_ratio",    # relational: TPC-H q14
-    # (5 r10 slots above are family reps in the first 9; the other 18
+    # (6 r10 slots above are family reps in the first 9; the other 19
     # r10 rows stay r10-evidenced and head the staged r15 window)
-    # ---- r14 IN: the 1 net-new registration ----
+    # ---- r14 IN: the 2 net-new registrations ----
     "hll_sketch_day_range",       # r14: pruned HLL day-range read
+    "cms_sketch_day_range",       # r14: pruned CMS day-range read
 )
 
 def load_all() -> dict[str, Query]:

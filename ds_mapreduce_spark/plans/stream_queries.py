@@ -1318,6 +1318,42 @@ def cms_counters(events: DataFrame, depth: int = 4, width: int = 256) -> DataFra
     )
 
 
+def cms_day_store(events: DataFrame, depth: int = 4, width: int = 256) -> DataFrame:
+    """(day, j, bucket, c): the TIME-PARTITIONED Count-Min store — the
+    frequency member of the landed day-store family next to
+    ``qsketch_day_store`` (rank) and ``hll_day_store`` (cardinality):
+    one depth x width counter table lands per ingest day, and any day
+    range re-aggregates by counter ADDITION (``cms_merge`` semantics,
+    associative), deterministically BIT-IDENTICAL to sketching the raw
+    range — and, because the hash family is the repo's md5-portable
+    convention, bit-identical cross-engine too, so a range read can be
+    hash-graded exactly. ``day`` uses the repo's portable epoch-day
+    arithmetic (unix_micros DIV 86400000000). 100 TB: state is
+    (days x depth x width) rows however large the stream."""
+    pairs = events.select(
+        F.col("user_id").cast("string").alias("k"),
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("k"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        pairs.select("day", "j", bucket.alias("bucket"))
+        .groupBy("day", "j", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
 def cms_merge(*parts: DataFrame) -> DataFrame:
     """Merge Count-Min sketches by elementwise counter addition — the
     associative property that makes the sketch streamable: any chunking
@@ -1394,7 +1430,11 @@ cms AS (
   GROUP BY 1, 2
 ),
 pk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_events FROM ev GROUP BY k),
-top AS (SELECT k, n_events FROM pk ORDER BY n_events DESC, k LIMIT 10),
+-- tie-break numerically (Spark orders by BIGINT user_id; VARCHAR k
+-- would rank '106' before '12' and flip ties at the rank-10 boundary
+-- — the r14 day-range row hit exactly this at sf0.01)
+top AS (SELECT k, n_events FROM pk
+        ORDER BY n_events DESC, CAST(k AS BIGINT) LIMIT 10),
 est AS (
   SELECT t.k, t.n_events, MIN(c.c) AS cms_estimate
   FROM top t CROSS JOIN dim d
@@ -2036,4 +2076,120 @@ def q_hll_sketch_day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("merge_consistent"),
         (F.abs(F.col("__merged") - F.col("exact_users")) * 20 <= F.col("exact_users"))
         .alias("hll_within_bounds"),
+    )
+
+
+def _cms_landed_store(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    return _landed_day_store(spark, sf_dir, "cms_day_store", cms_day_store)
+
+
+@register(
+    "cms_sketch_day_range",
+    oracle="""
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS k,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+b AS (
+  SELECT MIN(day) + (MAX(day) - MIN(day)) // 3 AS d_lo,
+         MIN(day) + 2 * (MAX(day) - MIN(day)) // 3 AS d_hi
+  FROM e
+),
+f AS (SELECT e.* FROM e, b WHERE e.day BETWEEN b.d_lo AND b.d_hi),
+dim AS (SELECT unnest(range(4)) AS j),
+store AS (
+  SELECT day, j,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 8)) AS BIGINT)
+           % 256 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM f CROSS JOIN dim
+  GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT j, bucket, CAST(SUM(c) AS BIGINT) AS c
+  FROM store GROUP BY 1, 2
+),
+census AS (
+  SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days_read FROM store
+),
+pk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_events FROM f GROUP BY k),
+-- tie-break numerically (Spark orders by BIGINT user_id; VARCHAR k
+-- would rank '106' before '12' and flip ties at the rank-10 boundary)
+top AS (SELECT k, n_events FROM pk
+        ORDER BY n_events DESC, CAST(k AS BIGINT) LIMIT 10),
+est AS (
+  SELECT t.k, t.n_events, MIN(c.c) AS cms_estimate
+  FROM top t CROSS JOIN dim d
+  JOIN merged c
+    ON c.j = d.j
+   AND c.bucket = CAST(('0x' || substr(md5(CAST(d.j AS VARCHAR) || ':' || t.k), 1, 8))
+                       AS BIGINT) % 256
+  GROUP BY t.k, t.n_events
+)
+SELECT CAST(k AS BIGINT) AS user_id, n_events,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - n_events AS BIGINT) AS overcount,
+       CAST((SELECT d_lo FROM b) AS BIGINT) AS d_lo,
+       CAST((SELECT d_hi FROM b) AS BIGINT) AS d_hi,
+       (SELECT n_days_read FROM census) AS n_days_read
+FROM est
+""",
+    doc="Count-Min day-RANGE read (r14) — the frequency member that "
+    "COMPLETES the landed day-store read triad next to "
+    "quantile_sketch_day_range (rank, r13) and hll_sketch_day_range "
+    "(cardinality, r14): one 4x256 counter table lands per ingest day "
+    "as day-partitioned parquet (cms_day_store, written once per "
+    "session via the memoized _landed_day_store), and the range "
+    "sketch for a contiguous middle-third day subrange is the counter "
+    "SUM over the pruned days — associative, so it is provably "
+    "bit-identical to sketching the raw range, and because the hash "
+    "family is the repo's md5-portable convention the estimates "
+    "themselves are hash-graded EXACTLY (unlike the HLL row's "
+    "engine-specific estimates, no boolean indirection is needed — "
+    "the CMS analogue of the quantile row's determinism). The day "
+    "filter is a literal BETWEEN over the hive partition column, "
+    "resolved against directory metadata at planning time "
+    "(plan-locked: store scan carries a day PartitionFilters entry "
+    "with both bounds, day absent from ReadSchema). The graded "
+    "evaluation probes the exact in-range top-10 users — the query's "
+    "ONE events scan — and every row carries the CMS's deterministic "
+    "one-sided guarantee (overcount >= 0). 100 TB: the trending-items "
+    "dashboard — a month of heavy-hitter estimates over a "
+    "year-partitioned store sums ~30 directories of 1024-counter "
+    "tables; only the exact evaluation ever touches the fact table, "
+    "and on day-partitioned production data that scan prunes to the "
+    "same ~30 days.",
+)
+def q_cms_sketch_day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, d_lo, d_hi = _cms_landed_store(spark, sf_dir)
+    store = spark.read.parquet(path).where(
+        (F.col("day") >= F.lit(d_lo)) & (F.col("day") <= F.lit(d_hi))
+    )
+    merged = cms_merge(store.select("j", "bucket", "c"))
+    n_days = store.select(
+        F.countDistinct("day").cast("bigint").alias("n_days_read")
+    )
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    ev = load_table(spark, sf_dir, "events").where(
+        (day >= F.lit(d_lo)) & (day <= F.lit(d_hi))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(10)
+    )
+    return (
+        cms_probe_estimates(merged, top, depth=4, width=256)
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "user_id",
+            "n_events",
+            "cms_estimate",
+            "overcount",
+            F.lit(d_lo).cast("bigint").alias("d_lo"),
+            F.lit(d_hi).cast("bigint").alias("d_hi"),
+            "n_days_read",
+        )
     )

@@ -290,6 +290,13 @@ def main() -> None:
         # therefore checks that the WRITE half stays one bounded agg
         # over the tier's events while the read stays store-sized
         "quantile_sketch_day_range",
+        # r14: the two new landed-store range reads — same write+read
+        # tier accounting as the quantile row above; the HLL curve
+        # adds the ObjectHashAggregate sketch-union path and the CMS
+        # curve the x4 explode probe join, both over day-pruned
+        # kilobyte stores plus one filtered events scan (evaluation)
+        "hll_sketch_day_range",
+        "cms_sketch_day_range",
     ]
     # --only a,b restricts the run to a subset (comma-separated) so a
     # fresh-session measurement of newly staged rows doesn't re-time

@@ -126,9 +126,10 @@ def test_check_window_covers_the_stale_cohort():
         "sql_q6_forecast_revenue", "window_rank_per_group",
         "window_running_sum", "wordcount_topk",
     }
-    r14_new = {"hll_sketch_day_range"}
+    r14_new = {"hll_sketch_day_range", "cms_sketch_day_range"}
     window = set(PRIORITY)
     assert r9_leftovers <= window, sorted(r9_leftovers - window)
     rest = window - r9_leftovers
     assert rest <= r10_cohort | r14_new, sorted(rest - (r10_cohort | r14_new))
-    assert len(window & r10_cohort) == 32
+    assert len(window & r10_cohort) == 31
+    assert r14_new <= window

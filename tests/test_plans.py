@@ -1000,6 +1000,26 @@ def test_hll_day_range_prunes_store_and_scans_events_once(spark, sf_dir):
     assert len(re.findall(r"events\.parquet", plan)) == 1, plan
 
 
+def test_cms_day_range_prunes_store_and_scans_events_once(spark, sf_dir):
+    """The CMS day-range read (r14) — same contract as the HLL lock:
+    the range sketch comes from the landed day store with the literal
+    day range resolved against hive directory metadata (PartitionFilters
+    with BOTH bounds; day absent from every ReadSchema), and the fact
+    table is scanned exactly ONCE, by the graded exact-top-10
+    evaluation branch."""
+    plan = _plan(spark, sf_dir, "cms_sketch_day_range")
+    assert "cms_day_store" in plan, plan
+    store_pfs = [
+        p
+        for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "day" in p
+    ]
+    assert store_pfs and all(">=" in p and "<=" in p for p in store_pfs), plan
+    for rs in re.findall(r"ReadSchema: ([^\n]*)", plan):
+        assert "day" not in rs, rs
+    assert len(re.findall(r"events\.parquet", plan)) == 1, plan
+
+
 def test_landed_day_store_rebuilds_after_tmp_wipe(spark, sf_dir):
     """VERDICT r13 #4: a memo hit on `_landed_day_store` must
     existence-check the store directory — the r13 scale-tier session
