@@ -208,6 +208,14 @@ HEADLINE = [
     # probe; its delta vs the quantile day-range row prices the x4
     # explode probe join vs pure window walking
     "cms_sketch_day_range",
+    # round 15: the day-store maintenance lifecycle step — fragmented
+    # incremental-ingest store re-aggregated to one file per day. Both
+    # store writes are memoized per session (repeat 1 pays the 3-batch
+    # ingest + the compaction rewrite; the median-of-3 prices the
+    # steady-state compacted read); its delta vs the quantile
+    # day-range row prices reading TWO whole stores (frag + compacted
+    # quantile walks + the row census) vs one pruned range
+    "sketch_store_compaction",
 ]
 
 

@@ -185,6 +185,32 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: r10 cohort, family-balanced. Every IN entry is green under the
 #: in-repo DuckDB parity gate at sf0.001 AND sf0.01 every pytest run;
 #: no driver grading has ever diverged from it.
+#: Round-15 rotation (VERDICT r14 #3 — the staged plan, executed):
+#: CORRECTNESS_r14 graded the r14 window 50/50 hash-green (219/219
+#: ever-graded, zero latest-grade failures), so OUT go all 50 r14
+#: residents. IN (50): ALL 19 entries last graded r10 (the stalest
+#: evidence anywhere — VERDICT r14 #3 names them: 7 multimodal + 12
+#: relational), 30 of the 50-entry r11 cohort chosen family-balanced
+#: (ALL of similarity/mr/temporal/format/stream/multimodal's r11 rows
+#: — 20 — plus dedup 4 of 9, text 3 of 9, relational 3 of 12), and
+#: the ONE r15 registration (sketch_store_compaction — VERDICT r14
+#: #4's named candidate: the day-store maintenance lifecycle step,
+#: fragmented incremental-ingest store re-aggregated to one file per
+#: day, content equality hash-graded, compaction plan-locked to read
+#: only the store; net-new = 1 of the allowed 2). After this round
+#: the oldest grading evidence anywhere moves from r10 to r11; the 20
+#: r11 leftovers (dedup: contrastive_pairs, dedup_lsh_eval,
+#: dedup_minhash_verified, dedup_span_winnow_screen_entropic,
+#: related_docs_topk; relational: agg_suite, graph_triangle_count,
+#: join_full_outer, null_semantics, q10_returned_item_customers,
+#: q15_top_supplier, q19_disjunctive_predicates, scalar_functions,
+#: topk_orders; text: doc_chunking, exact_ngram_decontamination,
+#: mixture_rebalance, sequence_packing, span_corruption_plan,
+#: stratified_sample) are the natural head of the staged r16 window,
+#: topped up from the 50-entry r12 cohort, family-balanced. Every IN
+#: entry is green under the in-repo DuckDB parity gate at sf0.001 AND
+#: sf0.01 every pytest run; no driver grading has ever diverged from
+#: it.
 #: Round-14 rotation (VERDICT r13 #3 — the staged plan, executed):
 #: CORRECTNESS_r13 graded the r13 window 50/50 hash-green (217/217
 #: ever-graded, zero latest-grade failures), so OUT go all 50 r13
@@ -211,62 +237,63 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 PRIORITY: tuple[str, ...] = (
     # ---- first 9 slots: one per capability family (graceful
     # ---- degradation if the driver window ever shrinks) ----
-    "gzip_jsonl_roundtrip",       # format: gzip JSONL roundtrip
-    "mr_salted_wordcount",        # mr: salted wordcount
-    "q12_priority_by_returnflag",  # relational: TPC-H q12
-    "knn_bruteforce",             # similarity: brute-force top-k
-    "events_user_activity",       # stream: per-user activity profile
-    "range_join_price_bands",     # temporal: range join
-    "term_frequencies",           # text: term frequencies
-    "dedup_connected_components",  # dedup: CC over near-dup edges
-    "multimodal_jpeg_roundtrip",  # multimodal: JPEG roundtrip
-    # ---- r14 IN: the remaining 15 of the 17-entry r9 cohort ----
-    "events_dow_hour_profile",    # day-of-week/hour profile
-    "events_pivot",               # pivot to per-type columns
-    "events_unpivot",             # unpivot back to long form
-    "events_value_histogram",     # fixed-width value histogram
-    "array_functions",            # array function suite
-    "bpe_encode_census",          # BPE encode census
-    "deterministic_sample",       # hash-deterministic sample
-    "doc_repetition_stats",       # intra-doc repetition stats
-    "domain_quota_sample",        # per-domain quota sample
-    "fuzzy_name_pairs",           # fuzzy name-pair blocking
-    "length_bucketed_batching",   # length-bucketed batch plan
-    "map_functions",              # map function suite
-    "pipeline_corpus_prep",       # chained corpus-prep pipeline
-    "unigram_commonness",         # unigram commonness scoring
-    "vocab_oov_rates",            # vocabulary OOV rates
-    # ---- r14 IN: 25 more of the 50-entry r10 cohort ----
-    "dedup_embedding_cosine",     # dedup: embedding-cosine near-dup
-    "dedup_embedding_srp",        # dedup: SRP-LSH near-dup
-    "dedup_span_winnow_screen",   # dedup: winnowing span screen
-    "mr_generic_charcount",       # mr: generic char count
-    "wordcount_topk",             # mr: top-k wordcount
-    "events_cohort_retention",    # stream: cohort retention
-    "doc_winnowing_fingerprints",  # text: winnowing fingerprints
-    "multimodal_adpcm_roundtrip",  # multimodal: ADPCM roundtrip
-    "multimodal_animgif_roundtrip",  # multimodal: animated GIF
-    "multimodal_flac_roundtrip",  # multimodal: FLAC roundtrip
-    "multimodal_frame_sample",    # multimodal: frame sampling
-    "multimodal_gif_roundtrip",   # multimodal: GIF roundtrip
-    "multimodal_jpeg_color_roundtrip",  # multimodal: color JPEG
-    "multimodal_mcv_roundtrip",   # multimodal: MCV roundtrip
-    "agg_cube",                   # relational: CUBE aggregate
-    "agg_percentiles",            # relational: exact percentiles
-    "agg_rollup",                 # relational: ROLLUP aggregate
-    "cdc_latest_wins_merge",      # relational: CDC latest-wins
-    "date_functions",             # relational: date function suite
-    "distinct_values",            # relational: distinct census
-    "filter_project",             # relational: filter+project
-    "join_left_outer",            # relational: left outer join
-    "join_semi_anti",             # relational: semi/anti joins
-    "q13_order_count_distribution",  # relational: TPC-H q13
-    # (6 r10 slots above are family reps in the first 9; the other 19
-    # r10 rows stay r10-evidenced and head the staged r15 window)
-    # ---- r14 IN: the 2 net-new registrations ----
-    "hll_sketch_day_range",       # r14: pruned HLL day-range read
-    "cms_sketch_day_range",       # r14: pruned CMS day-range read
+    "wholetext_file_stats",       # format: whole-file text scan
+    "mr_generic_wordcount",       # mr: generic-trait wordcount
+    "q5_local_supplier_volume",   # relational: TPC-H q5
+    "knn_ivf",                    # similarity: IVF-blocked top-k
+    "events_tumbling_window",     # stream: tumbling 1h window
+    "asof_join_click_purchase",   # temporal: as-of join
+    "tfidf_top_terms",            # text: TF-IDF top terms
+    "dedup_minhash_lsh",          # dedup: MinHash-LSH near-dup
+    "multimodal_png_roundtrip",   # multimodal: PNG roundtrip
+    # ---- r15 IN: the remaining 17 of the 19-entry r10 cohort ----
+    "multimodal_mdct_roundtrip",  # multimodal: MDCT audio
+    "multimodal_mjpeg_avi_roundtrip",  # multimodal: MJPEG AVI
+    "multimodal_ppm_resize_real",  # multimodal: real PPM resize
+    "multimodal_resize",          # multimodal: resize plumbing
+    "multimodal_ulaw_roundtrip",  # multimodal: G.711 mu-law
+    "multimodal_wav_decimate_real",  # multimodal: WAV decimate
+    "q14_promo_revenue_ratio",    # relational: TPC-H q14
+    "q16_supplier_part_variety",  # relational: TPC-H q16
+    "q17_small_quantity_revenue",  # relational: TPC-H q17
+    "q18_large_volume_customers",  # relational: TPC-H q18
+    "q22_dormant_rich_customers",  # relational: TPC-H q22
+    "q4_late_shipment_priority",  # relational: TPC-H q4
+    "regex_functions",            # relational: regex suite
+    "set_operations",             # relational: set operations
+    "sql_q6_forecast_revenue",    # relational: TPC-H q6
+    "window_rank_per_group",      # relational: rank per group
+    "window_running_sum",         # relational: running sum
+    # ---- r15 IN: 23 more of the 50-entry r11 cohort ----
+    "kmeans_lloyd_refine",        # similarity: Lloyd refinement
+    "mr_inverted_index",          # mr: inverted index
+    "mr_secondary_sort",          # mr: secondary sort
+    "interval_overlap_join",      # temporal: interval overlap
+    "sessions_per_hour",          # temporal: sessions per hour
+    "bucketed_join_no_shuffle",   # format: bucketed co-located join
+    "dynamic_partition_pruning",  # format: DPP
+    "partitioned_write_prune",    # format: partitioned write+prune
+    "events_funnel",              # stream: ordered funnel
+    "events_json_extract",        # stream: JSON prop extraction
+    "events_sessionization",      # stream: gap sessionization
+    "events_sliding_window",      # stream: sliding window
+    "multimodal_h264_annexb_roundtrip",  # multimodal: Annex-B NAL
+    "multimodal_metadata_stats",  # multimodal: metadata census
+    "multimodal_mp3_framing_roundtrip",  # multimodal: MPEG framing
+    "dedup_exact",                # dedup: exact hash dedup
+    "dedup_ngram_jaccard",        # dedup: n-gram Jaccard
+    "dedup_simhash",              # dedup: SimHash near-dup
+    "lang_id_heuristic",          # text: n-gram language ID
+    "pii_redaction",              # text: PII scrub census
+    "graph_pagerank",             # relational: PageRank
+    "sql_grouping_sets",          # relational: GROUPING SETS
+    "window_functions_suite",     # relational: window fn suite
+    # (7 r11 slots above are family reps in the first 9; the other 20
+    # r11 rows stay r11-evidenced and head the staged r16 window)
+    # ---- r15 IN: the 1 net-new registration ----
+    "sketch_store_compaction",    # r15: day-store compaction
 )
+
 
 def load_all() -> dict[str, Query]:
     """Import every plan module (side-effect: fills REGISTRY), then

@@ -2193,3 +2193,230 @@ def q_cms_sketch_day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days_read",
         )
     )
+
+
+#: Incremental-ingest batch count for the fragmented store: real ingest
+#: lands the day store as one partial per arrival batch, so a
+#: (type, day, bucket) key appears once per batch and each day
+#: directory holds one file per batch — the fragmentation compaction
+#: exists to undo. The batch split is a deterministic row property
+#: (user_id % 3) so the oracle reproduces rows_before exactly.
+_QS_FRAG_BATCHES = 3
+
+#: (applicationId, sf basename) -> (fragmented path, compacted path):
+#: same once-per-session memo + _SUCCESS wipe-recheck contract as
+#: _DAY_STORES (VERDICT r13 #4).
+_COMPACT_STORES: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _compaction_plan(spark: SparkSession, frag_path: str) -> DataFrame:
+    """The compaction job's read side: re-aggregate the fragmented
+    store's per-batch partials per (event_type, day, bucket) — counter
+    addition, the same associativity the rollup row grades — reading
+    ONLY the fragmented store (tests/test_plans.py locks that this
+    plan touches no fact table). Factored out of the builder so the
+    plan is inspectable without re-running the write."""
+    return (
+        spark.read.parquet(frag_path)
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+
+
+def _compacted_qsketch_stores(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Memoized (fragmented, compacted) quantile-sketch day stores.
+
+    Fragmented: ``_QS_FRAG_BATCHES`` incremental ingest batches
+    (``user_id % 3``) each append their own per-day sketch partial to
+    one day-partitioned path — each day directory accumulates one file
+    per batch, the many-small-files state every real landed store
+    reaches. Compacted: ``_compaction_plan`` merges the partials and
+    rewrites day-partitioned with ``repartition("day")`` — exactly one
+    file per day directory. Both writes happen once per (session, sf);
+    a memo hit re-checks both ``_SUCCESS`` markers and rebuilds after
+    a /tmp wipe (the _landed_day_store contract)."""
+    import os
+    import tempfile
+
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    app = spark.sparkContext.applicationId
+    key = (app, sf)
+    if key in _COMPACT_STORES:
+        frag, comp = _COMPACT_STORES[key]
+        if os.path.exists(os.path.join(frag, "_SUCCESS")) and os.path.exists(
+            os.path.join(comp, "_SUCCESS")
+        ):
+            return _COMPACT_STORES[key]
+        del _COMPACT_STORES[key]
+    base = os.path.join(tempfile.gettempdir(), "ds_mapreduce_spark", app)
+    frag = os.path.join(base, f"qsketch_frag_store_{sf}")
+    comp = os.path.join(base, f"qsketch_compact_store_{sf}")
+    from ds_mapreduce_spark.operators.sketch import qsketch_day_store
+
+    ev = load_table(spark, sf_dir, "events")
+    for b in range(_QS_FRAG_BATCHES):
+        # one write per arrival batch — the ingest model; only these
+        # builder jobs touch the fact table, never the graded read
+        (
+            qsketch_day_store(ev.where(F.col("user_id") % _QS_FRAG_BATCHES == b))
+            .repartition("day")
+            .write.mode("overwrite" if b == 0 else "append")
+            .partitionBy("day")
+            .parquet(frag)
+        )
+    (
+        _compaction_plan(spark, frag)
+        .repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(comp)
+    )
+    _COMPACT_STORES[key] = (frag, comp)
+    return _COMPACT_STORES[key]
+
+
+@register(
+    "sketch_store_compaction",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         user_id % {_QS_FRAG_BATCHES} AS batch,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+frag AS (
+  SELECT event_type, day, batch,
+         {_QS_BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2, 3, 4
+),
+comp AS (
+  SELECT event_type, day, bucket, CAST(SUM(c) AS BIGINT) AS c
+  FROM frag GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, bucket, CAST(SUM(c) AS BIGINT) AS c
+  FROM comp GROUP BY 1, 2
+),
+q AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(q_pct)),
+mc AS (
+  SELECT event_type, bucket, c,
+         SUM(c) OVER (PARTITION BY event_type) AS n,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+  FROM merged
+),
+sel AS (
+  SELECT m.event_type, q.q_pct, m.n,
+         (m.n * q.q_pct + 99) // 100 AS target_rank, m.bucket
+  FROM mc m CROSS JOIN q
+  WHERE m.cum >= (m.n * q.q_pct + 99) // 100
+    AND m.cum - m.c < (m.n * q.q_pct + 99) // 100
+),
+dec AS (
+  SELECT event_type, q_pct, n, target_rank,
+         {_QS_LO} AS lo,
+         {_QS_HI} AS hi
+  FROM sel
+),
+census AS (
+  SELECT f.event_type, f.store_rows_before, c.store_rows_after, c.n_days
+  FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS store_rows_before
+        FROM frag GROUP BY 1) f
+  JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS store_rows_after,
+               CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+        FROM comp GROUP BY 1) c USING (event_type)
+)
+SELECT event_type,
+       CAST(q_pct AS BIGINT) AS q_pct,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(target_rank AS BIGINT) AS target_rank,
+       CAST(lo AS BIGINT) AS est_lo_cents,
+       CAST(hi AS BIGINT) AS est_hi_cents,
+       store_rows_before, store_rows_after, n_days,
+       -- deterministic, not probabilistic: counter addition is
+       -- associative and parquet round-trips BIGINTs exactly, so the
+       -- Spark-side equality over the two physically distinct stores
+       -- can only be 1 (the matches_onepass precedent, write-side)
+       CAST(1 AS BIGINT) AS matches_fragmented
+FROM dec JOIN census USING (event_type)
+""",
+    doc="Day-store COMPACTION (r15) — the maintenance lifecycle step "
+    "the completed read triad motivates (VERDICT r14 #4): real ingest "
+    "lands the quantile-sketch day store incrementally (here "
+    f"{_QS_FRAG_BATCHES} deterministic arrival batches, user_id % "
+    f"{_QS_FRAG_BATCHES}, each appending per-day partials), so day "
+    "directories accumulate one small file per batch and a (type, "
+    "day, bucket) key appears once per batch that saw it. The "
+    "compaction job (_compaction_plan) re-aggregates the partials by "
+    "counter addition — the write-side dual of the rollup identity "
+    "the r12 row grades — and rewrites exactly one file per day "
+    "(repartition('day') + partitionBy('day'); file-count bound "
+    "unit-locked in tests/test_plans.py). The graded read walks "
+    "per-type p50/p90/p99 from the COMPACTED store, carries the "
+    "before/after row census (rows_before = sum of per-batch "
+    "partials, rows_after = merged keys), and hash-proves "
+    "matches_fragmented: quantiles from the compacted store equal "
+    "quantiles rolled up from the fragmented store — compaction "
+    "changed layout, not content. Plan-locked: the graded plan reads "
+    "ONLY the two landed stores (the fact table appears nowhere), "
+    "and the compaction plan itself reads only the fragmented store. "
+    "100 TB: a year of incremental ingest lands 365 x batches-per-day "
+    "small files; compaction is the nightly job that keeps the "
+    "dashboard read at ~one file per day directory, and because "
+    "sketch merge is associative it needs no fact-table re-read — "
+    "it is a kilobyte-in/kilobyte-out shuffle however large the "
+    "corpus grows.",
+)
+def q_sketch_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.sketch import (
+        qsketch_quantiles,
+        qsketch_rollup_store,
+    )
+
+    frag_path, comp_path = _compacted_qsketch_stores(spark, sf_dir)
+    frag = spark.read.parquet(frag_path)
+    comp = spark.read.parquet(comp_path)
+    est = qsketch_quantiles(qsketch_rollup_store(comp))
+    frag_est = qsketch_quantiles(qsketch_rollup_store(frag)).select(
+        "event_type",
+        "q_pct",
+        F.col("n_events").alias("f_n"),
+        F.col("target_rank").alias("f_rank"),
+        F.col("est_lo_cents").alias("f_lo"),
+        F.col("est_hi_cents").alias("f_hi"),
+    )
+    census = (
+        frag.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("store_rows_before"))
+        .join(
+            comp.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("bigint").alias("store_rows_after"),
+                F.countDistinct("day").cast("bigint").alias("n_days"),
+            ),
+            "event_type",
+        )
+    )
+    return (
+        est.join(frag_est, ["event_type", "q_pct"])
+        .join(census, "event_type")
+        .select(
+            "event_type",
+            "q_pct",
+            "n_events",
+            "target_rank",
+            "est_lo_cents",
+            "est_hi_cents",
+            "store_rows_before",
+            "store_rows_after",
+            "n_days",
+            (
+                (F.col("n_events") == F.col("f_n"))
+                & (F.col("target_rank") == F.col("f_rank"))
+                & (F.col("est_lo_cents") == F.col("f_lo"))
+                & (F.col("est_hi_cents") == F.col("f_hi"))
+            )
+            .cast("bigint")
+            .alias("matches_fragmented"),
+        )
+    )

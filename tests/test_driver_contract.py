@@ -82,54 +82,55 @@ def test_queries_md_matches_registry():
 
 
 def test_check_window_covers_the_stale_cohort():
-    """The queries this round's rotation must grade: with 217/217
-    ever-graded after r13 and zero backlog, the window's job is
-    freshness — VERDICT r13 #3 names the 17 r9 leftovers (the stalest
-    evidence anywhere) topped up from the 50-entry r10 cohort (a
+    """The queries this round's rotation must grade: with 219/219
+    ever-graded after r14 and zero backlog, the window's job is
+    freshness — VERDICT r14 #3 names the 19 r10 leftovers (the stalest
+    evidence anywhere) topped up from the 50-entry r11 cohort (a
     rotated-out entry keeps both-scale in-repo DuckDB parity coverage
     every pytest run, and no driver grading has ever diverged from
-    that gate). Beyond requiring the full r9-leftover set, this pins
-    the REST of the window to r10-cohort rows + the r14 registration,
+    that gate). Beyond requiring the full r10-leftover set, this pins
+    the REST of the window to r11-cohort rows + the r15 registration,
     so a fresh entry can't silently displace a stale one."""
-    r9_leftovers = {
-        # All 17 entries last graded r9 — must all be graded this round:
-        "array_functions", "bpe_encode_census", "deterministic_sample",
-        "doc_repetition_stats", "domain_quota_sample",
-        "events_dow_hour_profile", "events_pivot", "events_unpivot",
-        "events_user_activity", "events_value_histogram",
-        "fuzzy_name_pairs", "length_bucketed_batching", "map_functions",
-        "pipeline_corpus_prep", "term_frequencies", "unigram_commonness",
-        "vocab_oov_rates",
-    }
-    r10_cohort = {
-        "agg_cube", "agg_percentiles", "agg_rollup",
-        "cdc_latest_wins_merge", "date_functions",
-        "dedup_connected_components", "dedup_embedding_cosine",
-        "dedup_embedding_srp", "dedup_span_winnow_screen",
-        "distinct_values", "doc_winnowing_fingerprints",
-        "events_cohort_retention", "filter_project",
-        "gzip_jsonl_roundtrip", "join_left_outer", "join_semi_anti",
-        "knn_bruteforce", "mr_generic_charcount", "mr_salted_wordcount",
-        "multimodal_adpcm_roundtrip", "multimodal_animgif_roundtrip",
-        "multimodal_flac_roundtrip", "multimodal_frame_sample",
-        "multimodal_gif_roundtrip", "multimodal_jpeg_color_roundtrip",
-        "multimodal_jpeg_roundtrip", "multimodal_mcv_roundtrip",
+    r10_leftovers = {
+        # All 19 entries last graded r10 — must all be graded this round:
         "multimodal_mdct_roundtrip", "multimodal_mjpeg_avi_roundtrip",
         "multimodal_png_roundtrip", "multimodal_ppm_resize_real",
         "multimodal_resize", "multimodal_ulaw_roundtrip",
-        "multimodal_wav_decimate_real", "q12_priority_by_returnflag",
-        "q13_order_count_distribution", "q14_promo_revenue_ratio",
+        "multimodal_wav_decimate_real", "q14_promo_revenue_ratio",
         "q16_supplier_part_variety", "q17_small_quantity_revenue",
         "q18_large_volume_customers", "q22_dormant_rich_customers",
         "q4_late_shipment_priority", "q5_local_supplier_volume",
-        "range_join_price_bands", "regex_functions", "set_operations",
-        "sql_q6_forecast_revenue", "window_rank_per_group",
-        "window_running_sum", "wordcount_topk",
+        "regex_functions", "set_operations", "sql_q6_forecast_revenue",
+        "window_rank_per_group", "window_running_sum",
     }
-    r14_new = {"hll_sketch_day_range", "cms_sketch_day_range"}
+    r11_cohort = {
+        "agg_suite", "asof_join_click_purchase",
+        "bucketed_join_no_shuffle", "contrastive_pairs", "dedup_exact",
+        "dedup_lsh_eval", "dedup_minhash_lsh", "dedup_minhash_verified",
+        "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_span_winnow_screen_entropic", "doc_chunking",
+        "dynamic_partition_pruning", "events_funnel",
+        "events_json_extract", "events_sessionization",
+        "events_sliding_window", "events_tumbling_window",
+        "exact_ngram_decontamination", "graph_pagerank",
+        "graph_triangle_count", "interval_overlap_join",
+        "join_full_outer", "kmeans_lloyd_refine", "knn_ivf",
+        "lang_id_heuristic", "mixture_rebalance", "mr_generic_wordcount",
+        "mr_inverted_index", "mr_secondary_sort",
+        "multimodal_h264_annexb_roundtrip", "multimodal_metadata_stats",
+        "multimodal_mp3_framing_roundtrip", "null_semantics",
+        "partitioned_write_prune", "pii_redaction",
+        "q10_returned_item_customers", "q15_top_supplier",
+        "q19_disjunctive_predicates", "related_docs_topk",
+        "scalar_functions", "sequence_packing", "sessions_per_hour",
+        "span_corruption_plan", "sql_grouping_sets", "stratified_sample",
+        "tfidf_top_terms", "topk_orders", "wholetext_file_stats",
+        "window_functions_suite",
+    }
+    r15_new = {"sketch_store_compaction"}
     window = set(PRIORITY)
-    assert r9_leftovers <= window, sorted(r9_leftovers - window)
-    rest = window - r9_leftovers
-    assert rest <= r10_cohort | r14_new, sorted(rest - (r10_cohort | r14_new))
-    assert len(window & r10_cohort) == 31
-    assert r14_new <= window
+    assert r10_leftovers <= window, sorted(r10_leftovers - window)
+    rest = window - r10_leftovers
+    assert rest <= r11_cohort | r15_new, sorted(rest - (r11_cohort | r15_new))
+    assert len(window & r11_cohort) == 30
+    assert r15_new <= window

@@ -1020,6 +1020,65 @@ def test_cms_day_range_prunes_store_and_scans_events_once(spark, sf_dir):
     assert len(re.findall(r"events\.parquet", plan)) == 1, plan
 
 
+def test_sketch_store_compaction_reads_only_the_stores(spark, sf_dir):
+    """The compaction row's graded plan must answer ENTIRELY from the
+    two landed stores (fragmented + compacted) — the fact table appears
+    nowhere (its scans live in the once-per-session builder jobs) — and
+    the compaction job itself must read ONLY the fragmented store:
+    compaction that re-reads the corpus defeats the point (kilobyte-in/
+    kilobyte-out maintenance however large the corpus)."""
+    plan = _plan(spark, sf_dir, "sketch_store_compaction")
+    assert "qsketch_frag_store" in plan, plan
+    assert "qsketch_compact_store" in plan, plan
+    assert "events.parquet" not in plan and "testdata" not in plan, plan
+    from ds_mapreduce_spark.plans import stream_queries as sq
+
+    frag_path, _ = sq._compacted_qsketch_stores(spark, sf_dir)
+    cplan = (
+        sq._compaction_plan(spark, frag_path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "qsketch_frag_store" in cplan, cplan
+    assert "events.parquet" not in cplan and "testdata" not in cplan, cplan
+
+
+def test_sketch_store_compaction_bounds_file_count(spark, sf_dir):
+    """The compaction's whole job is the file-count bound: the
+    fragmented store holds one file per ingest batch per day (so some
+    day directory must hold >=2), the compacted store exactly ONE data
+    file per day directory, and compaction must strictly reduce the
+    total file count. Content equality is the graded row's
+    matches_fragmented hash; this test covers the layout."""
+    import os
+
+    from ds_mapreduce_spark.plans import stream_queries as sq
+
+    frag, comp = sq._compacted_qsketch_stores(spark, sf_dir)
+
+    def day_files(root):
+        out = {}
+        for d in os.listdir(root):
+            if not d.startswith("day="):
+                continue
+            out[d] = [
+                f
+                for f in os.listdir(os.path.join(root, d))
+                if f.endswith(".parquet")
+            ]
+        return out
+
+    frag_days, comp_days = day_files(frag), day_files(comp)
+    assert frag_days and comp_days
+    assert set(comp_days) == set(frag_days)
+    assert max(len(v) for v in frag_days.values()) >= 2, frag_days
+    assert all(len(v) == 1 for v in comp_days.values()), comp_days
+    assert sum(len(v) for v in comp_days.values()) < sum(
+        len(v) for v in frag_days.values()
+    )
+
+
 def test_landed_day_store_rebuilds_after_tmp_wipe(spark, sf_dir):
     """VERDICT r13 #4: a memo hit on `_landed_day_store` must
     existence-check the store directory — the r13 scale-tier session
