@@ -522,6 +522,96 @@ def _query_env_probe(
     return env, after, tree_ticks_after
 
 
+def _update_composite(
+    timings: dict[str, float | None],
+    quiet_gate: dict[str, object] | None,
+    sf: float,
+) -> dict[str, object] | None:
+    """Per-row-minimum composite across same-code bench attempts — the
+    protocol-blessed comparable when no single run is certified quiet
+    (VERDICT r14 #2): r13 and r14 each ran multiple labeled attempts
+    without one full quiet window, leaving the 2x gate with no
+    same-code total. Each run merges its per-query medians into a
+    sidecar (min per query), keyed by git HEAD so a code change resets
+    the composite — mixing attempts across different plans would
+    compare nothing. The reported total is an UPPER bound on the
+    quiet-family total (each row's best observed time still carries
+    whatever interference its quietest window had) and never
+    understates, so it is safe for the gate: if the composite is
+    within 2x, the quiet total is too. Rows are only merged from runs
+    whose per-row medians exist (errors skip); attempts counts every
+    merging run. Failures degrade to None — the composite must never
+    kill the bench."""
+    try:
+        import subprocess
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        # same-code identity = the last commit touching code the bench
+        # actually times (NOT plain HEAD: a docs/artifact commit —
+        # PLANS.md, BENCH_r*.json — must not orphan the campaign's
+        # accumulated attempts)
+        code_paths = ["bench.py", "ds_mapreduce_spark"]
+        head = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", *code_paths],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+        if not head:
+            return None
+        # uncommitted TRACKED changes under the code paths mean the
+        # key doesn't identify the code being timed — suffix so dirty
+        # attempts never merge into (or poison) a clean composite;
+        # untracked files (the driver's artifact drops) don't count
+        porcelain = subprocess.run(
+            ["git", "status", "--porcelain", "--", *code_paths],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout
+        if any(line and not line.startswith("??") for line in porcelain.splitlines()):
+            head += "-dirty"
+        path = os.path.join(repo, ".bench_composite.json")
+        state: dict[str, object] = {
+            "head": head,
+            "sf": sf,
+            "attempts": 0,
+            "queries": {},
+        }
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            # same code AND same scale factor, else the merge compares
+            # nothing (an sf0.01 row's min would mask every sf0.1 read)
+            if prev.get("head") == head and prev.get("sf") == sf:
+                state = prev
+        mins: dict[str, float] = dict(state.get("queries", {}))
+        for name, t in timings.items():
+            if t is None:
+                continue
+            mins[name] = min(t, mins[name]) if name in mins else t
+        state["queries"] = mins
+        state["attempts"] = int(state.get("attempts", 0)) + 1
+        quiet = bool(quiet_gate and quiet_gate.get("achieved"))
+        state["quiet_attempts"] = int(state.get("quiet_attempts", 0)) + int(quiet)
+        with open(path, "w") as f:
+            json.dump(state, f)
+        common = [mins[n] for n in HEADLINE if n in mins]
+        return {
+            "total": round(sum(common), 3),
+            "n_rows": len(common),
+            "attempts": state["attempts"],
+            "quiet_attempts": state["quiet_attempts"],
+            "head": head[:12] + ("-dirty" if head.endswith("-dirty") else ""),
+            "label": "per-row min across same-code attempts; upper bound "
+            "on the quiet-family total",
+        }
+    except Exception:
+        return None
+
+
 def read_cpu_steal() -> tuple[int, int]:
     """(steal_ticks, total_ticks) from /proc/stat — the hypervisor's
     blind spot in busy-detection: r9 measured the SAME codec query at
@@ -681,6 +771,9 @@ def main() -> None:
         "query_env": query_env,
         "sf": sf,
     }
+    composite = _update_composite(timings, quiet_gate, sf)
+    if composite is not None:
+        result["composite"] = composite
     if quiet_gate is not None:
         result["quiet_gate"] = quiet_gate
     if errors:
@@ -719,6 +812,7 @@ def main() -> None:
         ),
         "sf": sf,
         "line": "summary",
+        **({"composite": composite} if composite is not None else {}),
         **({"quiet_gate": quiet_gate} if quiet_gate is not None else {}),
     }
     print(json.dumps(summary))

@@ -2039,7 +2039,14 @@ FROM f GROUP BY event_type
     "days-read census, the exact distinct-user count, and two "
     "Spark-side booleans — merged-union-vs-direct-sketch consistency "
     "within 4% (densified HLL_4 unions drift ~1% through the HLL_8 "
-    "gadget) and estimate-vs-exact within 5%. The exact/direct side is "
+    "gadget) and estimate-vs-exact within 5%. Measured margins "
+    "(r15, so a future tolerance trip is diagnosable): worst "
+    "merged-vs-direct AND merged-vs-exact drift are both 0.0000% at "
+    "sf0.001 and sf0.01 — the in-range per-type user cardinalities "
+    "keep every sketch in sparse mode, where HLL is EXACT, so the "
+    "booleans are deterministic at any driver scale below the dense "
+    "threshold and the 4%/5% bounds only absorb the densified regime. "
+    "The exact/direct side is "
     "the query's ONE events scan, filtered to the same literal day "
     "range. 100 TB: the daily-active-users dashboard — a month of "
     "per-type DAU over a year-partitioned store opens ~30 directories "

@@ -297,6 +297,13 @@ def main() -> None:
         # kilobyte stores plus one filtered events scan (evaluation)
         "hll_sketch_day_range",
         "cms_sketch_day_range",
+        # r15: the day-store compaction row — each tier's first timed
+        # run pays the 3-batch fragmented ingest (three bounded aggs
+        # over the tier's events) + the compaction rewrite (store-sized,
+        # grows with days x types x buckets, never volume) + the graded
+        # read of BOTH stores; the curve checks the ingest aggs stay
+        # linear while compaction + read stay store-sized
+        "sketch_store_compaction",
     ]
     # --only a,b restricts the run to a subset (comma-separated) so a
     # fresh-session measurement of newly staged rows doesn't re-time
