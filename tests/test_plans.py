@@ -310,6 +310,12 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # per-type straddle window + the census (type, day) + (type)
         # aggs; the census join broadcasts and events appears nowhere
         ("quantile_sketch_day_range", 4),
+        # r15: compaction's graded read plans over the TWO landed
+        # stores only (both store-sized): 2 rollup re-aggs + the two
+        # per-type straddle windows + 2 census aggs + the est/frag-est
+        # join's partitioning; every join broadcasts, events appears
+        # nowhere, zero SinglePartition
+        ("sketch_store_compaction", 7),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
