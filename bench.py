@@ -216,6 +216,14 @@ HEADLINE = [
     # day-range row prices reading TWO whole stores (frag + compacted
     # quantile walks + the row census) vs one pruned range
     "sketch_store_compaction",
+    # round 16: the retention/expiry lifecycle step — day partitions
+    # below the span-midpoint cutoff deleted from a copy of the
+    # compacted store (pure directory metadata; the builder is
+    # memoized per session, so repeat 1 pays the copy+delete and the
+    # median-of-3 prices the steady-state read of the HALF-size
+    # surviving store); its delta vs the compaction row prices one
+    # half-store quantile walk vs two whole-store walks + the census
+    "sketch_store_retention",
 ]
 
 

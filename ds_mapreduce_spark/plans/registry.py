@@ -234,64 +234,95 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: entry is green under the in-repo DuckDB parity gate at sf0.001 AND
 #: sf0.01 every pytest run; no driver grading has ever diverged from
 #: it.
+#: Round-16 rotation (VERDICT r15 #2 — the staged plan, executed):
+#: CORRECTNESS_r15 graded the r15 window 50/50 hash-green (220/220
+#: ever-graded, zero latest-grade failures), so OUT go all 50 r15
+#: residents. IN (50): ALL 20 entries last graded r11 (the stalest
+#: evidence anywhere — VERDICT r15 #3 names the cohort: dedup 5 +
+#: relational 9 + text 6), 29 of the 50-entry r12 cohort chosen
+#: family-balanced (ALL of format/mr/multimodal/similarity/temporal's
+#: r12 rows — 11 — plus dedup 3 of 6, relational 5 of 11, stream 5 of
+#: 10, text 5 of 12), and the ONE r16 registration
+#: (sketch_store_retention — VERDICT r15 #4's named candidate: the
+#: day-store retention/expiry lifecycle step, day partitions below
+#: the span-midpoint cutoff deleted as pure directory metadata from a
+#: copy of the compacted store, surviving-range read hash-graded
+#: against the raw retained window, expiry + post-expiry pruning
+#: plan-locked; net-new = 1 of the allowed 2). After this round the
+#: oldest grading evidence anywhere moves from r11 to r12; the 21 r12
+#: leftovers (dedup: dedup_incremental, dedup_prefix_filter,
+#: dedup_span_excision_minlen; relational: agg_approx_suite,
+#: approx_distinct_rollup, dq_validation_suite, equi_depth_histogram,
+#: graph_pagerank_converged, table_profile; stream:
+#: events_rolling_1h_stats, events_rolling_7d_active_users,
+#: events_rolling_anomaly_flags, multi_touch_attribution,
+#: quantile_sketch_estimates; text: bloom_ngram_decontamination,
+#: bpe_pair_merge_stats, corpus_shard_plan, dsir_importance_select,
+#: entity_resolution_clusters, epoch_shuffle_plan,
+#: trigram_substring_search) are the natural head of the staged r17
+#: window, topped up from the 50-entry r13 cohort, family-balanced.
+#: Every IN entry is green under the in-repo DuckDB parity gate at
+#: sf0.001 AND sf0.01 every pytest run; no driver grading has ever
+#: diverged from it.
 PRIORITY: tuple[str, ...] = (
     # ---- first 9 slots: one per capability family (graceful
     # ---- degradation if the driver window ever shrinks) ----
-    "wholetext_file_stats",       # format: whole-file text scan
-    "mr_generic_wordcount",       # mr: generic-trait wordcount
-    "q5_local_supplier_volume",   # relational: TPC-H q5
-    "knn_ivf",                    # similarity: IVF-blocked top-k
-    "events_tumbling_window",     # stream: tumbling 1h window
-    "asof_join_click_purchase",   # temporal: as-of join
-    "tfidf_top_terms",            # text: TF-IDF top terms
-    "dedup_minhash_lsh",          # dedup: MinHash-LSH near-dup
-    "multimodal_png_roundtrip",   # multimodal: PNG roundtrip
-    # ---- r15 IN: the remaining 17 of the 19-entry r10 cohort ----
-    "multimodal_mdct_roundtrip",  # multimodal: MDCT audio
-    "multimodal_mjpeg_avi_roundtrip",  # multimodal: MJPEG AVI
-    "multimodal_ppm_resize_real",  # multimodal: real PPM resize
-    "multimodal_resize",          # multimodal: resize plumbing
-    "multimodal_ulaw_roundtrip",  # multimodal: G.711 mu-law
-    "multimodal_wav_decimate_real",  # multimodal: WAV decimate
-    "q14_promo_revenue_ratio",    # relational: TPC-H q14
-    "q16_supplier_part_variety",  # relational: TPC-H q16
-    "q17_small_quantity_revenue",  # relational: TPC-H q17
-    "q18_large_volume_customers",  # relational: TPC-H q18
-    "q22_dormant_rich_customers",  # relational: TPC-H q22
-    "q4_late_shipment_priority",  # relational: TPC-H q4
-    "regex_functions",            # relational: regex suite
-    "set_operations",             # relational: set operations
-    "sql_q6_forecast_revenue",    # relational: TPC-H q6
-    "window_rank_per_group",      # relational: rank per group
-    "window_running_sum",         # relational: running sum
-    # ---- r15 IN: 23 more of the 50-entry r11 cohort ----
-    "kmeans_lloyd_refine",        # similarity: Lloyd refinement
-    "mr_inverted_index",          # mr: inverted index
-    "mr_secondary_sort",          # mr: secondary sort
-    "interval_overlap_join",      # temporal: interval overlap
-    "sessions_per_hour",          # temporal: sessions per hour
-    "bucketed_join_no_shuffle",   # format: bucketed co-located join
-    "dynamic_partition_pruning",  # format: DPP
-    "partitioned_write_prune",    # format: partitioned write+prune
-    "events_funnel",              # stream: ordered funnel
-    "events_json_extract",        # stream: JSON prop extraction
-    "events_sessionization",      # stream: gap sessionization
-    "events_sliding_window",      # stream: sliding window
-    "multimodal_h264_annexb_roundtrip",  # multimodal: Annex-B NAL
-    "multimodal_metadata_stats",  # multimodal: metadata census
-    "multimodal_mp3_framing_roundtrip",  # multimodal: MPEG framing
-    "dedup_exact",                # dedup: exact hash dedup
-    "dedup_ngram_jaccard",        # dedup: n-gram Jaccard
-    "dedup_simhash",              # dedup: SimHash near-dup
-    "lang_id_heuristic",          # text: n-gram language ID
-    "pii_redaction",              # text: PII scrub census
-    "graph_pagerank",             # relational: PageRank
-    "sql_grouping_sets",          # relational: GROUPING SETS
-    "window_functions_suite",     # relational: window fn suite
-    # (7 r11 slots above are family reps in the first 9; the other 20
-    # r11 rows stay r11-evidenced and head the staged r16 window)
-    # ---- r15 IN: the 1 net-new registration ----
-    "sketch_store_compaction",    # r15: day-store compaction
+    "kv_text_roundtrip",          # format: KV text serde roundtrip
+    "wordcount",                  # mr: flagship wordcount
+    "q1_pricing_summary",         # relational: TPC-H q1
+    "knn_pq_adc",                 # similarity: PQ ADC top-k
+    "cms_heavy_hitter_estimates",  # stream: Count-Min heavy hitters
+    "events_hourly_resample",     # temporal: hourly resample
+    "bm25_search",                # text: BM25 inverted-index probe
+    "dedup_lsh_band_sweep",       # dedup: 3-config LSH tuning sweep
+    "multimodal_features",        # multimodal: feature extraction
+    # ---- r16 IN: ALL 20 entries last graded r11 (the stalest) ----
+    "agg_suite",                  # relational: aggregate suite
+    "contrastive_pairs",          # dedup: contrastive pair mining
+    "dedup_lsh_eval",             # dedup: LSH precision/recall eval
+    "dedup_minhash_verified",     # dedup: LSH + verify pass
+    "dedup_span_winnow_screen_entropic",  # dedup: entropic winnow
+    "doc_chunking",               # text: fixed-size doc chunking
+    "exact_ngram_decontamination",  # text: exact n-gram collision
+    "graph_triangle_count",       # relational: oriented triangles
+    "join_full_outer",            # relational: full-outer join
+    "mixture_rebalance",          # text: mixture reweighting
+    "null_semantics",             # relational: NULL semantics suite
+    "q10_returned_item_customers",  # relational: TPC-H q10
+    "q15_top_supplier",           # relational: TPC-H q15
+    "q19_disjunctive_predicates",  # relational: TPC-H q19
+    "related_docs_topk",          # dedup: related-docs top-k
+    "scalar_functions",           # relational: scalar fn suite
+    "sequence_packing",           # text: per-shard window packing
+    "span_corruption_plan",       # text: span-corruption spans
+    "stratified_sample",          # text: stratified sampling
+    "topk_orders",                # relational: top-k orders
+    # ---- r16 IN: 20 more of the 50-entry r12 cohort (the 9 family
+    # ---- reps above are also r12 rows, = 29 r12 entries total) ----
+    "orc_roundtrip",              # format: ORC source/sink
+    "zorder_write_prune",         # format: Z-order write + prune
+    "mr_inverted_index_capped",   # mr: capped inverted index
+    "multimodal_payload_dedup",   # multimodal: payload dedup
+    "embedding_pq_codes",         # similarity: PQ encoding
+    "pq_trained_codebook_encode",  # similarity: trained PQ codebook
+    "dedup_semdedup",             # dedup: semantic dedup
+    "dedup_span_excision",        # dedup: ExactSubstr excision
+    "q2_min_cost_supplier",       # relational: TPC-H q2
+    "q3_shipping_priority",       # relational: TPC-H q3
+    "graph_bfs_reach",            # relational: BFS reachability
+    "incremental_agg_maintenance",  # relational: incremental agg
+    "quantile_sketch_rollup",     # stream: day-store rollup
+    "events_native_session_window",  # stream: native session window
+    "scd2_user_value_history",    # stream: SCD2 history
+    "twap_user_value",            # stream: time-weighted average
+    "decontamination",            # text: benchmark decontamination
+    "text_stats",                 # text: quality-score census
+    "pipeline_llm_training_prep",  # text: LLM training prep
+    "leakage_safe_splits",        # text: leakage-safe splits
+    # (the other 21 r12 rows stay r12-evidenced and head the staged
+    # r17 window)
+    # ---- r16 IN: the 1 net-new registration ----
+    "sketch_store_retention",     # r16: day-store retention/expiry
 )
 
 

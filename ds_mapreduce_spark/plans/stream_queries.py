@@ -2207,8 +2207,16 @@ def q_cms_sketch_day_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (type, day, bucket) key appears once per batch and each day
 #: directory holds one file per batch — the fragmentation compaction
 #: exists to undo. The batch split is a deterministic row property
-#: (user_id % 3) so the oracle reproduces rows_before exactly.
+#: (user_id % 3) so the oracle reproduces rows_before exactly. A row
+#: with NULL or negative user_id lands in NO batch (Spark % keeps the
+#: dividend's sign; NULL comparisons are never true), so the oracle
+#: mirrors the drop with `WHERE user_id % 3 IN (0..2)` (ADVICE r15) —
+#: current testdata has neither, but a generator change stays parity-
+#: diagnosable instead of silently diverging rows_before.
 _QS_FRAG_BATCHES = 3
+
+#: the oracle-side mirror list: "0, 1, 2"
+_QS_FRAG_IN = ", ".join(str(b) for b in range(_QS_FRAG_BATCHES))
 
 #: (applicationId, sf basename) -> (fragmented path, compacted path):
 #: same once-per-session memo + _SUCCESS wipe-recheck contract as
@@ -2291,6 +2299,9 @@ WITH e AS (
          user_id % {_QS_FRAG_BATCHES} AS batch,
          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
   FROM events
+  -- mirror the ingest split's implicit drop of NULL/negative user_id
+  -- (Spark % keeps the dividend's sign, so such rows match no batch)
+  WHERE user_id % {_QS_FRAG_BATCHES} IN ({_QS_FRAG_IN})
 ),
 frag AS (
   SELECT event_type, day, batch,
@@ -2426,4 +2437,184 @@ def q_sketch_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("matches_fragmented"),
         )
+    )
+
+
+#: (applicationId, sf basename) -> (retained path, d_cutoff,
+#: n_days_expired): same once-per-session memo + _SUCCESS wipe-recheck
+#: contract as _DAY_STORES (VERDICT r13 #4).
+_RETAIN_STORES: dict[tuple[str, str], tuple[str, int, int]] = {}
+
+
+def _retained_qsketch_store(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """Memoized post-RETENTION quantile-sketch day store.
+
+    Retention is the lifecycle step after compaction (VERDICT r15 #4):
+    expire every day partition older than the cutoff (the midpoint of
+    the landed day span — "retain the newest half"). On a
+    day-partitioned store expiry is PURE DIRECTORY METADATA: the
+    compacted store's tree is copied (staged without its ``_SUCCESS``
+    marker), the expired ``day=N`` directories are deleted, and only
+    then is a fresh ``_SUCCESS`` written — the transactional commit
+    order, so a crash mid-expiry leaves a store no reader accepts
+    rather than a half-expired one. No Spark job runs, no data file is
+    opened, and the fact table is never touched (plan-locked). The
+    cutoff derives from the partition directory names alone — exactly
+    the distinct days the filtered events produced.
+
+    Returns (path, d_cutoff, n_days_expired)."""
+    import os
+    import shutil
+    import tempfile
+
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    app = spark.sparkContext.applicationId
+    key = (app, sf)
+    if key in _RETAIN_STORES:
+        path = _RETAIN_STORES[key][0]
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return _RETAIN_STORES[key]
+        del _RETAIN_STORES[key]
+    _, comp = _compacted_qsketch_stores(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), "ds_mapreduce_spark", app, f"qsketch_retain_store_{sf}"
+    )
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    shutil.copytree(comp, out, ignore=shutil.ignore_patterns("_SUCCESS"))
+    days = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(out) if d.startswith("day=")
+    )
+    d_cutoff = days[0] + (days[-1] - days[0]) // 2
+    expired = [d for d in days if d < d_cutoff]
+    for d in expired:
+        shutil.rmtree(os.path.join(out, f"day={d}"))
+    open(os.path.join(out, "_SUCCESS"), "w").close()
+    _RETAIN_STORES[key] = (out, d_cutoff, len(expired))
+    return _RETAIN_STORES[key]
+
+
+@register(
+    "sketch_store_retention",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+  -- the store under retention derives from the ingest batches, so the
+  -- split's implicit drop of NULL/negative user_id carries through
+  WHERE user_id % {_QS_FRAG_BATCHES} IN ({_QS_FRAG_IN})
+),
+b AS (
+  SELECT MIN(day) + (MAX(day) - MIN(day)) // 2 AS d_cutoff FROM e
+),
+f AS (SELECT e.* FROM e, b WHERE e.day >= b.d_cutoff),
+store AS (
+  SELECT event_type, day,
+         {_QS_BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM f GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, bucket, CAST(SUM(c) AS BIGINT) AS c
+  FROM store GROUP BY 1, 2
+),
+q AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(q_pct)),
+mc AS (
+  SELECT event_type, bucket, c,
+         SUM(c) OVER (PARTITION BY event_type) AS n,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+  FROM merged
+),
+sel AS (
+  SELECT m.event_type, q.q_pct, m.n,
+         (m.n * q.q_pct + 99) // 100 AS target_rank, m.bucket
+  FROM mc m CROSS JOIN q
+  WHERE m.cum >= (m.n * q.q_pct + 99) // 100
+    AND m.cum - m.c < (m.n * q.q_pct + 99) // 100
+),
+dec AS (
+  SELECT event_type, q_pct, n, target_rank,
+         {_QS_LO} AS lo,
+         {_QS_HI} AS hi
+  FROM sel
+),
+census AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days_retained,
+         CAST(MIN(day) AS BIGINT) AS d_min_retained,
+         CAST(COUNT(*) AS BIGINT) AS store_rows_retained
+  FROM store GROUP BY 1
+),
+exp AS (
+  SELECT CAST(COUNT(DISTINCT e.day) AS BIGINT) AS n_days_expired
+  FROM e, b WHERE e.day < b.d_cutoff
+)
+SELECT event_type,
+       CAST(q_pct AS BIGINT) AS q_pct,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(target_rank AS BIGINT) AS target_rank,
+       CAST(lo AS BIGINT) AS est_lo_cents,
+       CAST(hi AS BIGINT) AS est_hi_cents,
+       CAST((SELECT d_cutoff FROM b) AS BIGINT) AS d_cutoff,
+       n_days_retained, d_min_retained, store_rows_retained,
+       (SELECT n_days_expired FROM exp) AS n_days_expired
+FROM dec JOIN census USING (event_type)
+""",
+    doc="Day-store RETENTION/expiry (r16) — the lifecycle step after "
+    "compaction (VERDICT r15 #4), completing ingest -> compact -> read "
+    "-> EXPIRE: day partitions older than the cutoff (midpoint of the "
+    "landed span — retain the newest half) are expired from a copy of "
+    "the compacted store by DELETING their day=N directories. On a "
+    "partitioned store expiry is pure directory metadata — no Spark "
+    "job, no data file opened, the fact table never touched — and the "
+    "builder stages the copy WITHOUT _SUCCESS, deletes, then commits "
+    "the marker last, so a crash mid-expiry leaves an un-landed store "
+    "rather than a half-expired one (the delete-side dual of the "
+    "landed-store _SUCCESS contract the memo machinery re-checks). "
+    "The graded read walks per-type p50/p90/p99 from the ENTIRE "
+    "surviving store — no day filter, so any partition that escaped "
+    "expiry would flow into n_events/store_rows_retained and fail the "
+    "hash — next to the retention census: d_cutoff (derived from "
+    "directory names alone), n_days_retained / d_min_retained (proves "
+    "nothing below the cutoff survived), store_rows_retained, and "
+    "n_days_expired (the count of deleted day directories, graded "
+    "against the raw data's distinct pre-cutoff days — the delete "
+    "side). The oracle rebuilds the same sketch from RAW events "
+    "restricted to the retained window, so the hash proves expiry "
+    "removed exactly the pre-cutoff days and nothing else. "
+    "Plan-locked: the graded plan reads ONLY the retained store; a "
+    "post-expiry day-range probe still prunes via PartitionFilters "
+    "(directory pruning survives expiry). 100 TB: a 90-day retention "
+    "policy over a year-partitioned store is ~275 directory deletes "
+    "on the store's kilobyte counters — O(days), independent of "
+    "corpus size, and the dashboard read path is untouched.",
+)
+def q_sketch_store_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_mapreduce_spark.operators.sketch import (
+        qsketch_quantiles,
+        qsketch_rollup_store,
+    )
+
+    path, d_cutoff, n_expired = _retained_qsketch_store(spark, sf_dir)
+    store = spark.read.parquet(path)
+    est = qsketch_quantiles(qsketch_rollup_store(store))
+    census = store.groupBy("event_type").agg(
+        F.countDistinct("day").cast("bigint").alias("n_days_retained"),
+        F.min("day").cast("bigint").alias("d_min_retained"),
+        F.count(F.lit(1)).cast("bigint").alias("store_rows_retained"),
+    )
+    return est.join(census, "event_type").select(
+        "event_type",
+        "q_pct",
+        "n_events",
+        "target_rank",
+        "est_lo_cents",
+        "est_hi_cents",
+        F.lit(d_cutoff).cast("bigint").alias("d_cutoff"),
+        "n_days_retained",
+        "d_min_retained",
+        "store_rows_retained",
+        F.lit(n_expired).cast("bigint").alias("n_days_expired"),
     )

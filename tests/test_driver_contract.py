@@ -82,55 +82,55 @@ def test_queries_md_matches_registry():
 
 
 def test_check_window_covers_the_stale_cohort():
-    """The queries this round's rotation must grade: with 219/219
-    ever-graded after r14 and zero backlog, the window's job is
-    freshness — VERDICT r14 #3 names the 19 r10 leftovers (the stalest
-    evidence anywhere) topped up from the 50-entry r11 cohort (a
+    """The queries this round's rotation must grade: with 220/220
+    ever-graded after r15 and zero backlog, the window's job is
+    freshness — VERDICT r15 #3 names the 20 r11 leftovers (the stalest
+    evidence anywhere) topped up from the 50-entry r12 cohort (a
     rotated-out entry keeps both-scale in-repo DuckDB parity coverage
     every pytest run, and no driver grading has ever diverged from
-    that gate). Beyond requiring the full r10-leftover set, this pins
-    the REST of the window to r11-cohort rows + the r15 registration,
+    that gate). Beyond requiring the full r11-leftover set, this pins
+    the REST of the window to r12-cohort rows + the r16 registration,
     so a fresh entry can't silently displace a stale one."""
-    r10_leftovers = {
-        # All 19 entries last graded r10 — must all be graded this round:
-        "multimodal_mdct_roundtrip", "multimodal_mjpeg_avi_roundtrip",
-        "multimodal_png_roundtrip", "multimodal_ppm_resize_real",
-        "multimodal_resize", "multimodal_ulaw_roundtrip",
-        "multimodal_wav_decimate_real", "q14_promo_revenue_ratio",
-        "q16_supplier_part_variety", "q17_small_quantity_revenue",
-        "q18_large_volume_customers", "q22_dormant_rich_customers",
-        "q4_late_shipment_priority", "q5_local_supplier_volume",
-        "regex_functions", "set_operations", "sql_q6_forecast_revenue",
-        "window_rank_per_group", "window_running_sum",
+    r11_leftovers = {
+        # All 20 entries last graded r11 — must all be graded this round:
+        "agg_suite", "contrastive_pairs", "dedup_lsh_eval",
+        "dedup_minhash_verified", "dedup_span_winnow_screen_entropic",
+        "doc_chunking", "exact_ngram_decontamination",
+        "graph_triangle_count", "join_full_outer", "mixture_rebalance",
+        "null_semantics", "q10_returned_item_customers",
+        "q15_top_supplier", "q19_disjunctive_predicates",
+        "related_docs_topk", "scalar_functions", "sequence_packing",
+        "span_corruption_plan", "stratified_sample", "topk_orders",
     }
-    r11_cohort = {
-        "agg_suite", "asof_join_click_purchase",
-        "bucketed_join_no_shuffle", "contrastive_pairs", "dedup_exact",
-        "dedup_lsh_eval", "dedup_minhash_lsh", "dedup_minhash_verified",
-        "dedup_ngram_jaccard", "dedup_simhash",
-        "dedup_span_winnow_screen_entropic", "doc_chunking",
-        "dynamic_partition_pruning", "events_funnel",
-        "events_json_extract", "events_sessionization",
-        "events_sliding_window", "events_tumbling_window",
-        "exact_ngram_decontamination", "graph_pagerank",
-        "graph_triangle_count", "interval_overlap_join",
-        "join_full_outer", "kmeans_lloyd_refine", "knn_ivf",
-        "lang_id_heuristic", "mixture_rebalance", "mr_generic_wordcount",
-        "mr_inverted_index", "mr_secondary_sort",
-        "multimodal_h264_annexb_roundtrip", "multimodal_metadata_stats",
-        "multimodal_mp3_framing_roundtrip", "null_semantics",
-        "partitioned_write_prune", "pii_redaction",
-        "q10_returned_item_customers", "q15_top_supplier",
-        "q19_disjunctive_predicates", "related_docs_topk",
-        "scalar_functions", "sequence_packing", "sessions_per_hour",
-        "span_corruption_plan", "sql_grouping_sets", "stratified_sample",
-        "tfidf_top_terms", "topk_orders", "wholetext_file_stats",
-        "window_functions_suite",
+    r12_cohort = {
+        "agg_approx_suite", "approx_distinct_rollup",
+        "bloom_ngram_decontamination", "bm25_search",
+        "bpe_pair_merge_stats", "cms_heavy_hitter_estimates",
+        "corpus_shard_plan", "decontamination", "dedup_incremental",
+        "dedup_lsh_band_sweep", "dedup_prefix_filter", "dedup_semdedup",
+        "dedup_span_excision", "dedup_span_excision_minlen",
+        "dq_validation_suite", "dsir_importance_select",
+        "embedding_pq_codes", "entity_resolution_clusters",
+        "epoch_shuffle_plan", "equi_depth_histogram",
+        "events_hourly_resample", "events_native_session_window",
+        "events_rolling_1h_stats", "events_rolling_7d_active_users",
+        "events_rolling_anomaly_flags", "graph_bfs_reach",
+        "graph_pagerank_converged", "incremental_agg_maintenance",
+        "knn_pq_adc", "kv_text_roundtrip", "leakage_safe_splits",
+        "mr_inverted_index_capped", "multi_touch_attribution",
+        "multimodal_features", "multimodal_payload_dedup",
+        "orc_roundtrip", "pipeline_llm_training_prep",
+        "pq_trained_codebook_encode", "q1_pricing_summary",
+        "q2_min_cost_supplier", "q3_shipping_priority",
+        "quantile_sketch_estimates", "quantile_sketch_rollup",
+        "scd2_user_value_history", "table_profile", "text_stats",
+        "trigram_substring_search", "twap_user_value", "wordcount",
+        "zorder_write_prune",
     }
-    r15_new = {"sketch_store_compaction"}
+    r16_new = {"sketch_store_retention"}
     window = set(PRIORITY)
-    assert r10_leftovers <= window, sorted(r10_leftovers - window)
-    rest = window - r10_leftovers
-    assert rest <= r11_cohort | r15_new, sorted(rest - (r11_cohort | r15_new))
-    assert len(window & r11_cohort) == 30
-    assert r15_new <= window
+    assert r11_leftovers <= window, sorted(r11_leftovers - window)
+    rest = window - r11_leftovers
+    assert rest <= r12_cohort | r16_new, sorted(rest - (r12_cohort | r16_new))
+    assert len(window & r12_cohort) == 29
+    assert r16_new <= window

@@ -316,6 +316,11 @@ def test_filter_project_pushes_all_predicates(spark, sf_dir):
         # join's partitioning; every join broadcasts, events appears
         # nowhere, zero SinglePartition
         ("sketch_store_compaction", 7),
+        # r16: retention's graded read plans over the SINGLE retained
+        # store (store-sized): rollup re-agg + the per-type straddle
+        # window + the census agg + the est/census join partitioning;
+        # the expiry itself is filesystem metadata — zero Spark jobs
+        ("sketch_store_retention", 4),
     ],
 )
 def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
@@ -1083,6 +1088,80 @@ def test_sketch_store_compaction_bounds_file_count(spark, sf_dir):
     assert sum(len(v) for v in comp_days.values()) < sum(
         len(v) for v in frag_days.values()
     )
+
+
+def test_sketch_store_retention_reads_only_the_store_and_still_prunes(
+    spark, sf_dir
+):
+    """The retention row's graded plan must answer ENTIRELY from the
+    retained store — the fact table appears nowhere (expiry is pure
+    directory metadata; the only Spark jobs are the memoized builder's,
+    shared with the compaction row) — and a post-expiry day-range read
+    must still prune via PartitionFilters with day absent from every
+    ReadSchema: deleting partitions must not degrade the surviving
+    store's directory-pruned dashboard read path (VERDICT r15 #4)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    plan = _plan(spark, sf_dir, "sketch_store_retention")
+    assert "qsketch_retain_store" in plan, plan
+    assert "events.parquet" not in plan and "testdata" not in plan, plan
+
+    from ds_mapreduce_spark.plans import stream_queries as sq
+
+    path, d_cutoff, _ = sq._retained_qsketch_store(spark, sf_dir)
+    probe = (
+        spark.read.parquet(path)
+        .where((F.col("day") >= d_cutoff) & (F.col("day") <= d_cutoff + 3))
+        .groupBy("event_type")
+        .agg(F.sum("c").alias("c"))
+    )
+    pplan = probe._jdf.queryExecution().executedPlan().toString()
+    pfs = [
+        p
+        for p in re.findall(r"PartitionFilters: \[([^\]]*)\]", pplan)
+        if "day" in p
+    ]
+    assert pfs and all(">=" in p and "<=" in p for p in pfs), pplan
+    for rs in re.findall(r"ReadSchema: ([^\n]*)", pplan):
+        assert "day" not in rs, rs
+
+
+def test_sketch_store_retention_expiry_is_metadata_only(spark, sf_dir):
+    """The expiry's whole contract, on the filesystem: every surviving
+    day directory is >= the cutoff (midpoint of the pre-expiry span),
+    at least one day was expired, the surviving layout keeps
+    compaction's one-file-per-day invariant, the _SUCCESS marker was
+    re-committed AFTER the deletes, and the SOURCE compacted store is
+    untouched (retention works on a copy — the compaction row still
+    grades against the full store)."""
+    import os
+
+    from ds_mapreduce_spark.plans import stream_queries as sq
+
+    ret, d_cutoff, n_expired = sq._retained_qsketch_store(spark, sf_dir)
+    _, comp = sq._compacted_qsketch_stores(spark, sf_dir)
+
+    def days_of(root):
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("day=")
+        )
+
+    comp_days, ret_days = days_of(comp), days_of(ret)
+    assert comp_days[0] + (comp_days[-1] - comp_days[0]) // 2 == d_cutoff
+    assert ret_days == [d for d in comp_days if d >= d_cutoff]
+    assert n_expired == len(comp_days) - len(ret_days) >= 1
+    assert os.path.exists(os.path.join(ret, "_SUCCESS"))
+    for d in ret_days:
+        files = [
+            f
+            for f in os.listdir(os.path.join(ret, f"day={d}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
 
 
 def test_landed_day_store_rebuilds_after_tmp_wipe(spark, sf_dir):
