@@ -304,6 +304,14 @@ def main() -> None:
         # read of BOTH stores; the curve checks the ingest aggs stay
         # linear while compaction + read stay store-sized
         "sketch_store_compaction",
+        # r16: the retention row — each tier's first timed run pays
+        # the compaction builder chain (shared memo with the row
+        # above; free when that row ran first in the same session)
+        # plus the copy+delete expiry (pure filesystem, store-sized)
+        # and the graded read of the surviving half-store; the curve
+        # checks expiry+read stay store-sized while the only
+        # volume-linear work is the shared ingest aggs
+        "sketch_store_retention",
     ]
     # --only a,b restricts the run to a subset (comma-separated) so a
     # fresh-session measurement of newly staged rows doesn't re-time
