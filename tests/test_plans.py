@@ -1196,6 +1196,37 @@ def test_landed_day_store_rebuilds_after_tmp_wipe(spark, sf_dir):
     assert qafter == qbefore
 
 
+def test_retained_store_rebuilds_after_tmp_wipe(spark, sf_dir):
+    """The retention memo carries the same /tmp-wipe contract as
+    `_landed_day_store` (VERDICT r13 #4): wipe the retained store
+    between two calls and the query must rebuild — re-deriving the
+    cutoff and re-expiring the same days — and return the identical
+    answer. Also covers the staged-commit order: the rebuilt store
+    must carry a fresh _SUCCESS and only >=cutoff days."""
+    import os
+    import shutil
+
+    from ds_mapreduce_spark.plans import stream_queries as sq
+
+    before = sorted(
+        REGISTRY["sketch_store_retention"].fn(spark, sf_dir).collect()
+    )
+    path, d_cutoff, _ = sq._retained_qsketch_store(spark, sf_dir)
+    shutil.rmtree(path)
+    after = sorted(
+        REGISTRY["sketch_store_retention"].fn(spark, sf_dir).collect()
+    )
+    assert after == before
+    path2, d_cutoff2, _ = sq._retained_qsketch_store(spark, sf_dir)
+    assert (path2, d_cutoff2) == (path, d_cutoff)
+    assert os.path.exists(os.path.join(path2, "_SUCCESS"))
+    assert all(
+        int(d.split("=", 1)[1]) >= d_cutoff
+        for d in os.listdir(path2)
+        if d.startswith("day=")
+    )
+
+
 def test_hof_over_sequence_detector_self_test(spark):
     """The lock must actually fire on a reintroduced synth: a plan
     carrying transform(sequence(...)) counts 1; a HOF over a literal
