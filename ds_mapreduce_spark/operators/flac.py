@@ -59,6 +59,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -142,12 +143,18 @@ class BitWriter:
         self._nbits = 0
 
     def write(self, value: int, nbits: int) -> None:
-        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
-        self._nbits += nbits
-        while self._nbits >= 8:
-            self._nbits -= 8
-            self._out.append((self._acc >> self._nbits) & 0xFF)
-        self._acc &= (1 << self._nbits) - 1
+        acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        n = self._nbits + nbits
+        nbytes = n >> 3
+        if nbytes:
+            n &= 7
+            # whole bytes leave through int.to_bytes (C speed) — the
+            # r16 replacement for the per-byte Python shift loop; large
+            # fused writes (folded exp-Golomb blocks) hit this hard
+            self._out += (acc >> n).to_bytes(nbytes, "big")
+            acc &= (1 << n) - 1
+        self._acc = acc
+        self._nbits = n
 
     def write_unary(self, q: int) -> None:
         """FLAC unary: q zero-bits then a one-bit."""
@@ -166,45 +173,86 @@ class BitWriter:
 
 
 class BitReader:
-    """MSB-first bit unpacker; over-reads raise (truncation is loud)."""
+    """MSB-first bit unpacker; over-reads raise (truncation is loud).
+
+    Accumulator form (r16): whole bytes refill a small integer
+    accumulator and each read consumes it in one arithmetic step — the
+    per-bit Python loop was the dominant cost of every Rice/exp-Golomb
+    decode (FLAC, MDCT, MCV, MPEG framing, Annex-B all share this
+    reader; measured ~5x on the exp-Golomb microbench). The refill
+    stops as soon as a read is satisfiable, so at every call boundary
+    fewer than 8 unconsumed bits are held and byte/bit positions stay
+    exact for the align()/byte_pos container bookkeeping."""
+
+    __slots__ = ("_data", "_fb", "_acc", "_navail")
 
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self._data = data
-        self._byte = pos
-        self._bit = 0
+        self._fb = pos  # next byte index to pull into the accumulator
+        self._acc = 0
+        self._navail = 0  # refilled-but-unconsumed bit count
 
     def read(self, nbits: int) -> int:
-        v = 0
-        for _ in range(nbits):
-            if self._byte >= len(self._data):
+        navail = self._navail
+        acc = self._acc
+        data = self._data
+        fb = self._fb
+        n = len(data)
+        while navail < nbits:
+            if fb >= n:
                 raise ValueError("FLAC bitstream truncated")
-            v = (v << 1) | ((self._data[self._byte] >> (7 - self._bit)) & 1)
-            self._bit += 1
-            if self._bit == 8:
-                self._bit = 0
-                self._byte += 1
+            acc = (acc << 8) | data[fb]
+            fb += 1
+            navail += 8
+        navail -= nbits
+        v = (acc >> navail) & ((1 << nbits) - 1)
+        self._acc = acc & ((1 << navail) - 1)
+        self._navail = navail
+        self._fb = fb
         return v
 
     def read_unary(self) -> int:
-        q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        acc = self._acc
+        if acc:  # the terminating 1-bit is already in the accumulator
+            navail = self._navail
+            top = acc.bit_length()
+            self._acc = acc & ((1 << (top - 1)) - 1)
+            self._navail = top - 1
+            return navail - top
+        q = self._navail  # all-zero remainder counts toward the run
+        data = self._data
+        fb = self._fb
+        n = len(data)
+        while True:
+            if fb >= n:
+                raise ValueError("FLAC bitstream truncated")
+            b = data[fb]
+            fb += 1
+            if b:
+                top = b.bit_length()
+                self._acc = b & ((1 << (top - 1)) - 1)
+                self._navail = top - 1
+                self._fb = fb
+                return q + 8 - top
+            q += 8
 
     def align(self) -> None:
-        if self._bit:
-            self._bit = 0
-            self._byte += 1
+        # fewer than 8 bits are ever held between reads, so aligning
+        # to the next byte boundary just discards the remainder
+        if (self._fb * 8 - self._navail) & 7:
+            self._acc = 0
+            self._navail = 0
 
     @property
     def byte_pos(self) -> int:
-        assert self._bit == 0
-        return self._byte
+        consumed = self._fb * 8 - self._navail
+        assert consumed & 7 == 0
+        return consumed >> 3
 
     @property
     def bit_pos(self) -> int:
         """Bit offset within the current byte (0 = byte-aligned)."""
-        return self._bit
+        return (self._fb * 8 - self._navail) & 7
 
 
 # ----------------------------------------------- coded (UTF-8-style) numbers
@@ -260,29 +308,30 @@ def unzigzag(u: int) -> int:
     return (u >> 1) if u % 2 == 0 else -((u + 1) >> 1)
 
 
-def rice_bits(folded: list[int], param: int) -> int:
+def rice_bits(folded, param: int) -> int:
     """Total bits to Rice-code the zigzag-folded residuals at param."""
-    total = 0
-    for u in folded:
-        total += (u >> param) + 1 + param
-    return total
+    u = np.asarray(folded, dtype=np.int64)
+    return int((u >> param).sum()) + (1 + param) * len(u)
 
 
-def _best_residual_coding(residuals: list[int]) -> tuple[int, int, int]:
+def _best_residual_coding(residuals) -> tuple[int, int, int]:
     """-> (param, raw_width, bits incl. the 4-bit param field):
     param == -1 means the spec's escape (raw fixed-width two's
     complement) beat every Rice parameter. Deterministic: lowest
-    winning param, escape only on a strict win."""
-    folded = [zigzag(r) for r in residuals]
-    best_param, best_bits = 0, rice_bits(folded, 0)
-    for p in range(1, _MAX_RICE_PARAM + 1):
-        b = rice_bits(folded, p)
-        if b < best_bits:
-            best_param, best_bits = p, b
+    winning param, escape only on a strict win. Vectorized (r16): one
+    (n, params) shift table prices every parameter at once; argmin's
+    first-minimum rule IS the lowest-winning-param tie-break."""
+    res = np.asarray(residuals, dtype=np.int64)
+    n = len(res)
+    folded = np.where(res >= 0, res << 1, ((-res) << 1) - 1)
+    params = np.arange(_MAX_RICE_PARAM + 1, dtype=np.int64)
+    bits = (folded[:, None] >> params[None, :]).sum(axis=0) + (1 + params) * n
+    best_param = int(np.argmin(bits))
+    best_bits = int(bits[best_param])
     # raw width must cover the two's-complement range of every
     # residual: bit_length+1 adds the sign bit (0 -> width 1)
-    raw_width = max((r.bit_length() + 1 for r in residuals), default=1)
-    raw_total = 4 + 5 + raw_width * len(residuals)
+    raw_width = (int(np.abs(res).max()).bit_length() + 1) if n else 1
+    raw_total = 4 + 5 + raw_width * n
     rice_total = 4 + best_bits
     if raw_total < rice_total:
         return -1, raw_width, raw_total
@@ -293,25 +342,33 @@ def _best_residual_coding(residuals: list[int]) -> tuple[int, int, int]:
 def _residuals(samples: list[int], order: int) -> list[int]:
     if order == 0:
         return list(samples)
+    s = np.asarray(samples, dtype=np.int64)
     if order == 1:
-        return [samples[i] - samples[i - 1] for i in range(1, len(samples))]
-    return [
-        samples[i] - 2 * samples[i - 1] + samples[i - 2]
-        for i in range(2, len(samples))
-    ]
+        return (s[1:] - s[:-1]).tolist()
+    return (s[2:] - 2 * s[1:-1] + s[:-2]).tolist()
 
 
 def _reconstruct(warmup: list[int], residuals: list[int], order: int) -> list[int]:
-    out = list(warmup)
     if order == 0:
         return list(residuals)
-    if order == 1:
+    # a corrupt stream can Rice-decode absurd residuals; the closed
+    # forms below must stay exact, so fall back to Python ints (no
+    # int64 ceiling) outside the provably-safe magnitude window
+    if residuals and max(map(abs, residuals)) > (1 << 62) // (len(residuals) + 2) ** 2:
+        out = list(warmup)
+        if order == 1:
+            for r in residuals:
+                out.append(r + out[-1])
+            return out
         for r in residuals:
-            out.append(r + out[-1])
+            out.append(r + 2 * out[-1] - out[-2])
         return out
-    for r in residuals:
-        out.append(r + 2 * out[-1] - out[-2])
-    return out
+    res = np.asarray(residuals, dtype=np.int64)
+    if order == 1:
+        return [warmup[0]] + (warmup[0] + np.cumsum(res)).tolist()
+    # order 2: first differences integrate once, samples twice
+    d = (warmup[1] - warmup[0]) + np.cumsum(res)
+    return [warmup[0], warmup[1]] + (warmup[1] + np.cumsum(d)).tolist()
 
 
 # ------------------------------------------------------------ encoder
@@ -366,10 +423,14 @@ def _encode_frame(samples: list[int], frame_number: int) -> bytes:
             body.write(r & mask, raw_width)
     else:
         body.write(param, 4)
+        # one fused write per sample: q zero bits, the 1 terminator,
+        # then the param-bit remainder (identical bit layout)
+        write = body.write
+        mask = (1 << param) - 1
+        one = 1 << param
         for r in res:
             u = zigzag(r)
-            body.write_unary(u >> param)
-            body.write(u & ((1 << param) - 1), param)
+            write(one | (u & mask), (u >> param) + 1 + param)
     body.align()
     frame = bytes(head) + body.getvalue()
     return frame + struct.pack(">H", crc16(frame))

@@ -51,6 +51,7 @@ operator.
 
 from __future__ import annotations
 
+import functools
 import math
 import struct
 from collections.abc import Iterator
@@ -150,6 +151,8 @@ def _zigzag_order() -> tuple[tuple[int, int], ...]:
 
 
 ZIGZAG: tuple[tuple[int, int], ...] = _zigzag_order()
+_ZZ_ROWS = np.array([v for v, _ in ZIGZAG], dtype=np.int64)
+_ZZ_COLS = np.array([u for _, u in ZIGZAG], dtype=np.int64)
 
 # ---------------------------------------------------------------------------
 # Huffman tables: canonical, carried IN the container (DHT), so any
@@ -247,15 +250,20 @@ class _BitWriter:
         self._n = 0
 
     def write(self, value: int, nbits: int) -> None:
-        for k in range(nbits - 1, -1, -1):
-            self._acc = (self._acc << 1) | ((value >> k) & 1)
-            self._n += 1
-            if self._n == 8:
-                self.buf.append(self._acc)
-                if self._acc == 0xFF:
-                    self.buf.append(0x00)
-                self._acc = 0
-                self._n = 0
+        acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        n = self._n + nbits
+        nbytes = n >> 3
+        if nbytes:
+            n &= 7
+            # int.to_bytes at C speed; bytes.replace applies the
+            # spec's 0xFF00 stuffing to every emitted 0xFF identically
+            # to the per-byte loop it replaces
+            self.buf += (acc >> n).to_bytes(nbytes, "big").replace(
+                b"\xff", b"\xff\x00"
+            )
+            acc &= (1 << n) - 1
+        self._acc = acc
+        self._n = n
 
     def flush(self) -> None:
         while self._n:
@@ -311,37 +319,40 @@ def encode_jpeg_bytes(px: bytes, w: int, h: int, restart_interval: int = 0) -> b
 def _encode_block(out: _BitWriter, blk: np.ndarray, prev_dc: int) -> int:
     """Entropy-code one quantized 8x8 block (DC diff + AC run-length),
     returning the new DC predictor."""
-    dc = int(blk[0, 0])
+    flat = blk[_ZZ_ROWS, _ZZ_COLS].tolist()
+    dc = flat[0]
     diff = dc - prev_dc
     s = _category(diff)
     code, n = _DC_CODES[s]
-    out.write(code, n)
     if s:
-        out.write(_magnitude_bits(diff, s), s)
+        # one fused write: Huffman code then magnitude bits
+        out.write((code << s) | _magnitude_bits(diff, s), n + s)
+    else:
+        out.write(code, n)
     run = 0
     last_nz = 0
-    flat = [int(blk[v, u]) for v, u in ZIGZAG]
     for k in range(63, 0, -1):
         if flat[k]:
             last_nz = k
             break
+    ac_codes = _AC_CODES
+    write = out.write
     for k in range(1, last_nz + 1):
         v = flat[k]
         if v == 0:
             run += 1
             continue
         while run >= 16:
-            code, n = _AC_CODES[0xF0]  # ZRL
-            out.write(code, n)
+            code, n = ac_codes[0xF0]  # ZRL
+            write(code, n)
             run -= 16
         s = _category(v)
-        code, n = _AC_CODES[(run << 4) | s]
-        out.write(code, n)
-        out.write(_magnitude_bits(v, s), s)
+        code, n = ac_codes[(run << 4) | s]
+        write((code << s) | _magnitude_bits(v, s), n + s)
         run = 0
     if last_nz != 63:
-        code, n = _AC_CODES[0x00]  # EOB
-        out.write(code, n)
+        code, n = ac_codes[0x00]  # EOB
+        write(code, n)
     return dc
 
 
@@ -440,40 +451,117 @@ def encode_jpeg_color_bytes(
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
-    unstuffing; raises on an unexpected marker inside the scan."""
+    unstuffing; raises on an unexpected marker inside the scan.
+
+    Multi-bit accumulator form (r16): bytes are still pulled (and
+    unstuffed / marker-checked) one at a time, but reads consume the
+    accumulator in one arithmetic step instead of a Python-loop bit at
+    a time, and ``peek16`` gives the Huffman LUT a zero-padded 16-bit
+    lookahead. A marker or EOF met while REFILLING is recorded as a
+    stall and only raised when a consumed bit actually needs it, so
+    lookahead never rejects a stream the bit-serial reader accepted."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
         self._acc = 0
         self._n = 0
+        self._stall: tuple | None = None
+
+    def _pull(self) -> bool:
+        """Refill one data byte; record (not raise) marker/EOF stalls."""
+        if self._stall is not None:
+            return False
+        data, pos = self.data, self.pos
+        if pos >= len(data):
+            self._stall = ("eof",)
+            return False
+        b = data[pos]
+        pos += 1
+        if b == 0xFF:
+            if pos >= len(data):
+                self._stall = ("eof_ff",)
+                return False
+            nxt = data[pos]
+            if nxt != 0x00:
+                self._stall = ("marker", nxt)
+                return False
+            pos += 1  # stuffed byte: literal 0xFF
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+        self.pos = pos
+        return True
+
+    def _starved(self):
+        kind = self._stall[0] if self._stall else "eof"
+        if kind == "eof":
+            raise ValueError("truncated entropy-coded scan")
+        if kind == "eof_ff":
+            raise ValueError("truncated after 0xFF in scan")
+        raise ValueError(
+            f"unexpected marker 0xFF{self._stall[1]:02X} inside scan"
+        )
+
+    def bits(self, nbits: int) -> int:
+        while self._n < nbits:
+            if not self._pull():
+                self._starved()
+        n = self._n - nbits
+        v = (self._acc >> n) & ((1 << nbits) - 1)
+        self._acc &= (1 << n) - 1
+        self._n = n
+        return v
 
     def bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated entropy-coded scan")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("truncated after 0xFF in scan")
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte: literal 0xFF
-                else:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{nxt:02X} inside scan"
-                    )
-            self._acc = b
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+        return self.bits(1)
+
+    def peek16(self) -> int:
+        while self._n < 16:
+            if not self._pull():
+                return (self._acc << (16 - self._n)) & 0xFFFF
+        return (self._acc >> (self._n - 16)) & 0xFFFF
+
+    def consume(self, nbits: int) -> None:
+        if nbits > self._n:
+            self._starved()
+        self._n -= nbits
+        self._acc &= (1 << self._n) - 1
+
+    def huff(self, lut) -> int:
+        """Decode one Huffman symbol via the 16-bit lookahead LUT —
+        peek + table hit + consume fused into one call (the per-symbol
+        hot path of the scan loop)."""
+        n = self._n
+        while n < 16 and self._pull():
+            n = self._n
+        if n >= 16:
+            word = (self._acc >> (n - 16)) & 0xFFFF
+        else:
+            word = (self._acc << (16 - n)) & 0xFFFF
+        sym, length = lut[word]
+        if length == 0 or length > n:
+            if n < 16:
+                self._starved()
+            raise ValueError("invalid Huffman code in scan")
+        n -= length
+        self._acc &= (1 << n) - 1
+        self._n = n
+        return sym
 
     def restart(self, ordinal: int) -> None:
         """Byte-align (discard the pre-marker pad bits) and consume the
         expected RSTn marker (T.81 §B.2.4.4); a missing or out-of-cycle
-        marker raises."""
+        marker raises. Whole undecoded data bytes before the marker
+        raise too — refills stop AT markers, so a compliant stream
+        leaves at most 7 pad bits in the accumulator here (the
+        bit-serial reader hit the same streams via its pos check)."""
+        if self._n >= 8:
+            raise ValueError(
+                f"expected RST{ordinal}, undecoded data before marker"
+            )
+        self._acc = 0
         self._n = 0
+        self._stall = None
         if self.pos + 2 > len(self.data):
             raise ValueError("truncated at restart marker")
         got = self.data[self.pos : self.pos + 2]
@@ -484,32 +572,39 @@ class _BitReader:
         self.pos += 2
 
 
-def _build_huffman(bits: tuple[int, ...], huffval: bytes):
-    """Canonical decode tables (mincode/maxcode/valptr) from a DHT
-    segment's BITS/HUFFVAL — the spec's Generate_size/code procedure."""
-    mincode = [0] * 17
-    maxcode = [-1] * 17
-    valptr = [0] * 17
+@functools.lru_cache(maxsize=128)
+def _huff_lut(bits: tuple[int, ...], huffval: bytes):
+    """65536-entry (symbol, code length) lookahead list for a canonical
+    table — one 16-bit peek decodes any symbol in O(1) (the libjpeg
+    technique), replacing the 1..16-step bit-serial walk. Same
+    Generate_size/code assignment as the spec procedure. Cached on the
+    DHT contents, so repeated parses of same-table streams (every
+    payload our encoder writes) build the table once per worker."""
+    lut: list[tuple[int, int]] = [(0, 0)] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
-        valptr[length] = k
-        mincode[length] = code
-        code += bits[length - 1]
-        k += bits[length - 1]
-        maxcode[length] = code - 1 if bits[length - 1] else -1
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("oversubscribed Huffman table in DHT")
+            sym = huffval[k]
+            k += 1
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            lut[base : base + span] = [(sym, length)] * span
+            code += 1
         code <<= 1
-    return mincode, maxcode, valptr, huffval
+    return lut
 
 
-def _huff_decode(reader: _BitReader, table) -> int:
-    mincode, maxcode, valptr, huffval = table
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.bit()
-        if maxcode[length] >= code >= mincode[length]:
-            return huffval[valptr[length] + code - mincode[length]]
-    raise ValueError("invalid Huffman code in scan")
+def _build_huffman(bits: tuple[int, ...], huffval: bytes):
+    """Canonical decode table from a DHT segment's BITS/HUFFVAL — now a
+    cached 16-bit lookahead LUT (see ``_huff_lut``)."""
+    return _huff_lut(tuple(bits), bytes(huffval))
+
+
+def _huff_decode(reader: _BitReader, lut) -> int:
+    return reader.huff(lut)
 
 
 def _extend(v: int, size: int) -> int:
@@ -633,18 +728,13 @@ def parse_jpeg(payload: bytes):
             rst = (rst + 1) % 8
             preds = [0] * ncomp
         for ci in range(ncomp):
-            s = _huff_decode(reader, dc_tabs[ci])
-            diff = 0
-            if s:
-                v = 0
-                for _ in range(s):
-                    v = (v << 1) | reader.bit()
-                diff = _extend(v, s)
+            s = reader.huff(dc_tabs[ci])
+            diff = _extend(reader.bits(s), s) if s else 0
             preds[ci] += diff
             coeffs[ci, mcu, 0, 0] = preds[ci]
             k = 1
             while k < 64:
-                rs = _huff_decode(reader, ac_tabs[ci])
+                rs = reader.huff(ac_tabs[ci])
                 if rs == 0x00:  # EOB
                     break
                 if rs == 0xF0:  # ZRL
@@ -654,11 +744,8 @@ def parse_jpeg(payload: bytes):
                 k += run
                 if k > 63:
                     raise ValueError("AC coefficient index overflow")
-                v = 0
-                for _ in range(size):
-                    v = (v << 1) | reader.bit()
                 vv, uu = zz[k]
-                coeffs[ci, mcu, vv, uu] = _extend(v, size)
+                coeffs[ci, mcu, vv, uu] = _extend(reader.bits(size), size)
                 k += 1
     planes = []
     for ci in range(ncomp):

@@ -144,13 +144,26 @@ def _quant_flat(coeffs: np.ndarray, step: int) -> np.ndarray:
 
 
 def _code_block(w: BitWriter, q: np.ndarray) -> None:
-    """Zero-residual flag, then (unless flagged) 64 row-major ue codes."""
-    if not q.any():
+    """Zero-residual flag, then (unless flagged) 64 row-major ue codes.
+
+    The codes are folded into one integer and emitted with a single
+    write (r16): each coefficient contributes (zigzag+1) in
+    2*bitlength-1 bits — bit-identical to the per-coefficient
+    ``_write_ue`` loop, minus 64 writer calls per block. The leading
+    0 flag bit rides the same write (the fold is always below its
+    total width, so the top bit is 0)."""
+    flat = q.reshape(64).tolist()
+    if not any(flat):
         w.write(1, 1)
         return
-    w.write(0, 1)
-    for v in q.reshape(64):
-        _write_ue(w, zigzag(int(v)))
+    acc = 0
+    total = 1  # the zero flag bit
+    for v in flat:
+        u = (v << 1 if v >= 0 else ((-v) << 1) - 1) + 1
+        nb = 2 * u.bit_length() - 1
+        acc = (acc << nb) | u
+        total += nb
+    w.write(acc, total)
 
 
 def _read_block(r: BitReader) -> np.ndarray:

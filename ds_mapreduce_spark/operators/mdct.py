@@ -273,6 +273,7 @@ def encode_granule_blobs(samples) -> list[bytes]:
     acc = _forward_accumulators(x)
     t_frames = acc.shape[0]
     blobs: list[bytes] = []
+    base_np = np.asarray(MDCT_BASE_STEPS, dtype=np.int64)
     for g0 in range(0, t_frames, MDCT_GRANULE):
         frames = acc[g0 : g0 + MDCT_GRANULE]
         w = BitWriter()
@@ -281,10 +282,23 @@ def encode_granule_blobs(samples) -> list[bytes]:
             e = _scalefactor(int(np.abs(frames[:, k]).max()), k)
             es.append(e)
             w.write(e, 4)
-        for t in range(frames.shape[0]):
-            for k in range(MDCT_N):
-                q = _quantize(int(frames[t, k]), k, es[k])
-                _write_ue(w, zigzag(q))
+        # vectorized quantize (r16) — identical element math to
+        # rnd_div/_quantize: half-away-from-zero divide by the band's
+        # step, clamp to ±QMAX, zigzag-fold
+        d = base_np << (MDCT_CSHIFT + np.asarray(es, dtype=np.int64))
+        q = (np.abs(frames) + (d >> 1)[None, :]) // d[None, :]
+        q = np.where(frames >= 0, q, -q)
+        q = np.clip(q, -MDCT_QMAX, MDCT_QMAX)
+        u1 = (np.where(q >= 0, q << 1, ((-q) << 1) - 1) + 1).ravel().tolist()
+        # fold the granule's exp-Golomb codes ((u+1) in 2*len-1 bits
+        # each — same bits _write_ue emits) into one write call
+        code_acc = 0
+        total = 0
+        for v in u1:
+            nb = 2 * v.bit_length() - 1
+            code_acc = (code_acc << nb) | v
+            total += nb
+        w.write(code_acc, total)
         w.align()
         coded = w.getvalue()
         blobs.append(coded + bytes([crc8(coded)]))
