@@ -323,6 +323,13 @@ def decode_mcv_frames(payload: bytes) -> list[np.ndarray]:
     """Full reconstruction: intra-decode frame 0, then motion-
     compensate + add decoded residuals frame by frame."""
     frames, _spans = parse_mcv(payload)
+    return _decode_frames_from_parsed(frames)
+
+
+def _decode_frames_from_parsed(frames) -> list[np.ndarray]:
+    """Reconstruction from an already-parsed frame list — split out
+    (r16) so `mcv_payload_features` walks the container syntax ONCE
+    instead of parsing it a second time inside the decode."""
     out: list[np.ndarray] = []
     prev: np.ndarray | None = None
     for t, blocks in enumerate(frames):
@@ -391,7 +398,7 @@ def mcv_payload_features(payload: bytes) -> list[dict]:
     `decode_mcv_features`, shared with the Annex-B wrapper
     (`operators/annexb.py`) which decodes a REASSEMBLED container."""
     frames, spans = parse_mcv(payload)
-    recons = decode_mcv_frames(payload)
+    recons = _decode_frames_from_parsed(frames)
     return [
         {
             "frame_id": t,
