@@ -94,16 +94,61 @@ for _b in range(256):
     _CRC16_TABLE.append(_r)
 
 
+# Slice-by-16 (r16): CRC over a 0-init MSB-first LFSR is GF(2)-linear
+# in the byte stream, so crc(b0..b15 from state r) decomposes into 16
+# independent table lookups XORed together — _CRC*_SLICE[k][v] is the
+# crc of byte v followed by k zero bytes, and the running state folds
+# into the first byte(s) of each group. One Python loop iteration per
+# 16 bytes instead of per byte; bit-identical to the byte loop
+# (tests/test_bitio_batch.py differential-locks both).
+_CRC8_SLICE = [_CRC8_TABLE]
+for _ in range(15):
+    _CRC8_SLICE.append([_CRC8_TABLE[x] for x in _CRC8_SLICE[-1]])
+
+_CRC16_SLICE = [_CRC16_TABLE]
+for _ in range(15):
+    _CRC16_SLICE.append(
+        [((x << 8) & 0xFFFF) ^ _CRC16_TABLE[x >> 8] for x in _CRC16_SLICE[-1]]
+    )
+
+
 def crc8(data: bytes) -> int:
     r = 0
-    for byte in data:
+    n = len(data)
+    m = n - (n & 15)
+    T = _CRC8_SLICE
+    i = 0
+    while i < m:
+        b = data[i : i + 16]
+        r = (
+            T[15][b[0] ^ r] ^ T[14][b[1]] ^ T[13][b[2]] ^ T[12][b[3]]
+            ^ T[11][b[4]] ^ T[10][b[5]] ^ T[9][b[6]] ^ T[8][b[7]]
+            ^ T[7][b[8]] ^ T[6][b[9]] ^ T[5][b[10]] ^ T[4][b[11]]
+            ^ T[3][b[12]] ^ T[2][b[13]] ^ T[1][b[14]] ^ T[0][b[15]]
+        )
+        i += 16
+    for byte in data[m:]:
         r = _CRC8_TABLE[r ^ byte]
     return r
 
 
 def crc16(data: bytes) -> int:
     r = 0
-    for byte in data:
+    n = len(data)
+    m = n - (n & 15)
+    T = _CRC16_SLICE
+    i = 0
+    while i < m:
+        b = data[i : i + 16]
+        r = (
+            T[15][b[0] ^ (r >> 8)] ^ T[14][b[1] ^ (r & 0xFF)]
+            ^ T[13][b[2]] ^ T[12][b[3]] ^ T[11][b[4]] ^ T[10][b[5]]
+            ^ T[9][b[6]] ^ T[8][b[7]] ^ T[7][b[8]] ^ T[6][b[9]]
+            ^ T[5][b[10]] ^ T[4][b[11]] ^ T[3][b[12]] ^ T[2][b[13]]
+            ^ T[1][b[14]] ^ T[0][b[15]]
+        )
+        i += 16
+    for byte in data[m:]:
         r = ((r << 8) & 0xFFFF) ^ _CRC16_TABLE[(r >> 8) ^ byte]
     return r
 
@@ -235,6 +280,152 @@ class BitReader:
                 self._fb = fb
                 return q + 8 - top
             q += 8
+
+    def read_ue_many(self, count: int) -> list:
+        """``count`` exp-Golomb ue(v) codes in one call (r16).
+
+        Bulk form of mdct._read_ue: 8-byte chunks refill the
+        accumulator (keeping it in small-int range — a wider refill
+        makes every per-code shift/mask a multiword bigint op, measured
+        ~16% slower) and each code is consumed with one bit_length +
+        shift/mask step, so the per-code Python overhead (three method
+        calls and a byte-at-a-time refill) disappears. Bit-identical
+        to ``[_read_ue(self) for _ in range(count)]`` including the
+        truncation failure point and the reader state left behind
+        (differential-tested over randomized split/truncation trials).
+        Unconsumed whole bytes are pushed back on exit so the <8-bit
+        invariant that align()/byte_pos rely on still holds."""
+        data = self._data
+        fb = self._fb
+        acc = self._acc
+        navail = self._navail
+        n = len(data)
+        out = []
+        for _ in range(count):
+            top = acc.bit_length()
+            while not top:  # only zeros held: refill for the unary run
+                if fb >= n:
+                    back = navail >> 3
+                    self._fb = fb - back
+                    self._navail = navail - (back << 3)
+                    self._acc = acc >> (back << 3)
+                    raise ValueError("FLAC bitstream truncated")
+                take = min(8, n - fb)
+                acc = (acc << (take << 3)) | int.from_bytes(
+                    data[fb : fb + take], "big"
+                )
+                fb += take
+                navail += take << 3
+                top = acc.bit_length()
+            lz = navail - top  # leading zeros of this code
+            while top - 1 < lz:  # suffix not fully refilled yet
+                if fb >= n:
+                    back = navail >> 3
+                    self._fb = fb - back
+                    self._navail = navail - (back << 3)
+                    self._acc = acc >> (back << 3)
+                    raise ValueError("FLAC bitstream truncated")
+                take = min(8, n - fb)
+                acc = (acc << (take << 3)) | int.from_bytes(
+                    data[fb : fb + take], "big"
+                )
+                fb += take
+                navail += take << 3
+                top += take << 3
+            shift = top - 1 - lz
+            out.append((acc >> shift) - 1)  # (1<<lz | suffix) - 1
+            navail = shift
+            acc &= (1 << shift) - 1
+        back = navail >> 3
+        self._fb = fb - back
+        self._navail = navail - (back << 3)
+        self._acc = acc >> (back << 3)
+        return out
+
+    def read_many(self, nbits: int, count: int) -> np.ndarray:
+        """``count`` fixed-width ``nbits``-bit fields in one vectorized
+        step (r16): numpy unpacks the covered bit range and one matmul
+        folds each row — bit-identical to ``count`` sequential
+        read(nbits) calls, including the truncation ValueError when
+        the range overruns the stream. Exact for nbits <= 62."""
+        total = nbits * count
+        start_bit = self._fb * 8 - self._navail
+        end_bit = start_bit + total
+        data = self._data
+        if end_bit > len(data) * 8:
+            raise ValueError("FLAC bitstream truncated")
+        b0 = start_bit >> 3
+        b1 = (end_bit + 7) >> 3
+        bits = np.unpackbits(
+            np.frombuffer(data, dtype=np.uint8, count=b1 - b0, offset=b0)
+        )
+        off = start_bit - (b0 << 3)
+        seg = bits[off : off + total].reshape(count, nbits).astype(np.int64)
+        weights = np.int64(1) << np.arange(
+            nbits - 1, -1, -1, dtype=np.int64
+        )
+        vals = seg @ weights
+        # re-establish the <8-held-bits invariant from the data itself
+        fb = (end_bit + 7) >> 3
+        navail = (fb << 3) - end_bit
+        self._fb = fb
+        self._navail = navail
+        self._acc = data[fb - 1] & ((1 << navail) - 1) if navail else 0
+        return vals
+
+    def read_rice_many(self, param: int, count: int) -> list:
+        """``count`` Rice codes (unary quotient + ``param`` low bits)
+        in one call, returning the folded values u = (q<<param)|low —
+        the bulk twin of the read_unary()/read(param) pair in
+        _decode_frame, with the same refill/push-back contract as
+        read_ue_many."""
+        data = self._data
+        fb = self._fb
+        acc = self._acc
+        navail = self._navail
+        n = len(data)
+        low_mask = (1 << param) - 1
+        out = []
+        for _ in range(count):
+            top = acc.bit_length()
+            while not top:
+                if fb >= n:
+                    back = navail >> 3
+                    self._fb = fb - back
+                    self._navail = navail - (back << 3)
+                    self._acc = acc >> (back << 3)
+                    raise ValueError("FLAC bitstream truncated")
+                take = min(8, n - fb)
+                acc = (acc << (take << 3)) | int.from_bytes(
+                    data[fb : fb + take], "big"
+                )
+                fb += take
+                navail += take << 3
+                top = acc.bit_length()
+            q = navail - top
+            while top - 1 < param:
+                if fb >= n:
+                    back = navail >> 3
+                    self._fb = fb - back
+                    self._navail = navail - (back << 3)
+                    self._acc = acc >> (back << 3)
+                    raise ValueError("FLAC bitstream truncated")
+                take = min(8, n - fb)
+                acc = (acc << (take << 3)) | int.from_bytes(
+                    data[fb : fb + take], "big"
+                )
+                fb += take
+                navail += take << 3
+                top += take << 3
+            shift = top - 1 - param
+            out.append((q << param) | ((acc >> shift) & low_mask))
+            navail = shift
+            acc &= (1 << shift) - 1
+        back = navail >> 3
+        self._fb = fb - back
+        self._navail = navail - (back << 3)
+        self._acc = acc >> (back << 3)
+        return out
 
     def align(self) -> None:
         # fewer than 8 bits are ever held between reads, so aligning
@@ -415,25 +606,73 @@ def _encode_frame(samples: list[int], frame_number: int) -> bytes:
         body.write(s & 0xFFFF, FLAC_BPS)  # warmup, two's complement
     body.write(0b00, 2)  # residual method: 4-bit Rice
     body.write(0, 4)  # partition order 0
+    resv = np.asarray(res, dtype=np.int64)
     if param < 0:
         body.write(0b1111, 4)  # escape
         body.write(raw_width, 5)
-        mask = (1 << raw_width) - 1
-        for r in res:
-            body.write(r & mask, raw_width)
+        # whole residual train folded to one integer via a vectorized
+        # bit matrix (r16) — bit-identical to the per-sample
+        # write(r & mask, raw_width) loop, in ONE writer call
+        if len(resv):
+            shifts = np.arange(raw_width - 1, -1, -1, dtype=np.int64)
+            bits = ((resv[:, None] >> shifts[None, :]) & 1).astype(
+                np.uint8
+            ).ravel()
+            total = raw_width * len(resv)
+            acc = int.from_bytes(np.packbits(bits).tobytes(), "big") >> (
+                (-total) % 8
+            )
+            body.write(acc, total)
     else:
         body.write(param, 4)
-        # one fused write per sample: q zero bits, the 1 terminator,
-        # then the param-bit remainder (identical bit layout)
-        write = body.write
-        mask = (1 << param) - 1
-        one = 1 << param
-        for r in res:
-            u = zigzag(r)
-            write(one | (u & mask), (u >> param) + 1 + param)
+        # vectorized Rice emit (r16): terminator and remainder bit
+        # positions are computed for every sample at once and packed
+        # into one writer call — identical bit layout to the former
+        # fused-write-per-sample loop
+        if len(resv):
+            u = np.where(resv >= 0, resv << 1, ((-resv) << 1) - 1)
+            q = u >> param
+            lens = q + 1 + param
+            total = int(lens.sum())
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            bits = np.zeros(total, dtype=np.uint8)
+            terms = starts + q
+            bits[terms] = 1
+            if param:
+                idx = (
+                    terms[:, None]
+                    + 1
+                    + np.arange(param, dtype=np.int64)[None, :]
+                ).ravel()
+                sb = (
+                    (
+                        u[:, None]
+                        >> np.arange(param - 1, -1, -1, dtype=np.int64)[None, :]
+                    )
+                    & 1
+                ).astype(np.uint8).ravel()
+                bits[idx] = sb
+            acc = int.from_bytes(np.packbits(bits).tobytes(), "big") >> (
+                (-total) % 8
+            )
+            body.write(acc, total)
     body.align()
     frame = bytes(head) + body.getvalue()
     return frame + struct.pack(">H", crc16(frame))
+
+
+def _pack_pcm16le(samples) -> bytes:
+    """Vectorized PCM16LE pack for the STREAMINFO MD5 (r16) —
+    bit-identical to ``b"".join(struct.pack("<h", s) for s in
+    samples)``, including the struct.error on any sample outside int16
+    range (mapped to ValueError by corruption_to_value_error at the
+    decode entry, exactly as the per-sample pack was)."""
+    if not len(samples):
+        return b""
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.min() < -0x8000 or arr.max() > 0x7FFF:
+        raise struct.error("short format requires -32768 <= number <= 32767")
+    return arr.astype("<i2").tobytes()
 
 
 def encode_flac_bytes(samples, rate: int = WAV_SAMPLE_RATE) -> bytes:
@@ -446,7 +685,7 @@ def encode_flac_bytes(samples, rate: int = WAV_SAMPLE_RATE) -> bytes:
         _encode_frame(samples[s0 : s0 + FLAC_BLOCK_SIZE], s0 // FLAC_BLOCK_SIZE)
         for s0 in range(0, n, FLAC_BLOCK_SIZE)
     ]
-    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    pcm = _pack_pcm16le(samples)
     md5 = hashlib.md5(pcm).digest()
     fsizes = [len(f) for f in frames] or [0]
     last_bs = n - (len(frames) - 1) * FLAC_BLOCK_SIZE if frames else 0
@@ -572,17 +811,13 @@ def _decode_frame(payload: bytes, pos: int, bps: int) -> tuple[list[int], int, i
         raise ValueError("expected partition order 0")
     n_res = bs - order
     param = sub.read(4)
-    residuals = []
     if param == 0b1111:
         width = sub.read(5)
-        for _ in range(n_res):
-            v = sub.read(width)
-            residuals.append(v - (1 << width) if v >= 1 << (width - 1) else v)
+        half = 1 << (width - 1)  # width 0: same ValueError as the old
+        v = sub.read_many(width, n_res)  # per-sample loop raised here
+        residuals = np.where(v >= half, v - (1 << width), v).tolist()
     else:
-        for _ in range(n_res):
-            q = sub.read_unary()
-            u = (q << param) | sub.read(param)
-            residuals.append(unzigzag(u))
+        residuals = [unzigzag(u) for u in sub.read_rice_many(param, n_res)]
     sub.align()
     end = sub.byte_pos
     (stored_crc,) = struct.unpack(">H", payload[end : end + 2])
@@ -622,7 +857,7 @@ def decode_flac_samples(payload: bytes) -> tuple[int, list[int]]:
         raise ValueError(f"decoded {len(out)} samples, expected {n_samples}")
     if pos != len(payload):
         raise ValueError(f"{len(payload) - pos} trailing bytes after frames")
-    pcm = b"".join(struct.pack("<h", s) for s in out)
+    pcm = _pack_pcm16le(out)
     if hashlib.md5(pcm).digest() != md5:
         raise ValueError("STREAMINFO MD5 mismatch — stream is not lossless")
     return rate, out

@@ -86,7 +86,7 @@ from ds_mapreduce_spark.operators.jpeg import (
     _idct_blocks,
     _da_int,
 )
-from ds_mapreduce_spark.operators.mdct import _read_ue, _write_ue
+from ds_mapreduce_spark.operators.mdct import _write_ue
 from ds_mapreduce_spark.operators.multimodal import PCM_A, PCM_B
 
 MCV_MAGIC = b"MCV1"
@@ -166,11 +166,19 @@ def _code_block(w: BitWriter, q: np.ndarray) -> None:
     w.write(acc, total)
 
 
-def _read_block(r: BitReader) -> np.ndarray:
+def _read_block(r: BitReader, materialize: bool = True):
+    """Zero flag + (unless flagged) 64 ue codes, batch-read (r16) via
+    BitReader.read_ue_many — one call per block instead of 64×3, with
+    the unzigzag fold vectorized. ``materialize=False`` consumes the
+    identical bits and performs the identical validation but skips
+    building the value array (the spans-only walk wrap_annexb needs)."""
     if r.read(1):
-        return np.zeros((8, 8), dtype=np.int64)
-    vals = [unzigzag(_read_ue(r)) for _ in range(64)]
-    return np.array(vals, dtype=np.int64).reshape(8, 8)
+        return np.zeros((8, 8), dtype=np.int64) if materialize else None
+    vals = r.read_ue_many(64)
+    if not materialize:
+        return None
+    u = np.array(vals, dtype=np.int64)
+    return np.where(u & 1, -((u + 1) >> 1), u >> 1).reshape(8, 8)
 
 
 def _to_blocks(frame: np.ndarray) -> np.ndarray:
@@ -269,6 +277,20 @@ def parse_mcv(payload: bytes):
     length and len(payload) == 12 + sum(frame_bytes) by construction.
     Validates magic, geometry, motion-vector bounds, frame CRCs, and
     exact stream consumption."""
+    return _walk_mcv(payload, materialize=True)
+
+
+@corruption_to_value_error
+def mcv_frame_spans(payload: bytes) -> list[tuple[int, int]]:
+    """Spans-only walk (r16): consumes the identical bits and performs
+    the identical validation as parse_mcv — same magic/geometry/MV/CRC
+    checks, same failure points — but never materializes the q-block
+    arrays. wrap_annexb only needs the frame byte ranges, so this
+    halves its per-document parse cost."""
+    return _walk_mcv(payload, materialize=False)[1]
+
+
+def _walk_mcv(payload: bytes, materialize: bool):
     if payload[:4] != MCV_MAGIC:
         raise ValueError("not an MCV1 payload")
     if len(payload) < 12:
@@ -289,8 +311,9 @@ def parse_mcv(payload: bytes):
                 if t == 0:
                     dy = dx = 0
                 else:
-                    dx = unzigzag(_read_ue(r))
-                    dy = unzigzag(_read_ue(r))
+                    dxu, dyu = r.read_ue_many(2)
+                    dx = unzigzag(dxu)
+                    dy = unzigzag(dyu)
                     if not (
                         0 <= by0 + dy <= MCV_H - 8
                         and 0 <= bx0 + dx <= MCV_W - 8
@@ -304,7 +327,7 @@ def parse_mcv(payload: bytes):
                             f"MCV1 motion vector ({dx},{dy}) exceeds the "
                             f"declared search range {search}"
                         )
-                blocks.append((dy, dx, _read_block(r)))
+                blocks.append((dy, dx, _read_block(r, materialize)))
         r.align()
         end = r.byte_pos
         crc = r.read(8)

@@ -326,14 +326,13 @@ def read_granule(r: BitReader, payload: bytes, n_in_g: int):
     start = r.byte_pos
     es = [r.read(4) for _ in range(MDCT_N)]
     frames = []
+    qmax_code = 2 * MDCT_QMAX
     for _ in range(n_in_g):
-        qs = []
-        for _ in range(MDCT_N):
-            u = _read_ue(r)
-            if u > 2 * MDCT_QMAX:
+        us = r.read_ue_many(MDCT_N)  # batch read (r16), same bits
+        for u in us:
+            if u > qmax_code:
                 raise ValueError(f"MLT1 coefficient code {u} out of range")
-            qs.append(unzigzag(u))
-        frames.append(qs)
+        frames.append([unzigzag(u) for u in us])
     r.align()
     end = r.byte_pos
     crc = r.read(8)
