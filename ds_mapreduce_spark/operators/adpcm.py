@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame
 from ds_mapreduce_spark.operators.multimodal import (
     WAV_FEATURE_SCHEMA,
     WAV_SAMPLE_RATE,
+    pcm_feature_sums,
 )
 
 _WAVE_FORMAT_IMA_ADPCM = 0x11
@@ -295,9 +296,10 @@ def decode_adpcm_features(media: DataFrame) -> DataFrame:
                 rows["doc_id"].append(doc_id)
                 rows["sample_rate"].append(rate)
                 rows["n_samples"].append(len(samples))
-                rows["peak_abs"].append(max((abs(s) for s in samples), default=0))
-                rows["sum_abs"].append(sum(abs(s) for s in samples))
-                rows["sum_sq"].append(sum(s * s for s in samples))
+                peak, sabs, ssq = pcm_feature_sums(samples)
+                rows["peak_abs"].append(peak)
+                rows["sum_abs"].append(sabs)
+                rows["sum_sq"].append(ssq)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)

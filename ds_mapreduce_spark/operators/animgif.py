@@ -47,6 +47,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -153,21 +154,23 @@ def encode_animgif_bytes(frames: list[bytes], w: int, h: int) -> bytes:
     out += _image_block(frames[0], 0, 0, w, h)
     for t in range(1, len(frames)):
         prev, cur = frames[t - 1], frames[t]
-        changed = [i for i in range(w * h) if prev[i] != cur[i]]
-        if not changed:
+        # numpy frame diff (r16): changed-pixel mask, bounding box from
+        # row/col any-reductions, and the transparent-masked sub-rect
+        # in vectorized ops — byte-identical to the per-pixel scan
+        pa = np.frombuffer(prev, dtype=np.uint8).reshape(h, w)
+        ca = np.frombuffer(cur, dtype=np.uint8).reshape(h, w)
+        d2 = pa != ca
+        rows = np.flatnonzero(d2.any(axis=1))
+        if not len(rows):
             out += _gce(transparent=True)
             out += _image_block(bytes([ANIM_TRANSPARENT]), 0, 0, 1, 1)
             continue
-        xs = [i % w for i in changed]
-        ys = [i // w for i in changed]
-        x0, x1 = min(xs), max(xs) + 1
-        y0, y1 = min(ys), max(ys) + 1
-        sub = bytes(
-            cur[y * w + x] if prev[y * w + x] != cur[y * w + x]
-            else ANIM_TRANSPARENT
-            for y in range(y0, y1)
-            for x in range(x0, x1)
-        )
+        cols = np.flatnonzero(d2.any(axis=0))
+        y0, y1 = int(rows[0]), int(rows[-1]) + 1
+        x0, x1 = int(cols[0]), int(cols[-1]) + 1
+        sub = np.where(
+            d2[y0:y1, x0:x1], ca[y0:y1, x0:x1], ANIM_TRANSPARENT
+        ).astype(np.uint8).tobytes()
         out += _gce(transparent=True)
         out += _image_block(sub, x0, y0, x1 - x0, y1 - y0)
     out += b"\x3b"
@@ -275,15 +278,18 @@ def parse_animgif(payload: bytes):
         tflag, tindex = (gce[1], gce[2]) if gce else (False, 0)
         if not composed and (tflag or (left, top, w, h) != (0, 0, sw, sh)):
             raise ValueError("first frame must cover the canvas opaquely")
-        for y in range(h):
-            row = top + y
-            for x in range(w):
-                v = indices[y * w + x]
-                if tflag and v == tindex:
-                    continue
-                if v * 3 + 2 >= len(palette):
-                    raise ValueError("pixel index outside the color table")
-                canvas[row * sw + left + x] = v
+        # numpy compose (r16): mask-select the opaque pixels, validate
+        # them against the color table, and blit the sub-rect in one
+        # vectorized write — same pixels, same ValueError condition
+        # (v*3+2 >= len(palette) ⇔ v >= palette_entries) as the
+        # per-pixel loop it replaces
+        ind = np.frombuffer(indices, dtype=np.uint8).reshape(h, w)
+        opaque = (ind != tindex) if tflag else np.ones((h, w), dtype=bool)
+        if int(ind[opaque].max(initial=0)) * 3 + 2 >= len(palette):
+            raise ValueError("pixel index outside the color table")
+        cv = np.frombuffer(canvas, dtype=np.uint8).reshape(sh, sw).copy()
+        np.copyto(cv[top : top + h, left : left + w], ind, where=opaque)
+        canvas = bytearray(cv.tobytes())
         composed.append(bytes(canvas))
         gce = None
     if not composed:

@@ -66,6 +66,7 @@ from pyspark.sql import DataFrame
 from ds_mapreduce_spark.operators.multimodal import (
     WAV_FEATURE_SCHEMA,
     WAV_SAMPLE_RATE,
+    pcm_feature_sums,
 )
 
 #: fixed encoder blocksize — 256 has a direct 4-bit code (0b1000) in
@@ -896,9 +897,10 @@ def decode_flac_features(media: DataFrame) -> DataFrame:
                 rows["doc_id"].append(doc_id)
                 rows["sample_rate"].append(rate)
                 rows["n_samples"].append(len(samples))
-                rows["peak_abs"].append(max((abs(s) for s in samples), default=0))
-                rows["sum_abs"].append(sum(abs(s) for s in samples))
-                rows["sum_sq"].append(sum(s * s for s in samples))
+                peak, sabs, ssq = pcm_feature_sums(samples)
+                rows["peak_abs"].append(peak)
+                rows["sum_abs"].append(sabs)
+                rows["sum_sq"].append(ssq)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)

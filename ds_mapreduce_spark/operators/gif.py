@@ -86,27 +86,33 @@ def _lzw_compress(data: bytes, min_code_size: int) -> bytes:
             bits += 1
 
     emit(clear)
-    table = {bytes([i]): i for i in range(clear)}
+    # the string table keyed as (prefix code, next byte) -> code: the
+    # classic O(1)-per-step LZW form (r16) — every root string i < clear
+    # IS code i, so tracking the current string by its code makes each
+    # step one tuple hash instead of an O(len(w)) bytes concat+hash;
+    # the emitted code sequence is identical by construction
+    table: dict[tuple[int, int], int] = {}
     next_code = eoi + 1
-    w = data[:1]
+    w_code = data[0] if data else None
     for byte in data[1:]:
-        wk = w + bytes([byte])
-        if wk in table:
-            w = wk
+        key = (w_code, byte)
+        code = table.get(key)
+        if code is not None:
+            w_code = code
             continue
-        emit_data(table[w])
+        emit_data(w_code)
         if next_code >= _LZW_MAX_ENTRIES:
             emit(clear)
-            table = {bytes([i]): i for i in range(clear)}
+            table = {}
             next_code = eoi + 1
             bits = min_code_size + 1
             k = 0
         else:
-            table[wk] = next_code
+            table[key] = next_code
             next_code += 1
-        w = bytes([byte])
-    if w:
-        emit_data(table[w])
+        w_code = byte
+    if w_code is not None:
+        emit_data(w_code)
     emit(eoi)
     if nbits:
         out.append(acc & 0xFF)

@@ -73,7 +73,10 @@ from ds_mapreduce_spark.operators.flac import (
     unzigzag,
     zigzag,
 )
-from ds_mapreduce_spark.operators.multimodal import WAV_SAMPLE_RATE
+from ds_mapreduce_spark.operators.multimodal import (
+    WAV_SAMPLE_RATE,
+    pcm_feature_sums,
+)
 
 MDCT_MAGIC = b"MLT1"
 #: bands per frame == hop; the window spans two hops (50% overlap)
@@ -246,6 +249,19 @@ def _quantize(a: int, k: int, e: int) -> int:
     return max(-MDCT_QMAX, min(MDCT_QMAX, q))
 
 
+#: (band, e) quantizer steps for the vectorized scalefactor search —
+#: MDCT_BASE_STEPS[k] << (CSHIFT + e) for every e in [0, EMAX]
+_MDCT_D_ALL = (
+    np.asarray(MDCT_BASE_STEPS, dtype=np.int64)[:, None]
+    << (MDCT_CSHIFT + np.arange(MDCT_EMAX + 1, dtype=np.int64))[None, :]
+)
+#: bit lengths of every possible zigzag+1 code value (q in [-QMAX, QMAX]
+#: folds to u+1 in [1, 2*QMAX+2])
+_MDCT_UE_BITLEN = np.array(
+    [v.bit_length() for v in range(2 * MDCT_QMAX + 3)], dtype=np.int64
+)
+
+
 def _write_ue(w: BitWriter, u: int) -> None:
     """Unsigned Exp-Golomb: floor(log2(u+1)) zero bits, then u+1 in
     binary — 2*bitlength(u+1)-1 bits total (the closed form the oracle
@@ -277,27 +293,41 @@ def encode_granule_blobs(samples) -> list[bytes]:
     for g0 in range(0, t_frames, MDCT_GRANULE):
         frames = acc[g0 : g0 + MDCT_GRANULE]
         w = BitWriter()
-        es = []
-        for k in range(MDCT_N):
-            e = _scalefactor(int(np.abs(frames[:, k]).max()), k)
-            es.append(e)
-            w.write(e, 4)
+        # vectorized scalefactor search (r16) — one (band, e) quotient
+        # matrix replaces the per-band rnd_div probe loop: |A| >= 0 so
+        # rnd_div is (|A| + d/2) // d, ok is monotone in e, argmax
+        # finds the first satisfying e, saturating at EMAX exactly as
+        # _scalefactor does (which stays as the per-value reference)
+        amax = np.abs(frames).max(axis=0)
+        ok = (amax[:, None] + (_MDCT_D_ALL >> 1)) // _MDCT_D_ALL <= MDCT_QMAX
+        es_v = np.where(ok.any(axis=1), np.argmax(ok, axis=1), MDCT_EMAX)
+        esa = 0
+        for e in es_v.tolist():
+            esa = (esa << 4) | e
+        w.write(esa, 4 * MDCT_N)
         # vectorized quantize (r16) — identical element math to
         # rnd_div/_quantize: half-away-from-zero divide by the band's
         # step, clamp to ±QMAX, zigzag-fold
-        d = base_np << (MDCT_CSHIFT + np.asarray(es, dtype=np.int64))
+        d = base_np << (MDCT_CSHIFT + es_v)
         q = (np.abs(frames) + (d >> 1)[None, :]) // d[None, :]
         q = np.where(frames >= 0, q, -q)
         q = np.clip(q, -MDCT_QMAX, MDCT_QMAX)
-        u1 = (np.where(q >= 0, q << 1, ((-q) << 1) - 1) + 1).ravel().tolist()
+        u1 = (np.where(q >= 0, q << 1, ((-q) << 1) - 1) + 1).ravel()
         # fold the granule's exp-Golomb codes ((u+1) in 2*len-1 bits
-        # each — same bits _write_ue emits) into one write call
-        code_acc = 0
-        total = 0
-        for v in u1:
-            nb = 2 * v.bit_length() - 1
-            code_acc = (code_acc << nb) | v
-            total += nb
+        # each — same bits _write_ue emits) into one write call; the
+        # variable-width pack runs in numpy (LUT bit lengths, repeat/
+        # cumsum positions) instead of growing a per-code bigint
+        bl = _MDCT_UE_BITLEN[u1]
+        nb = 2 * bl - 1
+        total = int(nb.sum())
+        starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, nb)
+        bits = (
+            (np.repeat(u1, nb) >> (np.repeat(nb, nb) - 1 - within)) & 1
+        ).astype(np.uint8)
+        code_acc = int.from_bytes(np.packbits(bits).tobytes(), "big") >> (
+            (-total) % 8
+        )
         w.write(code_acc, total)
         w.align()
         coded = w.getvalue()
@@ -440,9 +470,10 @@ def decode_mdct_features(media: DataFrame) -> DataFrame:
                 rows["doc_id"].append(doc_id)
                 rows["sample_rate"].append(rate)
                 rows["n_samples"].append(len(samples))
-                rows["peak_abs"].append(max((abs(s) for s in samples), default=0))
-                rows["sum_abs"].append(sum(abs(s) for s in samples))
-                rows["sum_sq"].append(sum(s * s for s in samples))
+                peak, sabs, ssq = pcm_feature_sums(samples)
+                rows["peak_abs"].append(peak)
+                rows["sum_abs"].append(sabs)
+                rows["sum_sq"].append(ssq)
                 rows["payload_bytes"].append(len(payload))
             yield pd.DataFrame(rows)
 

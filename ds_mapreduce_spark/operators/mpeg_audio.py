@@ -69,6 +69,7 @@ from ds_mapreduce_spark.operators.mdct import (
     granules_to_samples,
     read_granule,
 )
+from ds_mapreduce_spark.operators.multimodal import pcm_feature_sums
 
 #: MPEG-1 Layer III bitrate table (kbps), index 1..14 (0 = free, 15 =
 #: forbidden — both rejected on parse), ISO 11172-3 table B.2
@@ -296,9 +297,10 @@ def decode_mp3_features(media: DataFrame) -> DataFrame:
                 )
                 rows["n_padded"].append(sum(pad for _, pad in headers))
                 rows["container_bytes"].append(len(payload))
-                rows["peak_abs"].append(max((abs(s) for s in samples), default=0))
-                rows["sum_abs"].append(sum(abs(s) for s in samples))
-                rows["sum_sq"].append(sum(s * s for s in samples))
+                peak, sabs, ssq = pcm_feature_sums(samples)
+                rows["peak_abs"].append(peak)
+                rows["sum_abs"].append(sabs)
+                rows["sum_sq"].append(ssq)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=MP3_FEATURE_SCHEMA)

@@ -42,6 +42,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -331,6 +332,18 @@ WAV_FEATURE_SCHEMA = (
 )
 
 
+def pcm_feature_sums(samples) -> tuple[int, int, int]:
+    """(peak_abs, sum_abs, sum_sq) of a PCM16-range sample list in one
+    numpy pass (r16) — value-identical to the per-sample genexpr sums
+    every audio feature row used (|s| <= 32768 so sum_sq fits int64 up
+    to ~8.5e9 samples/doc; corpus docs are thousands)."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if not arr.size:
+        return 0, 0, 0
+    a = np.abs(arr)
+    return int(a.max()), int(a.sum()), int((arr * arr).sum())
+
+
 def read_pcm16_wav(payload: bytes, doc_id="?") -> tuple[int, int, tuple]:
     """Parse a mono PCM16 RIFF/WAVE payload -> (rate, n, samples).
 
@@ -392,9 +405,10 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
                 rows["n_samples"].append(n)
                 # A zero-frame WAV is a LEGAL container: features are 0,
                 # not a bare ValueError from max() on empty.
-                rows["peak_abs"].append(max((abs(s) for s in samples), default=0))
-                rows["sum_abs"].append(sum(abs(s) for s in samples))
-                rows["sum_sq"].append(sum(s * s for s in samples))
+                peak, sabs, ssq = pcm_feature_sums(samples)
+                rows["peak_abs"].append(peak)
+                rows["sum_abs"].append(sabs)
+                rows["sum_sq"].append(ssq)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)

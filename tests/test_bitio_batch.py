@@ -246,6 +246,126 @@ def test_pack_pcm16le_matches_struct_loop() -> None:
             _pack_pcm16le([0, bad, 1])
 
 
+def test_mdct_encode_vectorized_matches_scalar_reference() -> None:
+    """The vectorized scalefactor search + exp-Golomb pack in
+    encode_granule_blobs is bit-identical to the per-value reference
+    path (_scalefactor/_quantize/_write_ue), including EMAX saturation
+    and the ±QMAX clamp."""
+    import numpy as np
+
+    from ds_mapreduce_spark.operators import mdct as M
+
+    def ref_blobs(samples):
+        x = np.asarray(samples, dtype=np.int64)
+        acc = M._forward_accumulators(x)
+        blobs = []
+        for g0 in range(0, acc.shape[0], M.MDCT_GRANULE):
+            frames = acc[g0 : g0 + M.MDCT_GRANULE]
+            w = M.BitWriter()
+            es = []
+            for k in range(M.MDCT_N):
+                e = M._scalefactor(int(np.abs(frames[:, k]).max()), k)
+                es.append(e)
+                w.write(e, 4)
+            for row in frames:
+                for k, a in enumerate(row.tolist()):
+                    q = M._quantize(int(a), k, es[k])
+                    M._write_ue(w, (q << 1) if q >= 0 else ((-q) << 1) - 1)
+            w.align()
+            coded = w.getvalue()
+            blobs.append(coded + bytes([M.crc8(coded)]))
+        return blobs
+
+    rng = np.random.default_rng(0x3DC7)
+    cases = [
+        np.zeros(64, dtype=np.int64),
+        rng.integers(-32768, 32768, size=256),
+        rng.integers(-3, 4, size=128),  # tiny signal: low scalefactors
+        (rng.integers(0, 2, size=512) * 2 - 1) * 32767,  # max energy
+    ]
+    for samples in cases:
+        assert M.encode_granule_blobs(samples.tolist()) == ref_blobs(samples)
+
+
+def test_lzw_compress_code_keys_match_string_keys() -> None:
+    """The (prefix_code, byte)-keyed LZW table emits the identical code
+    stream as the pre-r16 byte-string-keyed table, including CLEAR
+    resets on dictionary overflow and the trailing-EOI layout."""
+    from ds_mapreduce_spark.operators.gif import (
+        _LZW_MAX_BITS,
+        _LZW_MAX_ENTRIES,
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    def ref_compress(data: bytes, min_code_size: int) -> bytes:
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        out = bytearray()
+        acc = nbits = 0
+        bits = min_code_size + 1
+        k = 0
+
+        def emit(code: int) -> None:
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += bits
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        def emit_data(code: int) -> None:
+            nonlocal bits, k
+            emit(code)
+            k += 1
+            if eoi + k >= (1 << bits) and bits < _LZW_MAX_BITS:
+                bits += 1
+
+        emit(clear)
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        w = data[:1]
+        for byte in data[1:]:
+            wk = w + bytes([byte])
+            if wk in table:
+                w = wk
+                continue
+            emit_data(table[w])
+            if next_code >= _LZW_MAX_ENTRIES:
+                emit(clear)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                bits = min_code_size + 1
+                k = 0
+            else:
+                table[wk] = next_code
+                next_code += 1
+            w = bytes([byte])
+        if w:
+            emit_data(table[w])
+        emit(eoi)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = random.Random(0x17B)
+    cases = [
+        b"",
+        b"\x00",
+        b"aaaaaaaaaabbbbbbbbbb" * 30,
+        bytes(rng.randrange(256) for _ in range(20000)),  # forces overflow
+        bytes(rng.randrange(4) for _ in range(5000)),
+    ]
+    for data in cases:
+        for mcs in (2, 8):
+            if mcs == 2 and any(b > 3 for b in data):
+                continue
+            got = _lzw_compress(data, mcs)
+            assert got == ref_compress(data, mcs)
+            assert _lzw_decompress(got, mcs) == data
+
+
 def test_crc_slice_by_16_matches_byte_loop() -> None:
     from ds_mapreduce_spark.operators.flac import (
         _CRC8_TABLE,
