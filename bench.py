@@ -4,12 +4,17 @@
 Prints the full JSON line:
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <float>}
-followed by ONE compact summary line (same totals/calibration/steal,
-NO per-query map): the per-query map outgrew the driver's 2000-char
-tail capture in r9 (60 entries), truncating the leading
-"headline_total" out of the recorded BENCH_r09.json. The compact line
-is always short enough to survive the tail window, so the recorded
-2x-gate reference is read, not reconstructed (VERDICT r9 #3).
+followed by a compact per-query line ({"line": "perq", "q": [medians
+in HEADLINE order], "top": {slowest rows by name}} — VERDICT r16 #2:
+per-query data short enough to survive the driver's tail capture; zip
+"q" with this file's HEADLINE for the name->sec map) and ONE compact
+summary line (same totals/calibration/steal, NO per-query map): the
+full per-query map outgrew the driver's 2000-char tail capture in r9
+(60 entries), truncating the leading "headline_total" out of the
+recorded BENCH_r09.json. The two compact lines together are always
+short enough to survive the tail window, so the recorded 2x-gate
+reference is read, not reconstructed (VERDICT r9 #3), and the summary
+stays LAST for tail-anchored parsers.
 
 Execution is forced with a noop-format write (full computation, no
 driver-side collect — the honest way to time a distributed plan).
@@ -534,6 +539,7 @@ def _update_composite(
     timings: dict[str, float | None],
     quiet_gate: dict[str, object] | None,
     sf: float,
+    cpus: int,
 ) -> dict[str, object] | None:
     """Per-row-minimum composite across same-code bench attempts — the
     protocol-blessed comparable when no single run is certified quiet
@@ -585,15 +591,24 @@ def _update_composite(
         state: dict[str, object] = {
             "head": head,
             "sf": sf,
+            "cpus": cpus,
             "attempts": 0,
             "queries": {},
         }
         if os.path.exists(path):
             with open(path) as f:
                 prev = json.load(f)
-            # same code AND same scale factor, else the merge compares
-            # nothing (an sf0.01 row's min would mask every sf0.1 read)
-            if prev.get("head") == head and prev.get("sf") == sf:
+            # same code AND same scale factor AND same core count
+            # (VERDICT r16 #4: the driver's 8-core scaling run merged
+            # into the 32-core composite as a same-key attempt and
+            # quietly tightened the quiet-family upper bound with rows
+            # measured under a different parallelism), else the merge
+            # compares nothing
+            if (
+                prev.get("head") == head
+                and prev.get("sf") == sf
+                and prev.get("cpus") == cpus
+            ):
                 state = prev
         mins: dict[str, float] = dict(state.get("queries", {}))
         for name, t in timings.items():
@@ -612,6 +627,7 @@ def _update_composite(
             "n_rows": len(common),
             "attempts": state["attempts"],
             "quiet_attempts": state["quiet_attempts"],
+            "cpus": cpus,
             "head": head[:12] + ("-dirty" if head.endswith("-dirty") else ""),
             "label": "per-row min across same-code attempts; upper bound "
             "on the quiet-family total",
@@ -779,7 +795,10 @@ def main() -> None:
         "query_env": query_env,
         "sf": sf,
     }
-    composite = _update_composite(timings, quiet_gate, sf)
+    # same cores source as the session factory: the composite must key
+    # on the parallelism the rows were measured under
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    composite = _update_composite(timings, quiet_gate, sf, cpus)
     if composite is not None:
         result["composite"] = composite
     if quiet_gate is not None:
@@ -787,6 +806,36 @@ def main() -> None:
     if errors:
         result["errors"] = errors
     print(json.dumps(result))
+    # Compact per-query line (VERDICT r16 #2): PERF has had
+    # per_query/geomean/scaling empty two rounds running because the
+    # full line above (>4000 chars with query_env) outgrows the
+    # driver's 2000-char tail capture and the summary line carries no
+    # per-query data. A full-name map is itself ~2100 chars (70 names
+    # average 21 chars), so it cannot fit the tail next to the ~550-
+    # char summary either; this line instead carries the medians as an
+    # ARRAY in HEADLINE order (stable, committed in this file) plus the
+    # slowest rows by full name for human readers. perq + summary
+    # together stay under ~1450 chars, so both always survive the tail
+    # window. Printed BEFORE the summary so the summary stays the last
+    # line (tail-anchored parsers depend on that).
+    perq_named = {
+        k: v for k, v in sorted(
+            ((k, v) for k, v in timings.items() if v is not None),
+            key=lambda kv: -kv[1],
+        )[:8]
+    }
+    print(
+        json.dumps(
+            {
+                "line": "perq",
+                "order": "bench.py HEADLINE",
+                "sf": sf,
+                "cpus": cpus,
+                "q": [timings.get(n) for n in HEADLINE],
+                "top": perq_named,
+            }
+        )
+    )
     # Compact summary line (no per-query map): the full line above is
     # >4000 chars at 60 queries and the driver records only a 2000-char
     # TAIL, which truncated r9's headline total out of BENCH_r09.json.

@@ -144,3 +144,114 @@ def test_local_color_table_overrides_global():
 def test_encoder_rejects_bad_geometry():
     with pytest.raises(ValueError, match="indices"):
         encode_gif_bytes(bytes(5), 2, 2)
+
+
+# ---------------------------------------------------------------------------
+# Differential lock for the r17 batched decoder: the pre-r17 per-code
+# serial decoder, embedded verbatim as the reference. The batched form
+# must agree on every valid stream AND fail identically (same error
+# class, ValueError) at the same conditions on truncated / corrupted
+# streams.
+# ---------------------------------------------------------------------------
+
+_REF_MAX_ENTRIES = 4096
+_REF_MAX_BITS = 12
+
+
+def _lzw_decompress_reference(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = min_code_size + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    k = 0
+
+    def read_code() -> int:
+        nonlocal acc, nbits, pos
+        while nbits < bits:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << bits) - 1)
+        acc >>= bits
+        nbits -= bits
+        return code
+
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read_code()
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            bits = min_code_size + 1
+            k = 0
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise ValueError(f"first LZW code {code} is not a literal")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} out of range (next={next_code})")
+        out += entry
+        if prev is not None and next_code < _REF_MAX_ENTRIES:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        prev = entry
+        k += 1
+        if eoi + k >= (1 << bits) and bits < _REF_MAX_BITS:
+            bits += 1
+
+
+def _outcome(fn, data, mcs):
+    try:
+        return ("ok", fn(data, mcs))
+    except ValueError:
+        return ("ValueError", None)
+
+
+def test_lzw_batched_matches_per_code_reference():
+    rng = np.random.RandomState(42)
+    streams = []
+    for mcs in (2, 4, 8):
+        for size in (0, 1, 7, 300, 5000, 30000):
+            data = bytes(
+                rng.randint(0, 1 << mcs, size).astype(np.uint8)
+            )
+            streams.append((_lzw_compress(data, mcs), mcs, data))
+        # CLEAR-on-overflow: low-entropy long input forces the 4095
+        # reset inside the compressor
+        rep = bytes(rng.randint(0, 2, 40000).astype(np.uint8))
+        streams.append((_lzw_compress(rep, mcs), mcs, rep))
+    for payload, mcs, expect in streams:
+        assert _lzw_decompress(payload, mcs) == expect
+        assert _lzw_decompress_reference(payload, mcs) == expect
+
+    # truncation at EVERY prefix length of a mid-sized stream fails (or
+    # succeeds) identically — batch boundaries must not move errors
+    payload, mcs, _ = streams[3]
+    for cut in range(len(payload)):
+        assert _outcome(_lzw_decompress, payload[:cut], mcs) == _outcome(
+            _lzw_decompress_reference, payload[:cut], mcs
+        )
+
+    # random single-bit corruptions: identical value or identical error
+    payload, mcs, _ = streams[4]
+    for _ in range(400):
+        b = bytearray(payload)
+        b[rng.randint(0, len(b))] ^= 1 << rng.randint(0, 8)
+        got = _outcome(_lzw_decompress, bytes(b), mcs)
+        ref = _outcome(_lzw_decompress_reference, bytes(b), mcs)
+        assert got == ref
